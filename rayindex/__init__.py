@@ -1,0 +1,15 @@
+"""rayindex — a brand-new Ray-Data-native inverted-index build + BM25 query
+engine with the query/data-processing capabilities of the reference
+crawler-search-engine at /root/reference (Spring Boot + MySQL, lemma-based).
+
+Not a port: the reference's execution engine (per-site threads + ForkJoinPool
++ MySQL shared state) is replaced by ray.data.Dataset pipelines —
+``map_batches`` over zero-copy Arrow batches, actor pools for the stateful
+lemmatizer, an explicitly skew-salted ``groupby(term)`` shuffle for posting
+construction, delta+varbyte compressed segments with block-max metadata, and
+per-shard lineage manifests for checkpoint/resume.
+
+See SURVEY.md for the full operator inventory and reference citations.
+"""
+
+__version__ = "0.1.0"

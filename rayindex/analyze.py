@@ -1,0 +1,159 @@
+"""Tokenization / lemmatization — M3-M6 and actor stage ST1 of SURVEY.md §2.
+
+Reference semantics (dto/indexing/Lemmatizator.java):
+
+- M3 normalizer (:97-102): lowercase → replace ``[^а-я\\s]`` with a space →
+  trim → split on ``\\s+``.  Only Cyrillic а-я survives — digits, Latin,
+  punctuation and even ``ё`` (U+0451, outside а-я) become spaces.  Java's
+  ``\\s`` is ASCII ``[ \\t\\n\\x0B\\f\\r]``; we use the same explicit class.
+- M4 particle filter (:84-95): drop the word when any morph form carries
+  МЕЖД/ПРЕДЛ/СОЮЗ — here a per-form boolean in the closed dictionary.
+- M5 first normal form (:47-52): ``getNormalForms(word).get(0)``; unknown
+  words fall back to identity (deterministic replacement for Lucene
+  RussianLuceneMorphology, which is not available / not deterministic here).
+- M6 collectLemmas (:33-62): per-document ``{lemma: occurrence count}``.
+
+The reference wastefully re-instantiates the morphology per page
+(dto/indexing/PageIndexer.java:74) and per query
+(services/SearchingServiceImpl.java:38).  Here the analyzer state (dictionary
++ compiled regex) lives in an **actor pool**: ``map_batches(LemmatizeStage,
+concurrency=N)`` loads it once per actor in ``__init__`` (broadcast via
+``ray.put`` when a dict ref is given) and processes batches vectorized
+(pandas str kernels + explode + groupby — no per-row Python loop).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from .schema import doc_ids_for_urls
+
+# Java \s (dto/indexing/Lemmatizator.java:99 uses "[^а-я\s]")
+_JAVA_WS = " \t\n\x0b\f\r"
+
+
+class Analyzer:
+    """Closed-dictionary analyzer with the reference's collectLemmas semantics.
+
+    ``strip_class`` is the char class replaced by spaces (the reference uses
+    ``[^а-я\\s]``; the English bench analyzer keeps ``a-z0-9``).
+    """
+
+    def __init__(
+        self,
+        lemma_map: dict[str, str] | None = None,
+        particles: set[str] | frozenset[str] | None = None,
+        keep: str = "а-я",
+    ):
+        self.lemma_map = dict(lemma_map or {})
+        self.particles = frozenset(particles or ())
+        self.keep = keep
+        self._strip_re = re.compile(f"[^{keep}{_JAVA_WS}]")
+        self._split_re = re.compile(f"[{_JAVA_WS}]+")
+
+    # -- row-wise (driver/query/oracle path) --------------------------------
+    def collect_lemmas(self, text: str) -> Counter:
+        """M6: document text → {lemma: tf} (Lemmatizator.java:33-62)."""
+        cleaned = self._strip_re.sub(" ", text.lower()).strip()
+        out: Counter = Counter()
+        if not cleaned:
+            return out
+        for word in self._split_re.split(cleaned):
+            if not word or word in self.particles:
+                continue
+            out[self.lemma_map.get(word, word)] += 1
+        return out
+
+    # -- vectorized (actor batch path) --------------------------------------
+    def lemmatize_series(self, texts: pd.Series) -> pd.DataFrame:
+        """Vectorized M3-M6 over a batch → exploded (row, term, tf).
+
+        Returns a DataFrame with columns ``row`` (positional index into the
+        batch), ``term``, ``tf`` — exactly ``collect_lemmas`` per row.
+        """
+        cleaned = (
+            texts.str.lower()
+            .str.replace(self._strip_re, " ", regex=True)
+            .str.strip()
+            .str.split(self._split_re)
+        )
+        words = cleaned.explode()
+        words = words[words.notna() & (words != "")]
+        if len(self.particles):
+            words = words[~words.isin(self.particles)]
+        if self.lemma_map:
+            mapped = words.map(self.lemma_map)
+            words = mapped.fillna(words)
+        df = pd.DataFrame({"row": words.index, "term": words.to_numpy()})
+        out = df.groupby(["row", "term"], sort=False).size().reset_index(name="tf")
+        return out
+
+
+def reference_russian_analyzer(lemma_map: dict[str, str], particles: set[str]) -> Analyzer:
+    """Conformance analyzer: Cyrillic-only survival (Lemmatizator.java:97-102)."""
+    return Analyzer(lemma_map=lemma_map, particles=particles, keep="а-я")
+
+
+# English stop-set for the bench corpus: plays the МЕЖД/ПРЕДЛ/СОЮЗ particle
+# role so the frequent-lemma cutoff & particle paths are exercised in English.
+EN_STOPWORDS = frozenset("a an the and of in to is on at by for with".split())
+
+
+def simple_analyzer() -> Analyzer:
+    """Latin+digit analyzer (identity lemmas) for the bench corpus."""
+    return Analyzer(lemma_map=None, particles=EN_STOPWORDS, keep="a-z0-9")
+
+
+def make_analyzer(spec: dict) -> Analyzer:
+    """Registry (SURVEY.md §2.11): build an analyzer from a plain-dict spec."""
+    name = spec.get("name", "simple")
+    if name == "reference_ru":
+        return reference_russian_analyzer(spec["lemma_map"], set(spec["particles"]))
+    if name == "simple":
+        return simple_analyzer()
+    raise KeyError(f"unknown analyzer {name!r}")
+
+
+class LemmatizeStage:
+    """ST1 actor: pages batch → exploded postings (doc_id, site, term, tf, doc_len).
+
+    ``analyzer_spec`` is either a plain dict or a ``ray.ObjectRef`` to one
+    (broadcast once with ``ray.put`` by the driver and fetched once per actor
+    here — never re-shipped per batch).  ``text_col`` names the input text
+    column (``extracted_text`` in the pipeline).
+    """
+
+    def __init__(self, analyzer_spec, text_col: str = "extracted_text"):
+        if isinstance(analyzer_spec, ray.ObjectRef):
+            analyzer_spec = ray.get(analyzer_spec)
+        self.analyzer = make_analyzer(analyzer_spec)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pandas()
+        sites = batch.column("site").to_pandas()
+        texts = batch.column(self.text_col).to_pandas()
+        doc_ids = doc_ids_for_urls(urls.to_numpy())
+        ex = self.analyzer.lemmatize_series(texts)
+        rows = ex["row"].to_numpy()
+        tf = ex["tf"].to_numpy().astype(np.uint32)
+        # doc_len = Σ tf per document (A8) — computable batch-locally because
+        # every posting of a doc comes from the same input row.
+        dl_per_row = np.zeros(len(batch), dtype=np.uint64)
+        np.add.at(dl_per_row, rows, tf)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[rows], type=pa.uint64()),
+                "site": pa.array(sites.to_numpy()[rows], type=pa.string()),
+                "term": pa.array(ex["term"].to_numpy(), type=pa.string()),
+                "tf": pa.array(tf, type=pa.uint32()),
+                "doc_len": pa.array(dl_per_row[rows].astype(np.uint32), type=pa.uint32()),
+            }
+        )

@@ -1,0 +1,208 @@
+"""Posting-list compression: delta + varbyte with block-max metadata.
+
+The reference materializes one MySQL row per (page, lemma) posting
+(model/IndexEntity.java:11-23, written row-at-a-time at
+dto/indexing/PageIndexer.java:195-203).  At 10^12 documents that layout is
+impossible; we compress each term's docid-sorted posting list into
+variable-byte blobs with fixed-size blocks and per-block metadata
+(last_doc, max_tf, min_dl) enabling block-max WAND skipping.
+
+Both encode and decode are numpy-vectorized (no per-posting Python loop):
+encode fills at most 10 byte-planes per varint; decode classifies
+continuation bits and reduces ≤10 shifted byte-planes.
+
+Varbyte format (LEB128-flavoured): 7 payload bits per byte, little-endian
+groups, MSB set on every byte that has a successor.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+BLOCK_SIZE = 128  # docs per block (classic block-max posting block size)
+_MAX_VARINT_BYTES = 10  # ceil(64 / 7)
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte encoding of a uint64 array."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: 1 + number of 7-bit shifts that stay non-zero
+    nbytes = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0)
+        tmp >>= np.uint64(7)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for j in range(int(nbytes.max())):
+        mask = nbytes > j
+        idx = starts[mask] + j
+        byte = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] > j + 1).astype(np.uint8) << 7
+        out[idx] = byte | cont
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes | memoryview | np.ndarray, count: int | None = None) -> np.ndarray:
+    """Vectorized decode of a varbyte blob → uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.nonzero((b & 0x80) == 0)[0]  # terminal byte of each varint
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    widths = ends - starts + 1
+    out = np.zeros(ends.size, dtype=np.uint64)
+    for j in range(int(widths.max())):
+        mask = widths > j
+        out[mask] |= (b[starts[mask] + j] & np.uint64(0x7F)).astype(np.uint64) << np.uint64(7 * j)
+    if count is not None and out.size != count:
+        raise ValueError(f"decoded {out.size} values, expected {count}")
+    return out
+
+
+@dataclass
+class EncodedPostings:
+    """One term's (or one (term, salt) sub-list's) compressed postings."""
+
+    n_docs: int
+    n_blocks: int
+    b_last_doc: bytes  # uint64[n_blocks] LE
+    b_max_tf: bytes  # uint32[n_blocks] LE
+    b_min_dl: bytes  # uint32[n_blocks] LE
+    b_doc_nbytes: bytes  # uint32[n_blocks] LE
+    b_tf_nbytes: bytes  # uint32[n_blocks] LE
+    b_dl_nbytes: bytes  # uint32[n_blocks] LE
+    docs_blob: bytes
+    tfs_blob: bytes
+    dls_blob: bytes
+
+
+def encode_postings(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, block_size: int = BLOCK_SIZE
+) -> EncodedPostings:
+    """Encode a docid-sorted posting list into block-max blobs.
+
+    Each block is independently decodable: within a block, docids are stored
+    as [first_doc_delta_from_0? no — first abs, then deltas].  Concretely the
+    per-block varints are ``docs[0], docs[1]-docs[0], ...`` so a block decodes
+    without its predecessor (needed for WAND block skipping).
+    """
+    n = len(doc_ids)
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    dls = np.ascontiguousarray(dls, dtype=np.uint64)
+    if n == 0:
+        z = b""
+        return EncodedPostings(0, 0, z, z, z, z, z, z, z, z, z)
+    if not bool(np.all(doc_ids[1:] > doc_ids[:-1])):
+        raise ValueError("doc_ids must be strictly increasing")
+
+    # block-local deltas: first element absolute, rest delta-1 is not used
+    # (deltas are >=1 since strictly increasing; store raw delta)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = doc_ids[0]
+    deltas[1:] = doc_ids[1:] - doc_ids[:-1]
+    # reset block heads to absolute docids
+    head_idx = np.arange(0, n, block_size)
+    deltas[head_idx] = doc_ids[head_idx]
+
+    n_blocks = len(head_idx)
+    tail_idx = np.minimum(head_idx + block_size, n) - 1
+    b_last = doc_ids[tail_idx].astype(np.uint64)
+    # per-block reductions via ufunc.reduceat
+    b_max_tf = np.maximum.reduceat(tfs, head_idx).astype(np.uint32)
+    b_min_dl = np.minimum.reduceat(dls, head_idx).astype(np.uint32)
+
+    doc_parts, tf_parts, dl_parts = [], [], []
+    doc_lens = np.empty(n_blocks, dtype=np.uint32)
+    tf_lens = np.empty(n_blocks, dtype=np.uint32)
+    dl_lens = np.empty(n_blocks, dtype=np.uint32)
+    for k in range(n_blocks):
+        lo, hi = head_idx[k], min(head_idx[k] + block_size, n)
+        d = varbyte_encode(deltas[lo:hi])
+        t = varbyte_encode(tfs[lo:hi])
+        l = varbyte_encode(dls[lo:hi])
+        doc_parts.append(d)
+        tf_parts.append(t)
+        dl_parts.append(l)
+        doc_lens[k], tf_lens[k], dl_lens[k] = len(d), len(t), len(l)
+
+    return EncodedPostings(
+        n_docs=n,
+        n_blocks=n_blocks,
+        b_last_doc=b_last.tobytes(),
+        b_max_tf=b_max_tf.tobytes(),
+        b_min_dl=b_min_dl.tobytes(),
+        b_doc_nbytes=doc_lens.tobytes(),
+        b_tf_nbytes=tf_lens.tobytes(),
+        b_dl_nbytes=dl_lens.tobytes(),
+        docs_blob=b"".join(doc_parts),
+        tfs_blob=b"".join(tf_parts),
+        dls_blob=b"".join(dl_parts),
+    )
+
+
+def decode_postings(enc: EncodedPostings) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full decode → (doc_ids, tfs, dls), all uint64/uint32 arrays."""
+    if enc.n_docs == 0:
+        return (
+            np.empty(0, dtype=np.uint64),
+            np.empty(0, dtype=np.uint32),
+            np.empty(0, dtype=np.uint32),
+        )
+    deltas = varbyte_decode(enc.docs_blob, enc.n_docs)
+    n = enc.n_docs
+    head_idx = np.arange(0, n, BLOCK_SIZE)
+    # cumulative sum within blocks: global cumsum, then re-anchor each block
+    doc_ids = np.cumsum(deltas, dtype=np.uint64)
+    if len(head_idx) > 1:
+        # each block head stores the absolute docid, so within block b the true
+        # value is cumsum[i] - cumsum[head_b - 1]; uint64 wraparound in both the
+        # cumsum and the subtraction cancels (arithmetic mod 2^64).
+        carry = doc_ids[head_idx[1:] - 1]
+        block_sizes = np.diff(np.append(head_idx, n))
+        offsets = np.repeat(np.concatenate(([np.uint64(0)], carry)), block_sizes)
+        doc_ids = doc_ids - offsets
+    tfs = varbyte_decode(enc.tfs_blob, n).astype(np.uint32)
+    dls = varbyte_decode(enc.dls_blob, n).astype(np.uint32)
+    return doc_ids, tfs, dls
+
+
+class BlockReader:
+    """Lazy per-block access for WAND: decode a block only when needed."""
+
+    def __init__(self, enc: EncodedPostings):
+        self.enc = enc
+        self.n_blocks = enc.n_blocks
+        self.last_doc = np.frombuffer(enc.b_last_doc, dtype=np.uint64)
+        self.max_tf = np.frombuffer(enc.b_max_tf, dtype=np.uint32)
+        self.min_dl = np.frombuffer(enc.b_min_dl, dtype=np.uint32)
+        dlen = np.frombuffer(enc.b_doc_nbytes, dtype=np.uint32).astype(np.int64)
+        tlen = np.frombuffer(enc.b_tf_nbytes, dtype=np.uint32).astype(np.int64)
+        llen = np.frombuffer(enc.b_dl_nbytes, dtype=np.uint32).astype(np.int64)
+        self.doc_off = np.concatenate(([0], np.cumsum(dlen)))
+        self.tf_off = np.concatenate(([0], np.cumsum(tlen)))
+        self.dl_off = np.concatenate(([0], np.cumsum(llen)))
+        self._docs_buf = np.frombuffer(enc.docs_blob, dtype=np.uint8)
+        self._tfs_buf = np.frombuffer(enc.tfs_blob, dtype=np.uint8)
+        self._dls_buf = np.frombuffer(enc.dls_blob, dtype=np.uint8)
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+    def block(self, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        got = self._cache.get(k)
+        if got is not None:
+            return got
+        deltas = varbyte_decode(self._docs_buf[self.doc_off[k] : self.doc_off[k + 1]])
+        docs = np.cumsum(deltas, dtype=np.uint64)
+        tfs = varbyte_decode(self._tfs_buf[self.tf_off[k] : self.tf_off[k + 1]]).astype(np.uint32)
+        dls = varbyte_decode(self._dls_buf[self.dl_off[k] : self.dl_off[k + 1]]).astype(np.uint32)
+        out = (docs, tfs, dls)
+        self._cache[k] = out
+        return out

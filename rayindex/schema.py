@@ -1,0 +1,122 @@
+"""Arrow schemas and deterministic doc-id assignment.
+
+Data model (SURVEY.md §1): the reference keeps four MySQL tables — ``site``,
+``page`` (model/PageEntity.java:13-34), ``lemma`` (model/LemmaEntity.java:12-28,
+``frequency`` = per-site document frequency) and ``index_table``
+(model/IndexEntity.java:11-23, ``rank_value`` = within-page term count).  Here
+each logical table is a Parquet-backed ``ray.data.Dataset`` of Arrow blocks.
+
+The reference assigns page ids with MySQL auto-increment
+(model/PageEntity.java:15-16) — a global sequential bottleneck that cannot
+exist at 10^12 documents.  We replace it with ``doc_id = hash64(url)``:
+deterministic, order-free, computed vectorized per batch; collisions are
+checked at fixture scale by tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# Input table (BASELINE.json input_hint): one row per Common-Crawl-style page.
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),  # golden extracted text (byte-identity invariant)
+        ("lang", pa.string()),
+    ]
+)
+
+# Doc store (replaces the reference `page` table; SURVEY.md §1).
+DOCS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.uint64()),
+        ("url", pa.string()),
+        ("site", pa.string()),
+        ("title", pa.string()),
+        ("doc_len", pa.uint32()),  # Σ tf over the page (A8; needed for BM25)
+        ("text", pa.string()),
+    ]
+)
+
+# Exploded postings before the shuffle: one row per (doc, term).
+POSTINGS_FLAT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.uint64()),
+        ("site", pa.string()),
+        ("term", pa.string()),
+        ("tf", pa.uint32()),
+        ("doc_len", pa.uint32()),
+    ]
+)
+
+# Term dictionary / df (replaces the reference `lemma` table: per-site df,
+# dto/indexing/PageIndexer.java:161-204).
+TERM_STATS_SCHEMA = pa.schema(
+    [
+        ("site", pa.string()),
+        ("term", pa.string()),
+        ("df", pa.int64()),
+    ]
+)
+
+# Compressed index segment rows (replaces `index_table` rows; SURVEY.md §1).
+# One row per (term, salt): delta+varbyte docids, varbyte tfs, varbyte doc
+# lengths, and per-block (128 docs) block-max metadata as little-endian
+# fixed-width binary blobs.
+SEGMENT_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("salt", pa.int32()),
+        ("bucket", pa.int32()),
+        ("n_docs", pa.int64()),
+        ("n_blocks", pa.int32()),
+        ("b_last_doc", pa.binary()),  # uint64[n_blocks]
+        ("b_max_tf", pa.binary()),  # uint32[n_blocks]
+        ("b_min_dl", pa.binary()),  # uint32[n_blocks]
+        ("b_doc_nbytes", pa.binary()),  # uint32[n_blocks]
+        ("b_tf_nbytes", pa.binary()),  # uint32[n_blocks]
+        ("b_dl_nbytes", pa.binary()),  # uint32[n_blocks]
+        ("docs_blob", pa.binary()),
+        ("tfs_blob", pa.binary()),
+        ("dls_blob", pa.binary()),
+    ]
+)
+
+
+def hash64_strings(values) -> np.ndarray:
+    """Vectorized deterministic 64-bit hash of a string array → uint64.
+
+    Uses pandas' SipHash-1-3 string hasher with its fixed default key — stable
+    across processes and machines (no PYTHONHASHSEED involvement), C-speed.
+    """
+    arr = pd.array(values, dtype="object") if not isinstance(values, np.ndarray) else values
+    out = pd.util.hash_array(np.asarray(arr, dtype=object), categorize=False)
+    return out.astype(np.uint64)
+
+
+def doc_ids_for_urls(urls) -> np.ndarray:
+    """doc_id = hash64(url) (SURVEY.md §4, docid-assignment row)."""
+    return hash64_strings(urls)
+
+
+def term_bucket(terms, num_buckets: int) -> np.ndarray:
+    """Shuffle/file-layout bucket for a term: hash64(term) % num_buckets."""
+    return (hash64_strings(terms) % np.uint64(num_buckets)).astype(np.int32)
+
+
+def range_salt(doc_ids: np.ndarray, num_salts: int) -> np.ndarray:
+    """Order-preserving salt: floor(doc_id / (2^64 / S)).
+
+    Salting a head term by *docid range* keeps each per-salt sub-list sorted
+    and the ranges disjoint & ordered, so the segment reader concatenates the
+    sub-rows in salt order instead of k-way merging (SURVEY.md §4 skew row).
+    """
+    if num_salts <= 1:
+        return np.zeros(len(doc_ids), dtype=np.int32)
+    width = np.uint64(2**64 // num_salts)
+    return (doc_ids.astype(np.uint64) // width).astype(np.int32)
