@@ -150,7 +150,7 @@ class LemmatizeStage:
         np.add.at(dl_per_row, rows, tf)
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids[rows], type=pa.uint64()),
+                "doc_id": pa.array(doc_ids[rows], type=pa.int64()),
                 "site": pa.array(sites.to_numpy()[rows], type=pa.string()),
                 "term": pa.array(ex["term"].to_numpy(), type=pa.string()),
                 "tf": pa.array(tf, type=pa.uint32()),

@@ -1,0 +1,389 @@
+"""The query engine — SURVEY.md §3.2 re-expressed over compressed segments.
+
+Reference query path (services/SearchingServiceImpl.java:30-201): lemmatize
+query → per-lemma SQL lookups (J1) → 80 % frequent-lemma cutoff (K3,
+:272-298) → rarest-first order (K2, :58-62) → per-lemma posting fetch +
+progressive AND intersection (J2/J3, :78-107) → relevance Σtf normalized by
+max (K1, :300-329) → per-result page/site lookups + snippet (J4/J5, F1-F4) →
+sort desc (K4, :186-189).
+
+Here the engine state (ST4) loads once — merged shard stats, the term
+dictionary (global + per-site df), site page counts — and answers queries via
+partition-pruned segment reads (bucket = hash(term) % B replaces the lemma
+B-tree).  Two scorers (SURVEY.md §2.6 K1):
+
+- ``reference``: conjunctive Σtf / max — the rank-identity oracle target;
+- ``bm25``: disjunctive Lucene-idf BM25 (k1=1.2, b=0.75) with **block-max
+  WAND** top-k over (max_tf, min_dl) block metadata, plus an exhaustive
+  scorer kept for A/B equality testing.  Both evaluate a document's terms in
+  (df, term)-ascending order so float summation is order-deterministic.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from heapq import heappush, heappushpop
+
+import numpy as np
+import pandas as pd
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from .analyze import make_analyzer
+from .codec import BlockReader
+from .oracle import java_round
+from .schema import term_bucket
+from .segments import SegmentReader, list_shards
+from .snippets import NO_MATCH_SNIPPET, create_snippet
+
+_DONE = 1 << 65  # > any uint64 docid
+
+
+class ChainCursor:
+    """WAND cursor over a term's ordered sub-lists (salt/shard concatenation).
+
+    Presents the concatenated block sequence with global block metadata; the
+    payload of a block is decoded only when the cursor lands in it.
+    """
+
+    def __init__(self, readers: list[BlockReader]):
+        self.readers = readers
+        self.last_doc = np.concatenate([r.last_doc for r in readers]) if readers else np.empty(0, np.uint64)
+        self.max_tf = np.concatenate([r.max_tf for r in readers]) if readers else np.empty(0, np.uint32)
+        self.min_dl = np.concatenate([r.min_dl for r in readers]) if readers else np.empty(0, np.uint32)
+        self._owner: list[tuple[int, int]] = []
+        for ri, r in enumerate(readers):
+            self._owner.extend((ri, k) for k in range(r.n_blocks))
+        self.n_blocks = len(self._owner)
+        self.n_docs = sum(r.enc.n_docs for r in readers)
+        self._bk = 0  # current block
+        self._bi = 0  # index within block
+        self._docs: np.ndarray | None = None
+        self._tfs: np.ndarray | None = None
+        self._dls: np.ndarray | None = None
+        if self.n_blocks:
+            self._load_block(0)
+        else:
+            self._bk = -1
+
+    def _load_block(self, k: int) -> None:
+        ri, local = self._owner[k]
+        self._docs, self._tfs, self._dls = self.readers[ri].block(local)
+        self._bk = k
+        self._bi = 0
+
+    @property
+    def doc(self) -> int:
+        if self._bk < 0 or self._bk >= self.n_blocks:
+            return _DONE
+        return int(self._docs[self._bi])
+
+    @property
+    def tf(self) -> int:
+        return int(self._tfs[self._bi])
+
+    @property
+    def dl(self) -> int:
+        return int(self._dls[self._bi])
+
+    def next(self) -> None:
+        self._bi += 1
+        if self._bi >= len(self._docs):
+            if self._bk + 1 < self.n_blocks:
+                self._load_block(self._bk + 1)
+            else:
+                self._bk = self.n_blocks  # exhausted
+
+    def next_geq(self, target: int) -> None:
+        if self._bk >= self.n_blocks or self._bk < 0:
+            return
+        if target > int(self.last_doc[self._bk]):
+            k = int(np.searchsorted(self.last_doc, np.uint64(min(target, (1 << 64) - 1)), side="left"))
+            if k >= self.n_blocks:
+                self._bk = self.n_blocks
+                return
+            self._load_block(k)
+        self._bi = int(np.searchsorted(self._docs, np.uint64(target), side="left"))
+        if self._bi >= len(self._docs):  # defensive; target ≤ last_doc ⇒ found
+            self.next()
+
+    def block_last(self) -> int:
+        if self._bk >= self.n_blocks or self._bk < 0:
+            return _DONE
+        return int(self.last_doc[self._bk])
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        from .codec import decode_postings
+
+        parts = [decode_postings(r.enc) for r in self.readers]
+        if not parts:
+            e = np.empty(0, np.uint64)
+            return e, e.astype(np.uint32), e.astype(np.uint32)
+        return tuple(np.concatenate([p[i] for p in parts]) for i in range(3))  # type: ignore
+
+
+def wand_topk(
+    entries: list[tuple[float, "ChainCursor"]],
+    contrib_fn,
+    k: int,
+) -> list[tuple[int, float]]:
+    """Block-max WAND top-k over (idf, cursor) entries.
+
+    ``contrib_fn(idf, tf, dl) -> float`` must be monotone increasing in tf and
+    decreasing in dl (so the per-block (max_tf, min_dl) bound is valid).
+    ``entries`` must already be in the engine's deterministic (df, term)
+    order — a document's score is summed in that order, making float results
+    identical to an exhaustive scorer using the same order.  Ties broken
+    doc_id ascending; exactly equals the exhaustive top-k.
+    """
+    cursors = [e for e in entries if e[1].n_blocks]
+    if not cursors:
+        return []
+    block_ub: list[np.ndarray] = []
+    term_ub: list[float] = []
+    for idf, cur in cursors:
+        ub = contrib_fn(idf, cur.max_tf.astype(np.float64), cur.min_dl.astype(np.float64))
+        block_ub.append(ub)
+        term_ub.append(float(ub.max()))
+
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+    order = list(range(len(cursors)))
+    while True:
+        live = [i for i in order if cursors[i][1].doc < _DONE]
+        if not live:
+            break
+        by_doc = sorted(live, key=lambda i: cursors[i][1].doc)
+        theta = heap[0][0] if len(heap) >= k else -math.inf
+        acc = 0.0
+        pivot = -1
+        for pos, i in enumerate(by_doc):
+            acc += term_ub[i]
+            if acc >= theta or len(heap) < k:
+                pivot = pos
+                break
+        if pivot < 0:
+            break
+        pivot_doc = cursors[by_doc[pivot]][1].doc
+        if cursors[by_doc[0]][1].doc == pivot_doc:
+            prefix = [i for i in by_doc if cursors[i][1].doc == pivot_doc]
+            bm_sum = 0.0
+            for i in prefix:
+                cur = cursors[i][1]
+                if cur._bk < cur.n_blocks:
+                    bm_sum += float(block_ub[i][cur._bk])
+            if len(heap) >= k and bm_sum < theta:
+                cand_last = min(cursors[i][1].block_last() for i in prefix)
+                beyond = [cursors[i][1].doc for i in by_doc if cursors[i][1].doc > pivot_doc]
+                nxt = (beyond[0] - 1) if beyond else _DONE
+                target = min(cand_last, nxt) + 1
+                for i in prefix:
+                    if cursors[i][1].doc < target:
+                        cursors[i][1].next_geq(target)
+                continue
+            score = 0.0
+            for i in order:
+                cur = cursors[i][1]
+                if cur.doc == pivot_doc:
+                    score += contrib_fn(cursors[i][0], float(cur.tf), float(cur.dl))
+            for i in by_doc:
+                if cursors[i][1].doc == pivot_doc:
+                    cursors[i][1].next()
+            item = (score, -pivot_doc)
+            if len(heap) < k:
+                heappush(heap, item)
+            elif item > heap[0]:
+                heappushpop(heap, item)
+        else:
+            pre = [i for i in by_doc[:pivot] if cursors[i][1].doc < pivot_doc]
+            adv = max(pre, key=lambda i: term_ub[i]) if pre else by_doc[0]
+            cursors[adv][1].next_geq(pivot_doc)
+    out = sorted(((s, -nd) for s, nd in heap), key=lambda x: (-x[0], x[1]))
+    return [(int(d), float(s)) for s, d in out]
+
+
+class QueryEngine:
+    """ST4: loads dictionary + stats once, serves many queries."""
+
+    def __init__(self, index_root: str, analyzer_spec: dict, k1: float = 1.2, b: float = 0.75):
+        self.analyzer = make_analyzer(analyzer_spec)
+        self.k1, self.b = k1, b
+        self.shard_dirs = list_shards(index_root)
+        if not self.shard_dirs:
+            raise FileNotFoundError(f"no shards under {index_root}")
+        stats = [json.load(open(os.path.join(d, "stats.json"))) for d in self.shard_dirs]
+        self.num_buckets = stats[0]["num_buckets"]
+        self.n_docs = sum(s["n_docs"] for s in stats)
+        self.total_tf = sum(s["total_tf"] for s in stats)
+        self.avgdl = (self.total_tf / self.n_docs) if self.n_docs else 0.0
+        self.readers = [SegmentReader(d, self.num_buckets) for d in self.shard_dirs]
+
+        # term dictionary: global df (J1); per-site df + site pages for K3
+        tdf = pd.concat(
+            [pads.dataset(os.path.join(d, "term_df")).to_table().to_pandas() for d in self.shard_dirs]
+        )
+        self.term_df = tdf.groupby("term")["df"].sum().to_dict()
+        ts = pd.concat(
+            [pads.dataset(os.path.join(d, "term_stats")).to_table().to_pandas() for d in self.shard_dirs]
+        )
+        self.site_term_df = ts.groupby(["site", "term"])["df"].sum().to_dict()
+        sp = pd.concat(
+            [pads.dataset(os.path.join(d, "sites")).to_table().to_pandas() for d in self.shard_dirs]
+        )
+        self.site_pages = sp.groupby("site")["pages"].sum().to_dict()
+        self._site_docs_cache: dict[str, np.ndarray] = {}
+
+    # -- lookups ------------------------------------------------------------
+    def _cursor(self, term: str) -> ChainCursor:
+        bucket = int(term_bucket(np.array([term], dtype=object), self.num_buckets)[0])
+        readers: list[BlockReader] = []
+        for r in self.readers:
+            readers.extend(r.postings(term, bucket))
+        if len(self.readers) > 1 and len(readers) > 1:
+            # multi-shard docid ranges interleave → merge-decode into one list
+            docs_l, tfs_l, dls_l = [], [], []
+            for br in readers:
+                from .codec import decode_postings
+
+                d, t, l = decode_postings(br.enc)
+                docs_l.append(d)
+                tfs_l.append(t)
+                dls_l.append(l)
+            docs = np.concatenate(docs_l)
+            order = np.argsort(docs, kind="stable")
+            from .codec import encode_postings
+
+            enc = encode_postings(
+                docs[order],
+                np.concatenate(tfs_l)[order].astype(np.uint64),
+                np.concatenate(dls_l)[order].astype(np.uint64),
+            )
+            readers = [BlockReader(enc)]
+        return ChainCursor(readers)
+
+    def _site_doc_ids(self, site: str) -> np.ndarray:
+        got = self._site_docs_cache.get(site)
+        if got is None:
+            tabs = [
+                pads.dataset(os.path.join(d, "docs")).to_table(
+                    columns=["doc_id"], filter=pc.field("site") == site
+                )
+                for d in self.shard_dirs
+            ]
+            got = np.sort(np.concatenate([t.column("doc_id").to_numpy() for t in tabs]).astype(np.uint64))
+            self._site_docs_cache[site] = got
+        return got
+
+    def doc_meta(self, doc_ids: list[int]) -> dict[int, dict]:
+        """J4/J5: top-k docid → (url, site, title, text) via pruned read."""
+        want = pc.field("doc_id").isin([int(d) for d in doc_ids])
+        out: dict[int, dict] = {}
+        for d in self.shard_dirs:
+            t = pads.dataset(os.path.join(d, "docs")).to_table(filter=want)
+            for row in t.to_pylist():
+                out[int(row["doc_id"])] = row
+        return out
+
+    # -- K3 cutoff + K2 order ----------------------------------------------
+    def _query_terms(self, query: str, site: str | None) -> list[tuple[str, int]]:
+        lemmas = list(self.analyzer.collect_lemmas(query).keys())
+        if site is None:
+            df_of = lambda t: int(self.term_df.get(t, 0))
+            pages = self.n_docs
+        else:
+            df_of = lambda t: int(self.site_term_df.get((site, t), 0))
+            pages = int(self.site_pages.get(site, 0))
+        known = [(t, df_of(t)) for t in lemmas if df_of(t) > 0]
+        kept = [(t, df) for t, df in known if pages and java_round(100.0 * df / pages) < 80]
+        kept.sort(key=lambda x: (x[1], x[0]))
+        return kept
+
+    # -- reference scorer (K1 conjunctive) ----------------------------------
+    def search(self, query: str, site: str | None = None, k: int | None = 10,
+               with_snippets: bool = True) -> dict:
+        """Full reference-semantics search → SearchingResponse-shaped dict."""
+        kept = self._query_terms(query, site)
+        if not kept:
+            return {"result": True, "count": 0, "data": []}
+        decoded: list[tuple[str, np.ndarray, np.ndarray]] = []
+        cand: np.ndarray | None = None
+        for t, _df in kept:
+            docs, tfs, _dls = self._cursor(t).decode_all()
+            decoded.append((t, docs, tfs))
+            cand = docs if cand is None else cand[np.isin(cand, docs, assume_unique=True)]
+        assert cand is not None
+        if site is not None:
+            sdocs = self._site_doc_ids(site)
+            cand = cand[np.isin(cand, sdocs, assume_unique=True)]
+        if cand.size == 0:
+            return {"result": True, "count": 0, "data": []}
+        abs_rel = np.zeros(cand.size, dtype=np.float64)
+        for _t, docs, tfs in decoded:
+            idx = np.searchsorted(docs, cand)
+            hit = (idx < docs.size) & (docs[np.minimum(idx, docs.size - 1)] == cand)
+            abs_rel[hit] += tfs[idx[hit]]
+        rel = abs_rel / abs_rel.max()
+        order = np.lexsort((cand, -rel))
+        if k:
+            order = order[:k]
+        top_ids = cand[order]
+        meta = self.doc_meta([int(d) for d in top_ids]) if with_snippets else {}
+        data = []
+        for i, d in zip(order, top_ids):
+            row: dict = {"doc_id": int(d), "relevance": float(rel[i]), "abs": float(abs_rel[i])}
+            m = meta.get(int(d))
+            if m:
+                site_url = f"https://{m['site']}"
+                row.update(
+                    site=site_url,
+                    siteName=m["site"],
+                    uri=m["url"][len(site_url):] if m["url"].startswith(site_url) else m["url"],
+                    url=m["url"],
+                    title=m["title"],
+                    snippet=create_snippet(query, m["text"]) if with_snippets else NO_MATCH_SNIPPET,
+                )
+            data.append(row)
+        return {"result": True, "count": int(cand.size), "data": data}
+
+    # -- BM25 ----------------------------------------------------------------
+    def _idf(self, df: int) -> float:
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def _contrib(self, idf: float, tf: float, dl: float) -> float:
+        k1, b = self.k1, self.b
+        return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / self.avgdl))
+
+    def bm25_exhaustive(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Disjunctive BM25 by full decode — the WAND A/B oracle."""
+        terms = sorted(
+            {t for t in self.analyzer.collect_lemmas(query)},
+            key=lambda t: (int(self.term_df.get(t, 0)), t),
+        )
+        scores: dict[int, float] = {}
+        for t in terms:
+            df = int(self.term_df.get(t, 0))
+            if df == 0:
+                continue
+            idf = self._idf(df)
+            docs, tfs, dls = self._cursor(t).decode_all()
+            contrib = self._contrib(idf, tfs.astype(np.float64), dls.astype(np.float64))
+            for d, c in zip(docs.tolist(), contrib.tolist()):
+                scores[d] = scores.get(d, 0.0) + c
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [(int(d), float(s)) for d, s in ranked]
+
+    def bm25_wand(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Block-max WAND top-k; exactly equals ``bm25_exhaustive`` (ties
+        broken doc_id asc; float sums in the same (df, term) order)."""
+        terms = sorted(
+            {t for t in self.analyzer.collect_lemmas(query)},
+            key=lambda t: (int(self.term_df.get(t, 0)), t),
+        )
+        entries: list[tuple[float, ChainCursor]] = []
+        for t in terms:
+            df = int(self.term_df.get(t, 0))
+            if df == 0:
+                continue
+            entries.append((self._idf(df), self._cursor(t)))
+        return wand_topk(entries, self._contrib, k)

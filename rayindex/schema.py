@@ -8,9 +8,12 @@ each logical table is a Parquet-backed ``ray.data.Dataset`` of Arrow blocks.
 
 The reference assigns page ids with MySQL auto-increment
 (model/PageEntity.java:15-16) — a global sequential bottleneck that cannot
-exist at 10^12 documents.  We replace it with ``doc_id = hash64(url)``:
+exist at 10^12 documents.  We replace it with ``doc_id = hash64(url) >> 1``:
 deterministic, order-free, computed vectorized per batch; collisions are
-checked at fixture scale by tests.
+checked at fixture scale by tests.  The id is confined to 63 bits and stored
+as ``int64`` so signed and unsigned orderings coincide — Arrow/pandas/Ray
+aggregate machinery is int64-native (uint64 keys above 2^63 degrade to
+pickled-object columns in shuffles).
 """
 
 from __future__ import annotations
@@ -34,7 +37,7 @@ PAGES_SCHEMA = pa.schema(
 # Doc store (replaces the reference `page` table; SURVEY.md §1).
 DOCS_SCHEMA = pa.schema(
     [
-        ("doc_id", pa.uint64()),
+        ("doc_id", pa.int64()),
         ("url", pa.string()),
         ("site", pa.string()),
         ("title", pa.string()),
@@ -46,7 +49,7 @@ DOCS_SCHEMA = pa.schema(
 # Exploded postings before the shuffle: one row per (doc, term).
 POSTINGS_FLAT_SCHEMA = pa.schema(
     [
-        ("doc_id", pa.uint64()),
+        ("doc_id", pa.int64()),
         ("site", pa.string()),
         ("term", pa.string()),
         ("tf", pa.uint32()),
@@ -100,8 +103,8 @@ def hash64_strings(values) -> np.ndarray:
 
 
 def doc_ids_for_urls(urls) -> np.ndarray:
-    """doc_id = hash64(url) (SURVEY.md §4, docid-assignment row)."""
-    return hash64_strings(urls)
+    """doc_id = hash64(url) >> 1, int64 in [0, 2^63) (SURVEY.md §4)."""
+    return (hash64_strings(urls) >> np.uint64(1)).astype(np.int64)
 
 
 def term_bucket(terms, num_buckets: int) -> np.ndarray:
@@ -110,7 +113,7 @@ def term_bucket(terms, num_buckets: int) -> np.ndarray:
 
 
 def range_salt(doc_ids: np.ndarray, num_salts: int) -> np.ndarray:
-    """Order-preserving salt: floor(doc_id / (2^64 / S)).
+    """Order-preserving salt: floor(doc_id / (2^63 / S)).
 
     Salting a head term by *docid range* keeps each per-salt sub-list sorted
     and the ranges disjoint & ordered, so the segment reader concatenates the
@@ -118,5 +121,5 @@ def range_salt(doc_ids: np.ndarray, num_salts: int) -> np.ndarray:
     """
     if num_salts <= 1:
         return np.zeros(len(doc_ids), dtype=np.int32)
-    width = np.uint64(2**64 // num_salts)
-    return (doc_ids.astype(np.uint64) // width).astype(np.int32)
+    width = np.int64(2**63 // num_salts)
+    return (doc_ids.astype(np.int64) // width).astype(np.int32)

@@ -1,0 +1,204 @@
+"""Index segments: encode shuffle groups → compressed segment rows, write
+bucket-partitioned Parquet, per-phase lineage manifests, and the read side.
+
+Replaces the reference's ``index_table`` posting rows + ``lemma`` dictionary
+(model/IndexEntity.java:11-23, model/LemmaEntity.java:12-28, written
+row-at-a-time at dto/indexing/PageIndexer.java:161-204) with columnar
+compressed posting lists (SURVEY.md §1, A2).
+
+Layout under an index root (one directory per shard, SURVEY.md §4 resume row):
+
+    <root>/shard=<s>/docs/*.parquet                doc store (S3)
+    <root>/shard=<s>/postings/bucket=<b>/*.parquet exploded postings checkpoint
+    <root>/shard=<s>/segments/bucket=<b>/*.parquet compressed segment rows (S4)
+    <root>/shard=<s>/term_stats/*.parquet          per-site df (A1)
+    <root>/shard=<s>/term_df/*.parquet             global df roll-up
+    <root>/shard=<s>/doclen/*.parquet              doc_id → doc_len (A8)
+    <root>/shard=<s>/sites/*.parquet               per-site page counts (A3)
+    <root>/shard=<s>/stats.json                    N, total_tf, avgdl
+    <root>/shard=<s>/_manifest/<phase>.json        lineage: config, counts, time
+
+A phase writes into ``<dir>.tmp`` and renames on success (idempotent commit);
+resume = skip phases whose manifest matches the current config.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+from .codec import BlockReader, EncodedPostings, encode_postings
+from .schema import SEGMENT_SCHEMA
+
+
+# ---------------------------------------------------------------------------
+# Encoding a shuffle group → segment rows
+
+
+def encode_group(df: pd.DataFrame) -> pa.Table:
+    """``groupby(bucket, salt).map_groups`` body: encode every term's postings.
+
+    Input columns: doc_id, term, tf, doc_len, bucket, salt.  Within a group a
+    term's rows are a complete per-salt sub-list (range-salted, so sub-lists
+    of one term across groups cover disjoint, ordered docid ranges and simply
+    concatenate at read time — SURVEY.md §4 skew row).
+    """
+    if len(df) == 0:
+        return SEGMENT_SCHEMA.empty_table()
+    df = df.sort_values(["term", "doc_id"], kind="stable")
+    terms = df["term"].to_numpy()
+    doc_ids = df["doc_id"].to_numpy().astype(np.uint64)
+    tfs = df["tf"].to_numpy().astype(np.uint64)
+    dls = df["doc_len"].to_numpy().astype(np.uint64)
+    bucket = int(df["bucket"].iloc[0])
+    salt = int(df["salt"].iloc[0])
+
+    # term boundaries
+    change = np.nonzero(terms[1:] != terms[:-1])[0] + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(terms)]))
+
+    cols: dict[str, list] = {name: [] for name in SEGMENT_SCHEMA.names}
+    for s, e in zip(starts, ends):
+        enc = encode_postings(doc_ids[s:e], tfs[s:e], dls[s:e])
+        cols["term"].append(terms[s])
+        cols["salt"].append(salt)
+        cols["bucket"].append(bucket)
+        cols["n_docs"].append(enc.n_docs)
+        cols["n_blocks"].append(enc.n_blocks)
+        cols["b_last_doc"].append(enc.b_last_doc)
+        cols["b_max_tf"].append(enc.b_max_tf)
+        cols["b_min_dl"].append(enc.b_min_dl)
+        cols["b_doc_nbytes"].append(enc.b_doc_nbytes)
+        cols["b_tf_nbytes"].append(enc.b_tf_nbytes)
+        cols["b_dl_nbytes"].append(enc.b_dl_nbytes)
+        cols["docs_blob"].append(enc.docs_blob)
+        cols["tfs_blob"].append(enc.tfs_blob)
+        cols["dls_blob"].append(enc.dls_blob)
+    return pa.table(cols, schema=SEGMENT_SCHEMA)
+
+
+def row_to_encoded(row: dict) -> EncodedPostings:
+    return EncodedPostings(
+        n_docs=row["n_docs"],
+        n_blocks=row["n_blocks"],
+        b_last_doc=row["b_last_doc"],
+        b_max_tf=row["b_max_tf"],
+        b_min_dl=row["b_min_dl"],
+        b_doc_nbytes=row["b_doc_nbytes"],
+        b_tf_nbytes=row["b_tf_nbytes"],
+        b_dl_nbytes=row["b_dl_nbytes"],
+        docs_blob=row["docs_blob"],
+        tfs_blob=row["tfs_blob"],
+        dls_blob=row["dls_blob"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lineage manifests / atomic phase commit
+
+
+def manifest_path(shard_dir: str, phase: str) -> str:
+    return os.path.join(shard_dir, "_manifest", f"{phase}.json")
+
+
+def phase_done(shard_dir: str, phase: str, config_key: str) -> bool:
+    p = manifest_path(shard_dir, phase)
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p) as f:
+            m = json.load(f)
+        return m.get("status") == "done" and m.get("config_key") == config_key
+    except (json.JSONDecodeError, OSError):
+        return False
+
+
+def commit_phase(shard_dir: str, phase: str, config_key: str, metrics: dict) -> None:
+    os.makedirs(os.path.join(shard_dir, "_manifest"), exist_ok=True)
+    m = {"status": "done", "phase": phase, "config_key": config_key, **metrics}
+    tmp = manifest_path(shard_dir, phase) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=1)
+    os.replace(tmp, manifest_path(shard_dir, phase))
+
+
+class phase_output:
+    """Write a phase's output dir atomically: tmp dir → rename on success."""
+
+    def __init__(self, final_dir: str):
+        self.final_dir = final_dir
+        self.tmp_dir = final_dir.rstrip("/") + ".tmp"
+
+    def __enter__(self) -> str:
+        if os.path.exists(self.tmp_dir):
+            shutil.rmtree(self.tmp_dir)
+        os.makedirs(self.tmp_dir, exist_ok=True)
+        self.t0 = time.monotonic()
+        return self.tmp_dir
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            if os.path.exists(self.final_dir):
+                shutil.rmtree(self.final_dir)
+            os.replace(self.tmp_dir, self.final_dir)
+        return False
+
+    @property
+    def elapsed(self) -> float:
+        return time.monotonic() - self.t0
+
+
+# ---------------------------------------------------------------------------
+# Read side
+
+
+def list_shards(root: str) -> list[str]:
+    out = []
+    for name in sorted(os.listdir(root)):
+        if name.startswith("shard=") and os.path.isdir(os.path.join(root, name)):
+            out.append(os.path.join(root, name))
+    return out
+
+
+class SegmentReader:
+    """Pruned access to one shard's compressed segments.
+
+    Term lookup reads only the term's hash bucket directory with a pyarrow
+    dataset filter (partition pruning replaces the reference's per-lemma
+    B-tree probe, services/SearchingServiceImpl.java:78-90 / J2).
+    """
+
+    def __init__(self, shard_dir: str, num_buckets: int):
+        self.shard_dir = shard_dir
+        self.num_buckets = num_buckets
+        self._bucket_cache: dict[int, pa.Table] = {}
+
+    def _bucket_table(self, bucket: int) -> pa.Table | None:
+        t = self._bucket_cache.get(bucket)
+        if t is None:
+            d = os.path.join(self.shard_dir, "segments", f"bucket={bucket}")
+            if not os.path.isdir(d):
+                return None
+            t = pads.dataset(d, format="parquet").to_table()
+            self._bucket_cache[bucket] = t
+        return t
+
+    def postings(self, term: str, bucket: int) -> list[BlockReader]:
+        """All sub-lists for a term, ordered by salt (docid ranges ascend)."""
+        t = self._bucket_table(bucket)
+        if t is None:
+            return []
+        mask = pa.compute.equal(t.column("term"), term)
+        rows = t.filter(mask)
+        if rows.num_rows == 0:
+            return []
+        rows = rows.sort_by("salt")
+        return [BlockReader(row_to_encoded(r)) for r in rows.to_pylist()]

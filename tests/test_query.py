@@ -1,0 +1,79 @@
+"""Ranked-search conformance (SURVEY.md §5 items 4-5): rank identity vs the
+reference-semantics oracle on the whole query set; WAND ≡ exhaustive BM25."""
+
+import numpy as np
+
+from rayindex.oracle import oracle_bm25, oracle_search
+from rayindex.fixtures import SITE_URL
+
+
+def _fmt(rows):
+    return [(r["doc_id"], round(r["relevance"], 9)) for r in rows]
+
+
+def test_rank_identity_all_queries(engine, oracle_index, fixture_corpus):
+    for q in fixture_corpus.queries:
+        want = oracle_search(oracle_index, q["query"], site=None, k=10)
+        got = engine.search(q["query"], site=None, k=10, with_snippets=False)
+        assert _fmt(got["data"]) == _fmt(want), q
+        # count = intersection size (A6)
+        assert got["count"] == len(oracle_search(oracle_index, q["query"], site=None, k=None))
+
+
+def test_site_restricted_search(engine, oracle_index, fixture_corpus):
+    site = "fixture.example"
+    for q in fixture_corpus.queries[::5]:
+        want = oracle_search(oracle_index, q["query"], site=site, k=10)
+        got = engine.search(q["query"], site=site, k=10, with_snippets=False)
+        assert _fmt(got["data"]) == _fmt(want), q
+
+
+def test_head_term_cut_by_80pct_rule(engine, fixture_corpus):
+    head_form = fixture_corpus.forms[fixture_corpus.lemmas[0]][0]
+    got = engine.search(head_form, k=10, with_snippets=False)
+    assert got["count"] == 0 and got["data"] == []
+
+
+def test_unknown_word_is_dropped_not_empty(engine, oracle_index, fixture_corpus):
+    """Reference drops unknown lemmas silently (J1, no lemma row)."""
+    known = fixture_corpus.forms[fixture_corpus.lemmas[30]][0]
+    got = engine.search(f"{known} ыыыыыы", k=10, with_snippets=False)
+    want = engine.search(known, k=10, with_snippets=False)
+    assert _fmt(got["data"]) == _fmt(want["data"])
+
+
+def test_wand_equals_exhaustive_on_query_set(engine, fixture_corpus):
+    for q in fixture_corpus.queries:
+        ex = engine.bm25_exhaustive(q["query"], k=10)
+        wd = engine.bm25_wand(q["query"], k=10)
+        assert [(d, round(s, 10)) for d, s in ex] == [(d, round(s, 10)) for d, s in wd], q
+
+
+def test_bm25_matches_oracle(engine, oracle_index, fixture_corpus):
+    for q in fixture_corpus.queries[::3]:
+        want = [(r["doc_id"], round(r["score"], 8)) for r in oracle_bm25(oracle_index, q["query"])]
+        got = [(d, round(s, 8)) for d, s in engine.bm25_exhaustive(q["query"], k=10)]
+        assert got == want, q
+
+
+def test_wand_random_small_k(engine, fixture_corpus):
+    rng = np.random.default_rng(5)
+    lemmas = fixture_corpus.lemmas
+    for _ in range(25):
+        n = int(rng.integers(1, 5))
+        terms = " ".join(lemmas[int(rng.integers(0, len(lemmas)))] for _ in range(n))
+        k = int(rng.integers(1, 8))
+        assert engine.bm25_wand(terms, k=k) == engine.bm25_exhaustive(terms, k=k)
+
+
+def test_snippet_phrase_query(engine, oracle_index, fixture_corpus):
+    phrase_q = next(q for q in fixture_corpus.queries if q["query_id"] == 3)
+    got = engine.search(phrase_q["query"], k=10, with_snippets=True)
+    assert got["count"] > 0
+    # the planted verbatim-phrase pages produce bolded snippets; pages where
+    # the phrase only occurs inside a longer word fall back (word boundaries)
+    assert any("<b>" in r["snippet"] for r in got["data"])
+    top = got["data"][0]
+    assert top["url"].startswith(SITE_URL)
+    assert top["title"]
+    assert top["uri"].startswith("/p/")

@@ -1,0 +1,57 @@
+"""Snippet conformance (F1-F4, SURVEY.md §2.8)."""
+
+from rayindex.snippets import (
+    NO_MATCH_SNIPPET,
+    create_snippet,
+    trim_snippet_sentence,
+)
+
+
+def test_basic_bolding():
+    text = "Тут кошка сидит. Другое предложение."
+    assert create_snippet("кошка", text) == "Тут <b>кошка</b> сидит"
+
+
+def test_first_letter_case_insensitive():
+    text = "Кошка сидит тут. Нет совпадений."
+    assert create_snippet("кошка", text) == "<b>Кошка</b> сидит тут"
+
+
+def test_phrase_must_be_adjacent_in_order():
+    text = "кошка тут и дом там."
+    # words present but not adjacent → no sentence matches the F1 pattern
+    assert create_snippet("кошка дом", text) == NO_MATCH_SNIPPET
+    text2 = "вот кошка дом стоит."
+    got = create_snippet("кошка дом", text2)
+    assert "<b>кошка</b>" in got and "<b>дом</b>" in got
+
+
+def test_no_match_fallback():
+    assert create_snippet("отсутствует", "просто текст.") == NO_MATCH_SNIPPET
+
+
+def test_sentence_split_on_punctuation():
+    text = "первая часть без слова. вторая кошка часть! третья."
+    got = create_snippet("кошка", text)
+    assert got == " вторая <b>кошка</b> часть"
+
+
+def test_trim_long_context():
+    long_left = "л" * 200
+    sentence = f"{long_left} кошка хвост"
+    got = trim_snippet_sentence(sentence, "кошка")
+    assert got.startswith("...")
+    # 120 chars of left context survive
+    assert got == "..." + "л" * 119 + " " + "кошка" + " хвост"
+
+
+def test_cap_300_truncates_to_249():
+    sentence = "а" * 115 + " кошка " + "б" * 115 + " кошка " + "в" * 115
+    got = trim_snippet_sentence(sentence, "кошка")
+    assert len(got) <= 249
+
+
+def test_multiple_occurrences_all_bolded():
+    text = "кошка видит кошка бежит."
+    got = create_snippet("кошка", text)
+    assert got.count("<b>кошка</b>") == 2
