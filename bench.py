@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Benchmark harness: index-build throughput + query latency over the
+documents-seeded pages table (BASELINE.md protocol).
+
+    python bench.py              # one timed run; prints ONE JSON line
+    python bench.py --scaling    # fresh processes at 8 and 32 CPUs → efficiency
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32),
+RAYINDEX_BENCH_REPEAT (default 10 → 50k pages at sf0.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_once() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    repeat = int(os.environ.get("RAYINDEX_BENCH_REPEAT", "10"))
+    # real Common-Crawl pages are tens of KB; the synthetic documents are a
+    # few hundred bytes — body_repeat approximates realistic page sizes
+    body_repeat = int(os.environ.get("RAYINDEX_BENCH_BODY", "8"))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=ncpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from rayindex.build import build_index
+    from rayindex.pipelines import SIMPLE_SPEC, FLAGSHIP_QUERIES, WAND_QUERIES, bench_pages
+    from rayindex.query import QueryEngine
+
+    pages_dir = bench_pages(sf_dir, repeat, body_repeat=body_repeat)  # cached, untimed
+    n_docs = int(open(os.path.join(pages_dir, "_SUCCESS")).read())
+    # untimed warmup: spin up all worker processes once (the first task wave
+    # in a fresh session otherwise pays ~20-30 s of worker launches mid-build)
+    import time as _time
+
+    import ray.data as rd
+
+    def _spin(b):
+        t = _time.monotonic()
+        while _time.monotonic() - t < 0.5:
+            pass
+        return b
+
+    rd.range(ncpus, override_num_blocks=ncpus).map_batches(_spin, batch_size=1).materialize()
+    # warm the OS page cache so we measure compute+shuffle, not first disk read
+    for f in os.listdir(pages_dir):
+        with open(os.path.join(pages_dir, f), "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+
+    out_dir = f"/tmp/rayindex_bench/idx_{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    metrics = build_index(pages_dir, out_dir, SIMPLE_SPEC, resume=False)
+    build_sec = time.monotonic() - t0
+
+    eng = QueryEngine(out_dir, SIMPLE_SPEC)
+    t_ref = time.monotonic()
+    n_q = 0
+    for _ in range(3):
+        for q in FLAGSHIP_QUERIES:
+            eng.search(q, k=10, with_snippets=False)
+            n_q += 1
+    ref_avg = (time.monotonic() - t_ref) / n_q
+    t_bm = time.monotonic()
+    for _ in range(3):
+        for q in FLAGSHIP_QUERIES:
+            eng.bm25_topk(q, k=10)  # auto: WAND for selective, bulk for dense
+    bm_avg = (time.monotonic() - t_bm) / n_q
+    t_wand = time.monotonic()
+    n_w = 0
+    for _ in range(3):
+        for q in WAND_QUERIES:
+            eng.bm25_wand(q, k=10)
+            n_w += 1
+    wand_avg = (time.monotonic() - t_wand) / n_w
+
+    result = {
+        "metric": "index_build_wall_sec",
+        "value": round(build_sec, 3),
+        "unit": "sec",
+        "queries": {
+            "build": round(build_sec, 3),
+            **{f"phase_{k}": v for k, v in metrics["phases"].items()},
+            "query_ref_avg": round(ref_avg, 4),
+            "query_bm25_avg": round(bm_avg, 4),
+            "query_wand_avg": round(wand_avg, 4),
+        },
+        "sf": sf_dir,
+        "num_cpus": ncpus,
+        "n_docs": n_docs,
+        "body_repeat": body_repeat,
+        "docs_per_sec": round(n_docs / build_sec, 1),
+    }
+    if os.environ.get("RAYINDEX_BENCH_DIGEST"):
+        from rayindex.segments import segments_digest
+
+        result["segments_digest"] = segments_digest(os.path.join(out_dir, "shard=0"))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ray.shutdown()
+    return result
+
+
+def run_subprocess(ncpus: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpus))
+    # the scaling protocol needs a compute-bound build: at the default bench
+    # size fixed scheduling overhead dominates and efficiency is meaningless
+    env.setdefault("RAYINDEX_BENCH_REPEAT", "100")
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
+        env=env, capture_output=True, text=True, check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def scaling() -> None:
+    lo, hi = 8, 32
+    os.environ.setdefault("RAYINDEX_BENCH_DIGEST", "1")
+    r_lo = run_subprocess(lo)
+    r_hi = run_subprocess(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "sec_8": r_lo["value"],
+                "sec_32": r_hi["value"],
+                "docs_per_sec_8": r_lo["docs_per_sec"],
+                "docs_per_sec_32": r_hi["docs_per_sec"],
+                "n_docs": r_lo["n_docs"],
+                "sf": r_lo["sf"],
+                "outputs_identical": r_lo.get("segments_digest") == r_hi.get("segments_digest"),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        print(json.dumps(run_once()))

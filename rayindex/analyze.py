@@ -30,6 +30,7 @@ from collections import Counter
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -72,28 +73,62 @@ class Analyzer:
         return out
 
     # -- vectorized (actor batch path) --------------------------------------
-    def lemmatize_series(self, texts: pd.Series) -> pd.DataFrame:
-        """Vectorized M3-M6 over a batch → exploded (row, term, tf).
+    def lemmatize_arrow(
+        self, texts: pa.Array | pa.ChunkedArray
+    ) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+        """Arrow-native M3-M6 over a batch → (rows, terms, tfs).
 
-        Returns a DataFrame with columns ``row`` (positional index into the
-        batch), ``term``, ``tf`` — exactly ``collect_lemmas`` per row.
+        All per-token work happens in C++ kernels (lower, regex replace,
+        split, flatten, dictionary-encode); the Python-level lemma/particle
+        lookup touches only the batch's UNIQUE tokens.  Semantically exactly
+        ``collect_lemmas`` per row; output (row, term) order is
+        (row, first-token-appearance-in-dictionary) — grouped by row.
         """
-        cleaned = (
-            texts.str.lower()
-            .str.replace(self._strip_re, " ", regex=True)
-            .str.strip()
-            .str.split(self._split_re)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lowered = pc.utf8_lower(texts)
+        cleaned = pc.replace_substring_regex(
+            lowered, pattern=self._strip_re.pattern, replacement=" "
         )
-        words = cleaned.explode()
-        words = words[words.notna() & (words != "")]
-        if len(self.particles):
-            words = words[~words.isin(self.particles)]
-        if self.lemma_map:
-            mapped = words.map(self.lemma_map)
-            words = mapped.fillna(words)
-        df = pd.DataFrame({"row": words.index, "term": words.to_numpy()})
-        out = df.groupby(["row", "term"], sort=False).size().reset_index(name="tf")
-        return out
+        lists = pc.split_pattern_regex(cleaned, pattern=self._split_re.pattern)
+        tokens = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        if len(tokens) == 0:
+            return np.empty(0, np.int64), pa.array([], pa.string()), np.empty(0, np.int64)
+        denc = tokens.dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        uniq = denc.dictionary.to_pylist()
+        # per unique token: drop empties/particles (M4), first normal form or
+        # identity (M5); distinct surface forms can share a lemma, so counts
+        # key on a lemma id, not the surface-form id
+        lemma_to_id: dict[str, int] = {}
+        uniq_to_lid = np.empty(len(uniq), dtype=np.int64)
+        for i, u in enumerate(uniq):
+            if u == "" or u in self.particles:
+                uniq_to_lid[i] = -1
+                continue
+            m = self.lemma_map.get(u, u)
+            uniq_to_lid[i] = lemma_to_id.setdefault(m, len(lemma_to_id))
+        idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        lids = uniq_to_lid[idx]
+        keep = lids >= 0
+        rows = parents[keep].astype(np.int64)
+        kept_lids = lids[keep]
+        # tf counting on integer keys (row, lemma_id) — pure numpy
+        n_lemmas = max(1, len(lemma_to_id))
+        key = rows * n_lemmas + kept_lids
+        uk, counts = np.unique(key, return_counts=True)
+        out_rows = (uk // n_lemmas).astype(np.int64)
+        out_lids = (uk % n_lemmas).astype(np.int64)
+        lemma_arr = pa.array(list(lemma_to_id.keys()), pa.string())
+        out_terms = lemma_arr.take(pa.array(out_lids))
+        return out_rows, out_terms, counts.astype(np.int64)
+
+    def lemmatize_series(self, texts: pd.Series) -> pd.DataFrame:
+        """Compatibility wrapper → DataFrame(row, term, tf)."""
+        rows, terms, tfs = self.lemmatize_arrow(pa.array(texts, pa.string()))
+        return pd.DataFrame({"row": rows, "term": terms.to_numpy(zero_copy_only=False), "tf": tfs})
 
 
 def reference_russian_analyzer(lemma_map: dict[str, str], particles: set[str]) -> Analyzer:
@@ -137,23 +172,26 @@ class LemmatizeStage:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pandas()
-        sites = batch.column("site").to_pandas()
-        texts = batch.column(self.text_col).to_pandas()
-        doc_ids = doc_ids_for_urls(urls.to_numpy())
-        ex = self.analyzer.lemmatize_series(texts)
-        rows = ex["row"].to_numpy()
-        tf = ex["tf"].to_numpy().astype(np.uint32)
+        doc_ids = doc_ids_for_urls(batch.column("url").to_pandas().to_numpy())
+        rows, terms, tfs = self.analyzer.lemmatize_arrow(batch.column(self.text_col))
         # doc_len = Σ tf per document (A8) — computable batch-locally because
         # every posting of a doc comes from the same input row.
-        dl_per_row = np.zeros(len(batch), dtype=np.uint64)
-        np.add.at(dl_per_row, rows, tf)
+        dl_per_row = np.zeros(len(batch), dtype=np.int64)
+        np.add.at(dl_per_row, rows, tfs)
+        # `first` marks one posting row per doc (rows are sorted ascending by
+        # construction), letting the doclen table be a shuffle-free filter
+        if len(rows):
+            first = np.concatenate(([True], rows[1:] != rows[:-1]))
+        else:
+            first = np.zeros(0, dtype=bool)
+        sites = pc.take(batch.column("site"), pa.array(rows))
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids[rows], type=pa.int64()),
-                "site": pa.array(sites.to_numpy()[rows], type=pa.string()),
-                "term": pa.array(ex["term"].to_numpy(), type=pa.string()),
-                "tf": pa.array(tf, type=pa.uint32()),
+                "site": sites,
+                "term": terms,
+                "tf": pa.array(tfs.astype(np.uint32), type=pa.uint32()),
                 "doc_len": pa.array(dl_per_row[rows].astype(np.uint32), type=pa.uint32()),
+                "first": pa.array(first, type=pa.bool_()),
             }
         )

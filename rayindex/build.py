@@ -7,21 +7,30 @@ fetch → jsoup text → collectLemmas → per-lemma SQL upserts
 (dto/indexing/PageIndexer.java:68-121,161-204) against shared MySQL state.
 
 Here the whole build is a sequence of checkpointed Dataset phases over the
-``pages`` Parquet table (BASELINE.json input_hint); each phase streams, writes
-its output atomically (tmp dir → rename) and records a lineage manifest, so a
-re-run skips completed phases (resume) and a killed run loses only the phase
-in flight:
+``pages`` Parquet table (BASELINE.json input_hint).  The design goal is ONE
+wide (all-to-all) operation for the entire build — everything else is
+embarrassingly-parallel maps, filter scans, or kilobyte-scale aggregations:
 
   P1 docs      read(url,warc_ts,html) → extract (M1/M2 tasks) → doc_id/site
-               → exact url-dedup keep-latest (D1) → docs/
+               → docs/.  Exact url-dedup (D1) uses a SKINNY aggregate over
+               (doc_id, warc_ts) only; when duplicates exist the (small)
+               winner set is broadcast via ray.put and applied as a filter in
+               the same map — full page rows are never shuffled.
   P2 postings  docs(text) → Lemmatize actor pool (ST1, M3-M6) → term bucket
-               → postings/ (doc_id, site, term, tf, doc_len, bucket)
-  P3 stats     per-site df (A1) → term_stats/; global df → term_df/;
-               doc_len (A8) → doclen/; site page counts (A3) → sites/;
-               N, total_tf, avgdl → stats.json
-  P4 segments  postings + skew salt for head terms (df-driven, SURVEY.md §4)
-               → groupby(bucket, salt) shuffle → encode_group →
-               segments/bucket=<b>/ (delta+varbyte, block-max)
+               → postings/ (doc_id, site, term, tf, doc_len, first, bucket)
+  P3 doclen    A8 as a shuffle-free filter scan (the lemmatizer marks one
+               posting row per doc); sites (A3) small groupby; total_tf sum;
+               heavy-term detection by SAMPLING postings fragments
+  P4 segments  postings + range salt for sampled head terms (SURVEY.md §4)
+               → groupby(bucket, salt)  ← THE one wide shuffle →
+               encode_group → compressed segment rows + partial per-(site,
+               term) df rows in one mixed output, partitioned by bucket
+  P5 stats     A1 finishes as a tiny groupby over P4's df rows →
+               term_stats/ + term_df/; stats.json
+
+Each phase streams, writes its output atomically (tmp dir → rename) and
+records a lineage manifest, so a re-run skips completed phases (resume) and a
+killed run loses only the phase in flight.
 
 Sharding for 10^12-doc scale: ``num_shards > 1`` partitions the url space by
 ``hash(url) % num_shards``; each shard is an independent resumable run of the
@@ -43,10 +52,30 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Sum
+
+# fsspec.implementations.http fails to import here (no aiohttp), so every
+# ray.data read/write retries the import; concurrent first-imports race and
+# surface as a bare ImportError that ray's ModuleNotFoundError guard misses.
+# Register a benign stub so the import succeeds exactly once (the sentinel
+# class never matches a real filesystem).
+try:  # pragma: no cover
+    from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+except Exception:  # noqa: BLE001
+    import sys as _sys
+    import types as _types
+
+    _m = _types.ModuleType("fsspec.implementations.http")
+
+    class _NoHTTPFileSystem:
+        pass
+
+    _m.HTTPFileSystem = _NoHTTPFileSystem
+    _sys.modules.setdefault("fsspec.implementations.http", _m)
 
 from .analyze import LemmatizeStage
 from .extract import extract_batch
@@ -59,6 +88,8 @@ _URL_REJECT_RE = r"(?i)\.(png|jpg|gif|bmp|jpeg|pdf|php|zip)$|[?#]"
 
 DEFAULT_NUM_BUCKETS = 32
 DEFAULT_SALT_TARGET = 1 << 18  # max postings per salted sub-list of a head term
+_HEAVY_SAMPLE_ROWS = 2_000_000  # posting rows sampled for skew detection
+LAYOUT_VERSION = 2  # bump when on-disk phase output schemas change (invalidates resume)
 
 
 def _config_key(**kwargs) -> str:
@@ -66,29 +97,36 @@ def _config_key(**kwargs) -> str:
 
 
 def _write_parquet(ds: rd.Dataset, path: str, partition_cols: list[str] | None = None):
-    if partition_cols:
-        if "partition_cols" in inspect.signature(ds.write_parquet).parameters:
-            ds.write_parquet(path, partition_cols=partition_cols)
-            return
-        # fallback: keep the column in-file; readers filter instead of pruning
-        ds.write_parquet(path)
+    if partition_cols and "partition_cols" in inspect.signature(ds.write_parquet).parameters:
+        ds.write_parquet(path, partition_cols=partition_cols)
         return
     ds.write_parquet(path)
 
 
 class _PrepareDocs:
-    """P1 batch body: extract text/title, derive site + doc_id, shard filter."""
+    """P1 batch body: extract text/title, derive site + doc_id, shard filter,
+    and apply the broadcast dedup-winner filter when duplicates exist."""
 
-    def __init__(self, shard_index: int, num_shards: int, url_filter: bool):
+    def __init__(self, shard_index: int, num_shards: int, url_filter: bool, winners_ref=None):
         self.shard_index = shard_index
         self.num_shards = num_shards
         self.url_filter = url_filter
+        # {doc_id: winning warc_ts (us)} for doc_ids that have duplicates;
+        # a ray.ObjectRef is resolved lazily on first use in the worker
+        self._winners_ref = winners_ref
+        self.winners = winners_ref if isinstance(winners_ref, dict) else None
+
+    def _get_winners(self) -> dict:
+        if self.winners is None:
+            ref = self._winners_ref
+            self.winners = ray.get(ref) if isinstance(ref, ray.ObjectRef) else (ref or {})
+        return self.winners
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.url_filter:
             keep = pc.invert(pc.match_substring_regex(batch.column("url"), _URL_REJECT_RE))
             batch = batch.filter(keep)
-        if self.num_shards > 1:
+        if self.num_shards > 1 and batch.num_rows:
             h = hash64_strings(batch.column("url").to_pandas().to_numpy())
             batch = batch.filter(pa.array(h % np.uint64(self.num_shards) == self.shard_index))
         if batch.num_rows == 0:
@@ -102,10 +140,24 @@ class _PrepareDocs:
                     "text": pa.array([], pa.string()),
                 }
             )
+        urls_pd = batch.column("url").to_pandas()
+        doc_ids = doc_ids_for_urls(urls_pd.to_numpy())
+        if self._get_winners():
+            ts = batch.column("warc_ts").cast(pa.int64()).to_numpy()
+            win = pd.Series(doc_ids).map(self.winners)
+            keep_mask = win.isna().to_numpy() | (win.to_numpy() == ts)
+            batch = batch.filter(pa.array(keep_mask))
+            doc_ids = doc_ids[keep_mask]
+            urls_pd = urls_pd[keep_mask].reset_index(drop=True)
+            if batch.num_rows:
+                # same-batch exact (doc_id, warc_ts) ties: keep the first
+                first = pd.Series(doc_ids).duplicated(keep="first").to_numpy()
+                if first.any():
+                    batch = batch.filter(pa.array(~first))
+                    doc_ids = doc_ids[~first]
+                    urls_pd = urls_pd[~first].reset_index(drop=True)
         batch = extract_batch(batch)
-        urls = batch.column("url").to_pandas()
-        site = urls.str.extract(_SITE_RE, expand=False).fillna("")
-        doc_ids = doc_ids_for_urls(urls.to_numpy())
+        site = urls_pd.str.extract(_SITE_RE, expand=False).fillna("")
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
@@ -118,12 +170,6 @@ class _PrepareDocs:
         )
 
 
-def _take_latest(group: pd.DataFrame) -> pd.DataFrame:
-    """D1 dedup: keep the newest crawl of a url (deterministic tiebreak)."""
-    g = group.sort_values(["warc_ts", "url"], kind="stable")
-    return g.tail(1)
-
-
 class _AddBucket:
     def __init__(self, num_buckets: int):
         self.num_buckets = num_buckets
@@ -134,33 +180,113 @@ class _AddBucket:
 
 
 class _AddSalt:
-    """P4: skew-aware salting — head terms (df ≥ threshold) split by docid
-    range into ``ceil(df / salt_target)`` ordered sub-lists (SURVEY.md §4).
+    """P4: skew-aware salting — head terms (sampled df ≥ threshold) split by
+    docid range into ordered sub-lists (SURVEY.md §4).
 
     ``heavy_ref`` is a ``ray.put`` handle to the {term: n_salts} dict —
     broadcast once, fetched once per worker, never re-shipped per batch.
     """
 
     def __init__(self, heavy_ref):
-        self.heavy = ray.get(heavy_ref) if isinstance(heavy_ref, ray.ObjectRef) else heavy_ref
+        self._heavy_ref = heavy_ref
+        self.heavy = heavy_ref if isinstance(heavy_ref, dict) else None
+
+    def _get_heavy(self) -> dict:
+        if self.heavy is None:
+            ref = self._heavy_ref
+            self.heavy = ray.get(ref) if isinstance(ref, ray.ObjectRef) else (ref or {})
+        return self.heavy
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         salts = np.zeros(n, dtype=np.int32)
-        if self.heavy:
+        if self._get_heavy():
             terms = batch.column("term").to_pandas()
             n_salts = terms.map(self.heavy)
             mask = n_salts.notna().to_numpy()
             if mask.any():
                 doc_ids = batch.column("doc_id").to_pandas().to_numpy()[mask]
                 ns = n_salts.to_numpy()[mask].astype(np.int64)
-                # vectorize per distinct n_salts value (few)
-                sub = np.zeros(mask.sum(), dtype=np.int32)
+                sub = np.zeros(int(mask.sum()), dtype=np.int32)
                 for s in np.unique(ns):
                     m2 = ns == s
-                    sub[m2] = range_salt(doc_ids[m2].astype(np.uint64), int(s))
+                    sub[m2] = range_salt(doc_ids[m2], int(s))
                 salts[mask] = sub
         return batch.append_column("salt", pa.array(salts, pa.int32()))
+
+
+def _detect_dup_winners(pages_path, shard_index: int, num_shards: int) -> dict[int, int]:
+    """D1 winner selection over SKINNY columns: {doc_id: max warc_ts(us)} for
+    urls that occur more than once.  The result is small (only actual
+    duplicates) and is broadcast to the extract stage; with url-space
+    sharding each shard's duplicate set stays bounded."""
+
+    def skinny(batch: pa.Table) -> pa.Table:
+        if num_shards > 1 and batch.num_rows:
+            h = hash64_strings(batch.column("url").to_pandas().to_numpy())
+            batch = batch.filter(pa.array(h % np.uint64(num_shards) == shard_index))
+        ids = doc_ids_for_urls(batch.column("url").to_pandas().to_numpy())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "ts": batch.column("warc_ts").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        rd.read_parquet(pages_path, columns=["url", "warc_ts"])
+        .map_batches(skinny, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id")
+        .aggregate(Max("ts", alias_name="max_ts"), Count(alias_name="n"))
+    )
+    dups = agg.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n"), 1)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    if len(dups) == 0 or "doc_id" not in dups.columns:
+        return {}
+    return dict(zip(dups["doc_id"].astype(np.int64), dups["max_ts"].astype(np.int64)))
+
+
+def _sample_heavy_terms(
+    postings_dir: str, threshold: int, salt_target: int
+) -> dict[str, int]:
+    """Skew detection by sampling posting fragments (driver-side, cheap):
+    estimate per-term df from a row sample and return {term: n_salts} for
+    terms whose estimated df crosses ``threshold``.  Misestimates only affect
+    parallelism, never correctness (salting is order-preserving)."""
+    files = sorted(
+        os.path.join(postings_dir, f)
+        for f in os.listdir(postings_dir)
+        if f.endswith(".parquet")
+    )
+    if not files:
+        return {}
+    total_rows = 0
+    counts: dict[str, int] = {}
+    sampled = 0
+    meta_total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    for f in files:
+        t = pq.read_table(f, columns=["term"])
+        vc = t.column("term").value_counts()
+        for sv in vc:
+            term = sv["values"].as_py()
+            counts[term] = counts.get(term, 0) + sv["counts"].as_py()
+        sampled += t.num_rows
+        if sampled >= _HEAVY_SAMPLE_ROWS:
+            break
+    if sampled == 0:
+        return {}
+    scale = meta_total / sampled
+    heavy = {}
+    for term, c in counts.items():
+        est = int(c * scale)
+        if est >= threshold:
+            n_salts = -(-est // salt_target)
+            if n_salts > 1:
+                heavy[term] = n_salts
+    return heavy
 
 
 def build_index(
@@ -175,8 +301,8 @@ def build_index(
     salt_target: int = DEFAULT_SALT_TARGET,
     dedup_urls: bool = True,
     url_filter: bool = False,
-    extract_batch_size: int = 512,
-    lemma_batch_size: int = 512,
+    extract_batch_size: int = 2048,
+    lemma_batch_size: int = 2048,
     lemma_concurrency: tuple[int, int] | int | None = None,
     resume: bool = True,
 ) -> dict[str, Any]:
@@ -184,6 +310,7 @@ def build_index(
     shard_dir = os.path.join(out_dir, f"shard={shard_index}")
     os.makedirs(shard_dir, exist_ok=True)
     key = _config_key(
+        layout=LAYOUT_VERSION,
         pages_path=pages_path,
         analyzer=analyzer_spec.get("name"),
         num_buckets=num_buckets,
@@ -195,25 +322,42 @@ def build_index(
     metrics: dict[str, Any] = {"shard": shard_index, "phases": {}}
     t_start = time.monotonic()
 
+    # size actor pools to the cluster — a fixed cap silently breaks scaling
+    avail_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    if lemma_concurrency is None:
+        lemma_concurrency = (1, max(2, avail_cpus))
+
     spec_ref = ray.put(analyzer_spec)
 
     docs_dir = os.path.join(shard_dir, "docs")
     postings_dir = os.path.join(shard_dir, "postings")
+    seg_dir = os.path.join(shard_dir, "segments")
+    doclen_dir = os.path.join(shard_dir, "doclen")
+    sites_dir = os.path.join(shard_dir, "sites")
+    term_stats_dir = os.path.join(shard_dir, "term_stats")
+    term_df_dir = os.path.join(shard_dir, "term_df")
 
     # ---- P1: docs --------------------------------------------------------
     if not (resume and phase_done(shard_dir, "docs", key)):
+        winners: dict[int, int] = {}
+        if dedup_urls:
+            winners = _detect_dup_winners(pages_path, shard_index, num_shards)
+        winners_ref = ray.put(winners)
         with phase_output(docs_dir) as tmp:
             ds = rd.read_parquet(pages_path, columns=["url", "warc_ts", "html"])
+            # stateless tasks (cheap, elastic): extraction carries no heavy
+            # state, and task scheduling outperforms an actor pool here
             ds = ds.map_batches(
-                _PrepareDocs(shard_index, num_shards, url_filter),
+                _PrepareDocs(shard_index, num_shards, url_filter, winners_ref),
                 batch_format="pyarrow",
                 batch_size=extract_batch_size,
                 zero_copy_batch=True,
             )
-            if dedup_urls:
-                ds = ds.groupby("doc_id").map_groups(_take_latest, batch_format="pandas")
             _write_parquet(ds, tmp)
-        commit_phase(shard_dir, "docs", key, {"seconds": round(time.monotonic() - t_start, 3)})
+        commit_phase(
+            shard_dir, "docs", key,
+            {"seconds": round(time.monotonic() - t_start, 3), "dup_urls": len(winners)},
+        )
     metrics["phases"]["docs"] = round(time.monotonic() - t_start, 3)
 
     # ---- P2: postings ----------------------------------------------------
@@ -221,17 +365,27 @@ def build_index(
     if not (resume and phase_done(shard_dir, "postings", key)):
         with phase_output(postings_dir) as tmp:
             docs = rd.read_parquet(docs_dir, columns=["url", "site", "text"])
-            kwargs: dict[str, Any] = {}
-            if lemma_concurrency is not None:
-                kwargs["concurrency"] = lemma_concurrency
-            postings = docs.map_batches(
-                LemmatizeStage,
-                fn_constructor_kwargs={"analyzer_spec": spec_ref, "text_col": "text"},
-                batch_format="pyarrow",
-                batch_size=lemma_batch_size,
-                zero_copy_batch=True,
-                concurrency=kwargs.get("concurrency", (1, 8)),
-            )
+            # ST1: a heavy analyzer (closed lemma dictionary) runs as an
+            # actor pool so the dictionary loads once per actor; a tiny
+            # stateless analyzer runs as plain tasks (pool scheduling tax
+            # outweighs state amortization when there is no state)
+            heavy_state = len(analyzer_spec.get("lemma_map", {})) > 0
+            if heavy_state:
+                postings = docs.map_batches(
+                    LemmatizeStage,
+                    fn_constructor_kwargs={"analyzer_spec": spec_ref, "text_col": "text"},
+                    batch_format="pyarrow",
+                    batch_size=lemma_batch_size,
+                    zero_copy_batch=True,
+                    concurrency=lemma_concurrency,
+                )
+            else:
+                postings = docs.map_batches(
+                    LemmatizeStage(analyzer_spec, "text"),
+                    batch_format="pyarrow",
+                    batch_size=lemma_batch_size,
+                    zero_copy_batch=True,
+                )
             postings = postings.map_batches(
                 _AddBucket(num_buckets), batch_format="pyarrow", zero_copy_batch=True
             )
@@ -239,40 +393,17 @@ def build_index(
         commit_phase(shard_dir, "postings", key, {"seconds": round(time.monotonic() - t1, 3)})
     metrics["phases"]["postings"] = round(time.monotonic() - t1, 3)
 
-    # ---- P3: stats (A1, A3, A8, global df, stats.json) -------------------
+    # ---- P3: shuffle-free stats ------------------------------------------
     t2 = time.monotonic()
-    if not (resume and phase_done(shard_dir, "stats", key)):
-        term_stats_dir = os.path.join(shard_dir, "term_stats")
-        with phase_output(term_stats_dir) as tmp:
-            p = rd.read_parquet(postings_dir, columns=["site", "term", "doc_id"])
-            # partial aggregation inside map_batches before the shuffle
-            partial = p.map_batches(
-                lambda t: t.group_by(["site", "term"]).aggregate([("doc_id", "count")]),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-            df_tbl = partial.groupby(["site", "term"]).aggregate(
-                Sum("doc_id_count", alias_name="df")
-            )
-            _write_parquet(df_tbl, tmp)
-
-        term_df_dir = os.path.join(shard_dir, "term_df")
-        with phase_output(term_df_dir) as tmp:
-            ts = rd.read_parquet(term_stats_dir)
-            _write_parquet(ts.groupby("term").aggregate(Sum("df", alias_name="df")), tmp)
-
-        doclen_dir = os.path.join(shard_dir, "doclen")
+    if not (resume and phase_done(shard_dir, "prestats", key)):
         with phase_output(doclen_dir) as tmp:
-            p = rd.read_parquet(postings_dir, columns=["doc_id", "doc_len"])
-            partial = p.map_batches(
-                lambda t: t.group_by("doc_id").aggregate([("doc_len", "max")]),
+            p = rd.read_parquet(postings_dir, columns=["doc_id", "doc_len", "first"])
+            dl = p.map_batches(
+                lambda t: t.filter(t.column("first")).select(["doc_id", "doc_len"]),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
-            dl = partial.groupby("doc_id").aggregate(Max("doc_len_max", alias_name="doc_len"))
             _write_parquet(dl, tmp)
-
-        sites_dir = os.path.join(shard_dir, "sites")
         with phase_output(sites_dir) as tmp:
             d = rd.read_parquet(docs_dir, columns=["site", "doc_id"])
             partial = d.map_batches(
@@ -283,16 +414,14 @@ def build_index(
             _write_parquet(
                 partial.groupby("site").aggregate(Sum("doc_id_count", alias_name="pages")), tmp
             )
-
+        total_tf = rd.read_parquet(doclen_dir, columns=["doc_len"]).sum("doc_len") or 0
         import pyarrow.dataset as pads
 
         n_docs = pads.dataset(docs_dir, format="parquet").count_rows()
-        dl_tab = pads.dataset(doclen_dir, format="parquet").to_table(columns=["doc_len"])
-        total_tf = int(pc.sum(dl_tab.column("doc_len")).as_py() or 0)
         stats = {
             "n_docs": int(n_docs),
-            "total_tf": total_tf,
-            "avgdl": (total_tf / n_docs) if n_docs else 0.0,
+            "total_tf": int(total_tf),
+            "avgdl": (int(total_tf) / n_docs) if n_docs else 0.0,
             "num_buckets": num_buckets,
             "analyzer": analyzer_spec.get("name"),
             "shard_index": shard_index,
@@ -301,35 +430,27 @@ def build_index(
         with open(os.path.join(shard_dir, "stats.json.tmp"), "w") as f:
             json.dump(stats, f, indent=1)
         os.replace(os.path.join(shard_dir, "stats.json.tmp"), os.path.join(shard_dir, "stats.json"))
-        commit_phase(shard_dir, "stats", key, {"seconds": round(time.monotonic() - t2, 3), **stats})
-    metrics["phases"]["stats"] = round(time.monotonic() - t2, 3)
+        commit_phase(
+            shard_dir, "prestats", key, {"seconds": round(time.monotonic() - t2, 3), **stats}
+        )
+    metrics["phases"]["prestats"] = round(time.monotonic() - t2, 3)
 
-    # ---- P4: segments (the wide shuffle, skew-salted) --------------------
+    # ---- P4: THE wide shuffle — segments + partial df --------------------
     t3 = time.monotonic()
     if not (resume and phase_done(shard_dir, "segments", key)):
-        import pyarrow.dataset as pads
-
         stats = json.load(open(os.path.join(shard_dir, "stats.json")))
         threshold = salt_df_threshold
         if threshold is None:
             threshold = max(salt_target, int(stats["n_docs"]) // 8 or 1)
-        tdf = pads.dataset(os.path.join(shard_dir, "term_df"), format="parquet").to_table(
-            filter=pc.field("df") >= threshold
-        )
-        heavy = {
-            t: int(-(-int(df) // salt_target))
-            for t, df in zip(tdf.column("term").to_pylist(), tdf.column("df").to_pylist())
-            if int(df) >= threshold and int(-(-int(df) // salt_target)) > 1
-        }
+        heavy = _sample_heavy_terms(postings_dir, threshold, salt_target)
         heavy_ref = ray.put(heavy)
-        seg_dir = os.path.join(shard_dir, "segments")
         with phase_output(seg_dir) as tmp:
             p = rd.read_parquet(
-                postings_dir, columns=["doc_id", "term", "tf", "doc_len", "bucket"]
+                postings_dir, columns=["doc_id", "site", "term", "tf", "doc_len", "bucket"]
             )
             p = p.map_batches(
-                _AddSalt, fn_constructor_kwargs={"heavy_ref": heavy_ref},
-                batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+                _AddSalt(heavy_ref),
+                batch_format="pyarrow", zero_copy_batch=True,
             )
             segs = p.groupby(["bucket", "salt"]).map_groups(encode_group, batch_format="pandas")
             _write_parquet(segs, tmp, partition_cols=["bucket"])
@@ -338,6 +459,27 @@ def build_index(
             {"seconds": round(time.monotonic() - t3, 3), "heavy_terms": len(heavy)},
         )
     metrics["phases"]["segments"] = round(time.monotonic() - t3, 3)
+
+    # ---- P5: finish A1 from the df rows (tiny groupbys) ------------------
+    t4 = time.monotonic()
+    if not (resume and phase_done(shard_dir, "stats", key)):
+        with phase_output(term_stats_dir) as tmp:
+            mixed = rd.read_parquet(seg_dir, columns=["term", "site", "df", "kind"])
+            dfrows = mixed.map_batches(
+                lambda t: t.filter(pc.equal(t.column("kind"), "df")).select(
+                    ["site", "term", "df"]
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            _write_parquet(
+                dfrows.groupby(["site", "term"]).aggregate(Sum("df", alias_name="df")), tmp
+            )
+        with phase_output(term_df_dir) as tmp:
+            ts = rd.read_parquet(term_stats_dir)
+            _write_parquet(ts.groupby("term").aggregate(Sum("df", alias_name="df")), tmp)
+        commit_phase(shard_dir, "stats", key, {"seconds": round(time.monotonic() - t4, 3)})
+    metrics["phases"]["stats"] = round(time.monotonic() - t4, 3)
 
     metrics["total_seconds"] = round(time.monotonic() - t_start, 3)
     return metrics

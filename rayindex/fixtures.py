@@ -196,14 +196,22 @@ def write_pages(table: pa.Table, out_dir: str, n_fragments: int = 16) -> str:
 
 
 def pages_from_documents(
-    documents_path: str, out_dir: str, repeat: int = 1, n_fragments: int = 64
+    documents_path: str,
+    out_dir: str,
+    repeat: int = 1,
+    n_fragments: int = 64,
+    body_repeat: int = 1,
 ) -> str:
     """Bench corpus: wrap the driver's documents table into the pages schema.
 
     Deterministic (row order + repeat index only).  ``site`` is encoded in the
     url host as ``{source}.bench.example`` so per-site stats/df semantics have
-    multiple sites to aggregate over.  Idempotent: returns early when the
-    output manifest marker exists.
+    multiple sites to aggregate over.  ``body_repeat`` repeats the body
+    paragraphs to approximate realistic web-page sizes (real Common-Crawl
+    pages are tens of KB; the driver's document texts are ~100-400 B) —
+    it multiplies extraction/lemmatization compute without growing the
+    posting-row count (term *frequencies* grow, distinct terms per doc do
+    not).  Idempotent: returns early when the output manifest marker exists.
     """
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker):
@@ -229,6 +237,8 @@ def pages_from_documents(
             # 2 paragraphs exercise block-boundary extraction
             half = max(1, len(body_words) // 2)
             paragraphs = [" ".join(body_words[:half]), " ".join(body_words[half:]) or "tail"]
+            if body_repeat > 1:
+                paragraphs = paragraphs * body_repeat
             if r:
                 paragraphs.append(f"rep{r}")
             html, golden = _page_html(title, f"heading {did}", paragraphs)

@@ -1,0 +1,95 @@
+"""Flagship pipelines over the driver's testdata: pages synthesis → index
+build → search, with /tmp caching keyed by scale factor (resume-friendly)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from .build import build_index
+from .fixtures import pages_from_documents
+from .query import QueryEngine
+
+SIMPLE_SPEC = {"name": "simple"}
+CACHE_ROOT = "/tmp/rayindex_cache"
+
+# engine demo queries over the documents vocabulary: conjunctions, a term that
+# sits at the 80 % cutoff boundary, and an unknown word (silently dropped)
+FLAGSHIP_QUERIES = [
+    "table spark",
+    "customer join order",
+    "slow query",
+    "vector stream",
+    "merge xyzzynotaword",
+]
+
+# selective queries (rare id-derived term + dense term): the regime where
+# block-max WAND's pruning pays for its doc-at-a-time loop
+WAND_QUERIES = [
+    "123 table",
+    "77 scan merge",
+    "301 query window",
+    "42 sort",
+]
+
+
+def _sf_name(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def bench_pages(
+    sf_dir: str, repeat: int = 1, n_fragments: int = 64, body_repeat: int = 1
+) -> str:
+    suffix = f"_b{body_repeat}" if body_repeat > 1 else ""
+    out = os.path.join(CACHE_ROOT, f"pages_{_sf_name(sf_dir)}_r{repeat}{suffix}")
+    return pages_from_documents(
+        os.path.join(sf_dir, "documents.parquet"), out, repeat=repeat,
+        n_fragments=n_fragments, body_repeat=body_repeat,
+    )
+
+
+def build_bench_index(sf_dir: str, repeat: int = 1, out_dir: str | None = None, **kwargs) -> str:
+    """Build (or resume) the index over the documents-seeded pages table."""
+    pages_dir = bench_pages(sf_dir, repeat)
+    if out_dir is None:
+        out_dir = os.path.join(CACHE_ROOT, f"index_{_sf_name(sf_dir)}_r{repeat}")
+    build_index(pages_dir, out_dir, SIMPLE_SPEC, **kwargs)
+    return out_dir
+
+
+def flagship_search(sf_dir: str, repeat: int = 1, queries: list[str] | None = None) -> pd.DataFrame:
+    """Build index (cached) + answer the demo query set with the reference
+    scorer; returns (query, rank, doc_id, url, relevance, title, snippet)."""
+    index_dir = build_bench_index(sf_dir, repeat)
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    rows = []
+    for q in queries or FLAGSHIP_QUERIES:
+        res = eng.search(q, k=10, with_snippets=True)
+        for rank, r in enumerate(res["data"], 1):
+            rows.append(
+                {
+                    "query": q,
+                    "rank": rank,
+                    "doc_id": r["doc_id"],
+                    "url": r.get("url", ""),
+                    "relevance": r["relevance"],
+                    "title": r.get("title", ""),
+                    "snippet": r.get("snippet", ""),
+                }
+            )
+    return pd.DataFrame(
+        rows,
+        columns=["query", "rank", "doc_id", "url", "relevance", "title", "snippet"],
+    )
+
+
+def wand_search(sf_dir: str, repeat: int = 1, queries: list[str] | None = None) -> pd.DataFrame:
+    """BM25 block-max WAND top-10 per demo query."""
+    index_dir = build_bench_index(sf_dir, repeat)
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    rows = []
+    for q in queries or FLAGSHIP_QUERIES:
+        for rank, (doc_id, score) in enumerate(eng.bm25_wand(q, k=10), 1):
+            rows.append({"query": q, "rank": rank, "doc_id": doc_id, "score": score})
+    return pd.DataFrame(rows, columns=["query", "rank", "doc_id", "score"])

@@ -233,9 +233,14 @@ class QueryEngine:
         )
         self.site_pages = sp.groupby("site")["pages"].sum().to_dict()
         self._site_docs_cache: dict[str, np.ndarray] = {}
+        self._readers_cache: dict[str, list[BlockReader]] = {}
+        self._decoded_cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
     # -- lookups ------------------------------------------------------------
     def _cursor(self, term: str) -> ChainCursor:
+        cached = self._readers_cache.get(term)
+        if cached is not None:
+            return ChainCursor(cached)
         bucket = int(term_bucket(np.array([term], dtype=object), self.num_buckets)[0])
         readers: list[BlockReader] = []
         for r in self.readers:
@@ -260,7 +265,15 @@ class QueryEngine:
                 np.concatenate(dls_l)[order].astype(np.uint64),
             )
             readers = [BlockReader(enc)]
+        self._readers_cache[term] = readers
         return ChainCursor(readers)
+
+    def _decoded(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        got = self._decoded_cache.get(term)
+        if got is None:
+            got = self._cursor(term).decode_all()
+            self._decoded_cache[term] = got
+        return got
 
     def _site_doc_ids(self, site: str) -> np.ndarray:
         got = self._site_docs_cache.get(site)
@@ -309,7 +322,7 @@ class QueryEngine:
         decoded: list[tuple[str, np.ndarray, np.ndarray]] = []
         cand: np.ndarray | None = None
         for t, _df in kept:
-            docs, tfs, _dls = self._cursor(t).decode_all()
+            docs, tfs, _dls = self._decoded(t)
             decoded.append((t, docs, tfs))
             cand = docs if cand is None else cand[np.isin(cand, docs, assume_unique=True)]
         assert cand is not None
@@ -355,23 +368,67 @@ class QueryEngine:
         return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / self.avgdl))
 
     def bm25_exhaustive(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        """Disjunctive BM25 by full decode — the WAND A/B oracle."""
+        """Disjunctive BM25 by full decode, vectorized — the WAND A/B oracle.
+
+        Per-doc accumulation order is term-major (``np.add.at`` is unbuffered
+        and applies in occurrence order), i.e. the same (df, term) order WAND
+        uses — float results are bit-identical between the two paths.
+        """
         terms = sorted(
             {t for t in self.analyzer.collect_lemmas(query)},
             key=lambda t: (int(self.term_df.get(t, 0)), t),
         )
-        scores: dict[int, float] = {}
+        doc_parts: list[np.ndarray] = []
+        contrib_parts: list[np.ndarray] = []
         for t in terms:
             df = int(self.term_df.get(t, 0))
             if df == 0:
                 continue
             idf = self._idf(df)
-            docs, tfs, dls = self._cursor(t).decode_all()
-            contrib = self._contrib(idf, tfs.astype(np.float64), dls.astype(np.float64))
-            for d, c in zip(docs.tolist(), contrib.tolist()):
-                scores[d] = scores.get(d, 0.0) + c
-        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
-        return [(int(d), float(s)) for d, s in ranked]
+            docs, tfs, dls = self._decoded(t)
+            doc_parts.append(docs)
+            contrib_parts.append(
+                self._contrib(idf, tfs.astype(np.float64), dls.astype(np.float64))
+            )
+        if not doc_parts:
+            return []
+        uniq = np.unique(np.concatenate(doc_parts))
+        scores = np.zeros(len(uniq), dtype=np.float64)
+        # accumulate term-by-term with fancy indexing: within one term each
+        # doc occurs once, so `+=` is safe, and per-doc accumulation order is
+        # term-major — identical float order to the oracle and to WAND
+        # (np.add.at would be correct too but is ~10× slower, unbuffered)
+        for docs, contrib in zip(doc_parts, contrib_parts):
+            pos = np.searchsorted(uniq, docs)
+            scores[pos] += contrib
+        order = np.lexsort((uniq, -scores))[:k]
+        return [(int(uniq[i]), float(scores[i])) for i in order]
+
+    # Auto scorer selection.  WAND's doc-at-a-time loop pays per-pivot Python
+    # overhead; with k=10 its threshold cannot exceed a dense term's upper
+    # bound until k rare-term docs have surfaced, so on flat-score lists it
+    # still touches a large fraction of the postings.  Bulk vectorized
+    # scoring is linear in Σdf with a tiny constant, so it wins until Σdf is
+    # large; above that, block-max pruning (driven by Zipf-skewed scores at
+    # web scale) amortizes the loop.
+    DENSE_TOPK_THRESHOLD = 1 << 22  # Σdf below this → bulk vectorized scoring
+
+    def bm25_topk(self, query: str, k: int = 10, algorithm: str = "auto") -> list[tuple[int, float]]:
+        """Production BM25 top-k. ``auto`` picks vectorized bulk scoring for
+        small/medium posting volumes and block-max WAND beyond; both return
+        identical rankings."""
+        if algorithm == "exhaustive":
+            return self.bm25_exhaustive(query, k)
+        if algorithm == "wand":
+            return self.bm25_wand(query, k)
+        total = sum(
+            int(self.term_df.get(t, 0)) for t in self.analyzer.collect_lemmas(query)
+        )
+        if total == 0:
+            return []
+        if total <= self.DENSE_TOPK_THRESHOLD:
+            return self.bm25_exhaustive(query, k)
+        return self.bm25_wand(query, k)
 
     def bm25_wand(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Block-max WAND top-k; exactly equals ``bm25_exhaustive`` (ties

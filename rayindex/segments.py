@@ -37,21 +37,35 @@ import pyarrow.dataset as pads
 from .codec import BlockReader, EncodedPostings, encode_postings
 from .schema import SEGMENT_SCHEMA
 
+# Segments and per-site df rows come out of the SAME shuffle (one wide op per
+# build): 'seg' rows carry compressed postings, 'df' rows carry partial
+# per-(site, term) document frequencies (partial because a salted term spans
+# several groups; a tiny follow-up groupby finishes A1).
+MIXED_SCHEMA = pa.schema(
+    list(SEGMENT_SCHEMA)
+    + [
+        ("kind", pa.string()),  # 'seg' | 'df'
+        ("site", pa.string()),
+        ("df", pa.int64()),
+    ]
+)
+
 
 # ---------------------------------------------------------------------------
-# Encoding a shuffle group → segment rows
+# Encoding a shuffle group → segment rows (+ partial df rows)
 
 
 def encode_group(df: pd.DataFrame) -> pa.Table:
-    """``groupby(bucket, salt).map_groups`` body: encode every term's postings.
+    """``groupby(bucket, salt).map_groups`` body: encode every term's postings
+    and emit per-(site, term) partial document frequencies.
 
-    Input columns: doc_id, term, tf, doc_len, bucket, salt.  Within a group a
-    term's rows are a complete per-salt sub-list (range-salted, so sub-lists
-    of one term across groups cover disjoint, ordered docid ranges and simply
-    concatenate at read time — SURVEY.md §4 skew row).
+    Input columns: doc_id, site, term, tf, doc_len, bucket, salt.  Within a
+    group a term's rows are a complete per-salt sub-list (range-salted, so
+    sub-lists of one term across groups cover disjoint, ordered docid ranges
+    and simply concatenate at read time — SURVEY.md §4 skew row).
     """
     if len(df) == 0:
-        return SEGMENT_SCHEMA.empty_table()
+        return MIXED_SCHEMA.empty_table()
     df = df.sort_values(["term", "doc_id"], kind="stable")
     terms = df["term"].to_numpy()
     doc_ids = df["doc_id"].to_numpy().astype(np.uint64)
@@ -65,7 +79,7 @@ def encode_group(df: pd.DataFrame) -> pa.Table:
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [len(terms)]))
 
-    cols: dict[str, list] = {name: [] for name in SEGMENT_SCHEMA.names}
+    cols: dict[str, list] = {name: [] for name in MIXED_SCHEMA.names}
     for s, e in zip(starts, ends):
         enc = encode_postings(doc_ids[s:e], tfs[s:e], dls[s:e])
         cols["term"].append(terms[s])
@@ -82,7 +96,27 @@ def encode_group(df: pd.DataFrame) -> pa.Table:
         cols["docs_blob"].append(enc.docs_blob)
         cols["tfs_blob"].append(enc.tfs_blob)
         cols["dls_blob"].append(enc.dls_blob)
-    return pa.table(cols, schema=SEGMENT_SCHEMA)
+        cols["kind"].append("seg")
+        cols["site"].append("")
+        cols["df"].append(0)
+    n_seg = len(cols["term"])
+
+    # partial A1: each (doc, term) row is one document occurrence
+    dfc = df.groupby(["site", "term"], sort=False).size().reset_index(name="df")
+    z = b""
+    for site, term, cnt in zip(dfc["site"], dfc["term"], dfc["df"]):
+        cols["term"].append(term)
+        cols["salt"].append(salt)
+        cols["bucket"].append(bucket)
+        cols["n_docs"].append(0)
+        cols["n_blocks"].append(0)
+        for c in ("b_last_doc", "b_max_tf", "b_min_dl", "b_doc_nbytes",
+                  "b_tf_nbytes", "b_dl_nbytes", "docs_blob", "tfs_blob", "dls_blob"):
+            cols[c].append(z)
+        cols["kind"].append("df")
+        cols["site"].append(site)
+        cols["df"].append(int(cnt))
+    return pa.table(cols, schema=MIXED_SCHEMA)
 
 
 def row_to_encoded(row: dict) -> EncodedPostings:
@@ -160,6 +194,26 @@ class phase_output:
 # Read side
 
 
+def segments_digest(shard_dir: str) -> str:
+    """Content hash of a shard's segments (order-normalized) — used by the
+    resume tests and the scaling protocol's output-equality assertion."""
+    t = (
+        pads.dataset(os.path.join(shard_dir, "segments"), format="parquet")
+        .to_table()
+        .sort_by(
+            [("term", "ascending"), ("salt", "ascending"), ("kind", "ascending"),
+             ("site", "ascending")]
+        )
+    )
+    import hashlib as _hashlib
+
+    h = _hashlib.sha256()
+    for col in ("term", "salt", "kind", "site", "df", "n_docs", "docs_blob", "tfs_blob", "dls_blob"):
+        for v in t[col].to_pylist():
+            h.update(v if isinstance(v, bytes) else str(v).encode())
+    return h.hexdigest()
+
+
 def list_shards(root: str) -> list[str]:
     out = []
     for name in sorted(os.listdir(root)):
@@ -188,6 +242,8 @@ class SegmentReader:
             if not os.path.isdir(d):
                 return None
             t = pads.dataset(d, format="parquet").to_table()
+            if "kind" in t.schema.names:  # mixed seg+df layout
+                t = t.filter(pa.compute.equal(t.column("kind"), "seg"))
             self._bucket_cache[bucket] = t
         return t
 

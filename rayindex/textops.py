@@ -1,0 +1,490 @@
+"""Large-scale training-data operators over the driver's ``documents`` /
+``embeddings`` tables — the operations a 100 TB text pipeline needs beyond the
+reference's own inventory (deduplication, similarity search, text analysis),
+each expressed Ray-Data-first: vectorized ``map_batches``, partial
+aggregation before every shuffle, broadcast small sides via ``ray.put``.
+
+DuckDB-oracle-compatible semantics: tokenization here is exactly
+``lower → [^a-z0-9]→space → split → drop EN stopwords`` so the SQL in
+``__ray_entry__.oracle_sql`` can mirror it with ``regexp_replace`` +
+``string_split_regex`` + ``NOT IN``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Min, Sum
+
+from .analyze import EN_STOPWORDS, simple_analyzer
+
+# ---------------------------------------------------------------------------
+# tokenization (shared by df / doclen / tf / search entries)
+
+
+class TokenizeDocs:
+    """Actor stage: documents(doc_id, source, text) → (doc_id, [site,] term, tf).
+
+    The analyzer state (compiled regexes + stop set) is built once per actor
+    (ST1 pattern); the batch body is pandas-vectorized explode + groupby.
+    """
+
+    def __init__(self, with_site: bool = False):
+        self.analyzer = simple_analyzer()
+        self.with_site = with_site
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pandas()
+        ex = self.analyzer.lemmatize_series(texts)
+        rows = ex["row"].to_numpy()
+        doc_ids = batch.column("doc_id").to_pandas().to_numpy()[rows]
+        cols = {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "term": pa.array(ex["term"].to_numpy(), pa.string()),
+            "tf": pa.array(ex["tf"].to_numpy().astype(np.int64), pa.int64()),
+        }
+        if self.with_site:
+            sites = batch.column("source").to_pandas().to_numpy()[rows]
+            cols = {"doc_id": cols["doc_id"], "site": pa.array(sites, pa.string()), **{k: v for k, v in cols.items() if k != "doc_id"}}
+        return pa.table(cols)
+
+
+def doc_tf(sf_dir: str) -> rd.Dataset:
+    """M6 as a dataset op: (doc_id, term, tf) exploded postings."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(TokenizeDocs, batch_format="pyarrow", zero_copy_batch=True,
+                            concurrency=(1, 4))
+
+
+def term_df(sf_dir: str) -> rd.Dataset:
+    """A1 (global roll-up): term → document frequency."""
+    tf = doc_tf(sf_dir)
+    partial = tf.map_batches(
+        lambda t: t.group_by("term").aggregate([("doc_id", "count")]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return partial.groupby("term").aggregate(Sum("doc_id_count", alias_name="df"))
+
+
+def site_term_df(sf_dir: str) -> rd.Dataset:
+    """A1 (per-site semantics, ``source`` plays the site role)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
+    tf = docs.map_batches(TokenizeDocs, fn_constructor_kwargs={"with_site": True},
+                          batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4))
+    partial = tf.map_batches(
+        lambda t: t.group_by(["site", "term"]).aggregate([("doc_id", "count")]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return partial.groupby(["site", "term"]).aggregate(Sum("doc_id_count", alias_name="df"))
+
+
+def doc_len(sf_dir: str) -> rd.Dataset:
+    """A8: Σtf per document."""
+    tf = doc_tf(sf_dir)
+    partial = tf.map_batches(
+        lambda t: t.group_by("doc_id").aggregate([("tf", "sum")]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return partial.groupby("doc_id").aggregate(Sum("tf_sum", alias_name="doc_len"))
+
+
+def frequent_terms(sf_dir: str, n_docs: int, cutoff: int = 80) -> rd.Dataset:
+    """K3 as a dataset op: terms the reference's 80 % rule would drop.
+
+    Java Math.round(100*df/N) ≥ cutoff ⟺ 100*df ≥ (cutoff − 0.5)*N ⟺
+    200*df ≥ (2*cutoff − 1)*N in exact integer arithmetic (mirrors floor(x+.5)).
+    """
+    df = term_df(sf_dir)
+    thresh = (2 * cutoff - 1) * n_docs
+    return df.map_batches(
+        lambda t: t.filter(pc.greater_equal(pc.multiply(t.column("df"), 200), thresh)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def search_and(sf_dir: str, term_a: str, term_b: str, k: int = 10) -> pd.DataFrame:
+    """J3+K1+K4 as a dataset op: conjunctive two-term search, score = Σtf,
+    relevance = score/max, order (relevance desc, doc_id asc), top-k."""
+    tf = doc_tf(sf_dir)
+    hits = tf.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("term"), pa.array([term_a, term_b]))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    both = hits.map_batches(
+        lambda t: t.group_by("doc_id").aggregate([("term", "count_distinct"), ("tf", "sum")]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    fin = both.groupby("doc_id").aggregate(
+        Sum("term_count_distinct", alias_name="n_terms"), Sum("tf_sum", alias_name="score")
+    )
+    pdf = fin.to_pandas()
+    pdf = pdf[pdf["n_terms"] == 2][["doc_id", "score"]]
+    if len(pdf) == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="int64"),
+                             "relevance": pd.Series(dtype="float64")})
+    pdf["relevance"] = pdf["score"] / pdf["score"].max()
+    pdf = pdf.sort_values(["relevance", "doc_id"], ascending=[False, True]).head(k)
+    return pdf.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+
+
+def _md5_series(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+
+
+def dedup_exact(sf_dir: str) -> rd.Dataset:
+    """Exact dedup by content hash: winner = min doc_id per distinct text."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = _md5_series(t.column("text").to_pandas())
+        return pa.table({"doc_id": t.column("doc_id"), "h": pa.array(h.to_numpy(), pa.string())})
+
+    hashed = docs.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    partial = hashed.map_batches(
+        lambda t: t.group_by("h").aggregate([("doc_id", "min")]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return partial.groupby("h").aggregate(Min("doc_id_min", alias_name="doc_id"))
+
+
+_WS = re.compile(r"\s+")
+
+
+def fingerprint(sf_dir: str) -> rd.Dataset:
+    """Document fingerprint: md5 of whitespace-normalized lowercased text."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        norm = t.column("text").to_pandas().str.lower().str.replace(_WS, " ", regex=True).str.strip()
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "fp": pa.array(_md5_series(norm).to_numpy(), pa.string())}
+        )
+
+    return docs.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class MinHasher:
+    """MinHash over word 3-shingles; 32 permutations in 8 LSH bands of 4.
+
+    Emits (band, band_hash, doc_id) rows; near-dup candidates are docs sharing
+    a (band, band_hash) bucket — found by one groupby, no pairwise scan.
+    """
+
+    N_PERM = 32
+    BAND = 4
+
+    def __init__(self, shingle: int = 3):
+        self.shingle = shingle
+        rng = np.random.default_rng(1234)
+        self.a = rng.integers(1, (1 << 61) - 1, size=self.N_PERM, dtype=np.uint64)
+        self.b = rng.integers(0, (1 << 61) - 1, size=self.N_PERM, dtype=np.uint64)
+        self.p = np.uint64((1 << 61) - 1)  # Mersenne prime
+
+    def signature(self, text: str) -> np.ndarray | None:
+        toks = text.lower().split()
+        if len(toks) < self.shingle:
+            return None
+        sh = {" ".join(toks[i : i + self.shingle]) for i in range(len(toks) - self.shingle + 1)}
+        hv = np.array(
+            [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") & ((1 << 61) - 1) for s in sh],
+            dtype=np.uint64,
+        )
+        # (a*h + b) mod p for every permutation — vectorized outer product
+        m = (self.a[:, None] * hv[None, :] + self.b[:, None]) % self.p
+        return m.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, bands, bhashes = [], [], []
+        n_bands = self.N_PERM // self.BAND
+        for did, text in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            sig = self.signature(text)
+            if sig is None:
+                continue
+            for bnd in range(n_bands):
+                chunk = sig[bnd * self.BAND : (bnd + 1) * self.BAND]
+                h = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
+                doc_ids.append(did)
+                bands.append(bnd)
+                bhashes.append(h)
+        return pa.table(
+            {
+                "band": pa.array(bands, pa.int32()),
+                "band_hash": pa.array(bhashes, pa.string()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+            }
+        )
+
+
+def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    ids = np.sort(g["doc_id"].to_numpy())
+    if len(ids) < 2:
+        return pd.DataFrame({"doc_a": [], "doc_b": []})
+    a, b = np.meshgrid(ids, ids, indexing="ij")
+    m = a < b
+    return pd.DataFrame({"doc_a": a[m], "doc_b": b[m]})
+
+
+def minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs (deduplicated)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sigs = docs.map_batches(MinHasher, batch_format="pyarrow", zero_copy_batch=True,
+                            concurrency=(1, 4))
+    pairs = sigs.groupby(["band", "band_hash"]).map_groups(_bucket_pairs, batch_format="pandas")
+    pdf = pairs.to_pandas()
+    if len(pdf) == 0:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")})
+    return (
+        pdf.drop_duplicates().astype({"doc_a": "int64", "doc_b": "int64"})
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+
+
+class SimHasher:
+    """64-bit SimHash over unigram md5 hashes, tf-weighted."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for text in batch.column("text").to_pylist():
+            toks = text.lower().split()
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in toks:
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits.astype(bool), 1, -1)
+            val = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    val |= 1 << i
+            out.append(val - (1 << 63))  # store as int64
+        return pa.table({"doc_id": batch.column("doc_id"), "simhash": pa.array(out, pa.int64())})
+
+
+def simhash(sf_dir: str) -> rd.Dataset:
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(SimHasher, batch_format="pyarrow", zero_copy_batch=True,
+                            concurrency=(1, 4))
+
+
+def ngram_jaccard_pairs(sf_dir: str, n: int = 2) -> rd.Dataset:
+    """n-gram Jaccard between consecutive doc pairs (doc_id, doc_id+1) —
+    SQL-mirrorable verification op for the near-dup family."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def grams(t: pa.Table) -> pa.Table:
+        ids, gs = [], []
+        for did, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            toks = text.lower().split()
+            ids.append(did)
+            gs.append(sorted({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()), "grams": pa.array(gs, pa.list_(pa.string()))})
+
+    gds = docs.map_batches(grams, batch_format="pyarrow", zero_copy_batch=True)
+    pdf = gds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    rows = []
+    for i in range(len(pdf) - 1):
+        a_id, b_id = int(pdf["doc_id"][i]), int(pdf["doc_id"][i + 1])
+        if b_id != a_id + 1:
+            continue
+        sa, sb = set(pdf["grams"][i]), set(pdf["grams"][i + 1])
+        inter, union = len(sa & sb), len(sa | sb)
+        rows.append(
+            {"doc_a": a_id, "doc_b": b_id, "n_inter": inter, "n_union": union,
+             "jaccard": (inter / union) if union else 0.0}
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+def lang_signals(sf_dir: str) -> rd.Dataset:
+    """Language-ID heuristic: per-doc Latin/Cyrillic letter counts + label."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def sig(t: pa.Table) -> pa.Table:
+        s = t.column("text").to_pandas()
+        n_lat = s.str.count(r"[a-zA-Z]").astype("int64")
+        n_cyr = s.str.count(r"[а-яА-ЯёЁ]").astype("int64")
+        pred = np.where(n_cyr.to_numpy() > n_lat.to_numpy(), "ru", "en")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_latin": pa.array(n_lat.to_numpy(), pa.int64()),
+                "n_cyrillic": pa.array(n_cyr.to_numpy(), pa.int64()),
+                "pred_lang": pa.array(pred, pa.string()),
+            }
+        )
+
+    return docs.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_signals(sf_dir: str) -> rd.Dataset:
+    """Quality scoring signals (integers for oracle-hash stability):
+    n_chars, n_tokens, n_stopwords, n_unique_terms."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    stop = sorted(EN_STOPWORDS)
+
+    def sig(t: pa.Table) -> pa.Table:
+        s = t.column("text").to_pandas()
+        toks = s.str.lower().str.replace(r"[^a-z0-9\s]", " ", regex=True).str.split()
+        n_tokens = toks.map(len).astype("int64")
+        n_stop = toks.map(lambda ws: sum(w in stop for w in ws)).astype("int64")
+        n_uniq = toks.map(lambda ws: len({w for w in ws if w not in stop})).astype("int64")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars": pa.array(s.str.len().astype("int64").to_numpy(), pa.int64()),
+                "n_tokens": pa.array(n_tokens.to_numpy(), pa.int64()),
+                "n_stopwords": pa.array(n_stop.to_numpy(), pa.int64()),
+                "n_unique_terms": pa.array(n_uniq.to_numpy(), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_count_bpe(sf_dir: str) -> rd.Dataset:
+    """Token counting with a BPE-ish regex (word pieces + single punct)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pat = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
+
+    def cnt(t: pa.Table) -> pa.Table:
+        s = t.column("text").to_pandas()
+        n = s.str.findall(pat).map(len).astype("int64")
+        return pa.table({"doc_id": t.column("doc_id"), "n_bpe_tokens": pa.array(n.to_numpy(), pa.int64())})
+
+    return docs.map_batches(cnt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+
+
+class CosineTopK:
+    """Brute-force cosine vs a broadcast query matrix: numpy matmul per batch,
+    emit batch-local top-k (global merge is a tiny driver-side step)."""
+
+    def __init__(self, query_ref, k: int):
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        self.q = q / np.linalg.norm(q)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        emb = np.stack(batch.column("embedding").to_pandas().to_numpy())
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        scores = emb.astype(np.float64) @ self.q.astype(np.float64)
+        k = min(self.k, len(ids))
+        top = np.argpartition(-scores, k - 1)[:k]
+        return pa.table(
+            {"vec_id": pa.array(ids[top], pa.int64()), "score": pa.array(scores[top], pa.float64())}
+        )
+
+
+def ann_cosine_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pd.DataFrame:
+    """Exact cosine top-k (the ANN baseline): returns (rank, vec_id)."""
+    import pyarrow.dataset as pads
+
+    qtab = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        filter=pc.field("vec_id") == query_vec_id
+    )
+    q = np.array(qtab.column("embedding").to_pylist()[0], dtype=np.float64)
+    qref = ray.put(q)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    local = ds.map_batches(
+        CosineTopK, fn_constructor_kwargs={"query_ref": qref, "k": k},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4), batch_size=4096,
+    )
+    pdf = local.to_pandas()
+    pdf = pdf.sort_values(["score", "vec_id"], ascending=[False, True]).head(k).reset_index(drop=True)
+    pdf["rank"] = np.arange(1, len(pdf) + 1, dtype=np.int64)
+    return pdf[["rank", "vec_id"]]
+
+
+class LshBucketer:
+    """Random-hyperplane LSH (the IVF-style scale path).
+
+    Plane count scales with collection size (≈ log2(n/64), so ~8 vectors per
+    bucket) — at 10^12 embeddings that is ~34 planes; at fixture scale it
+    stays coarse enough that probing the Hamming-1 neighborhood yields enough
+    candidates for an exact rerank.
+    """
+
+    def __init__(self, dim: int = 64, n_planes: int = 6, seed: int = 99):
+        rng = np.random.default_rng(seed)
+        self.n_planes = n_planes
+        self.planes = rng.standard_normal((n_planes, dim))
+
+    @staticmethod
+    def auto_planes(n_vectors: int) -> int:
+        import math
+
+        return max(3, min(30, int(math.log2(max(2, n_vectors / 64)))))
+
+    def bucket_of(self, v: np.ndarray) -> int:
+        return int(((v @ self.planes.T) > 0) @ (1 << np.arange(self.n_planes)))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+        bits = (emb @ self.planes.T) > 0
+        buckets = bits @ (1 << np.arange(self.n_planes))
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "bucket": pa.array(buckets.astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def ann_lsh_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0, probes: int = 4) -> pd.DataFrame:
+    """LSH-bucketed ANN: probe the query's bucket + nearest Hamming buckets,
+    exact-rerank candidates.  Approximate — recall vs the exact baseline is
+    asserted in tests, not equality."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    n_vecs = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    n_planes = LshBucketer.auto_planes(n_vecs)
+    b = LshBucketer(n_planes=n_planes)
+    qtab = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        filter=pc.field("vec_id") == query_vec_id
+    )
+    q = np.array(qtab.column("embedding").to_pylist()[0], dtype=np.float64)
+    qb = b.bucket_of(q)
+    # probe buckets within Hamming distance 1 (query bucket + bit flips)
+    probe_buckets = [qb] + [qb ^ (1 << i) for i in range(b.n_planes)]
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    bucketed = ds.map_batches(LshBucketer, fn_constructor_kwargs={"n_planes": n_planes},
+                              batch_format="pyarrow", zero_copy_batch=True,
+                              concurrency=(1, 4))
+    cand_ids = bucketed.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("bucket"), pa.array(probe_buckets, pa.int64()))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).to_pandas()["vec_id"].tolist()
+    if not cand_ids:
+        return pd.DataFrame({"rank": pd.Series(dtype="int64"), "vec_id": pd.Series(dtype="int64")})
+    cand = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        filter=pc.field("vec_id").isin(cand_ids)
+    )
+    ids = cand.column("vec_id").to_numpy()
+    emb = np.stack(cand.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    scores = emb @ (q / np.linalg.norm(q))
+    order = np.lexsort((ids, -scores))[:k]
+    out = pd.DataFrame({"vec_id": ids[order].astype(np.int64)})
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["rank", "vec_id"]]

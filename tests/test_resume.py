@@ -1,7 +1,6 @@
 """Checkpoint/resume lineage (SURVEY.md §4 + §5 item 5): a rebuild skips
 completed phases; a killed phase re-runs and reproduces identical output."""
 
-import hashlib
 import json
 import os
 import shutil
@@ -12,17 +11,7 @@ from rayindex.build import build_index
 from rayindex.fixtures import write_pages
 
 
-def _segments_digest(shard_dir: str) -> str:
-    t = (
-        pads.dataset(os.path.join(shard_dir, "segments"), format="parquet")
-        .to_table()
-        .sort_by([("term", "ascending"), ("salt", "ascending")])
-    )
-    h = hashlib.sha256()
-    for col in ("term", "salt", "n_docs", "docs_blob", "tfs_blob", "dls_blob"):
-        for v in t[col].to_pylist():
-            h.update(str(v).encode() if not isinstance(v, bytes) else v)
-    return h.hexdigest()
+from rayindex.segments import segments_digest as _segments_digest  # noqa: E402
 
 
 def test_resume_skips_completed_phases(ray_session, fixture_corpus, tmp_path):
