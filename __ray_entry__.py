@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_terms": frequent_terms,  # K3 80 % cutoff set
         "search_and": lambda sf: textops.search_and(sf, *_SEARCH_TERMS),  # J3+K1+K4
         "dedup_exact": textops.dedup_exact,  # D1 exact dedup
+        "site_stats": textops.site_stats,  # A3-A5 statistics endpoint
         # --- training-data operators -------------------------------------
         "fingerprint": textops.fingerprint,
         "lang_signals": textops.lang_signals,
@@ -104,6 +105,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM co ORDER BY relevance DESC, doc_id LIMIT 10"
         ),
         "dedup_exact": "SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text",
+        "site_stats": (
+            f"WITH {_TS} SELECT site, CAST(count(DISTINCT doc_id) AS BIGINT) AS pages, "
+            "CAST(count(DISTINCT term) AS BIGINT) AS lemmas FROM t GROUP BY site"
+        ),
         "fingerprint": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents"
         ),

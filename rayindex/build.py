@@ -107,10 +107,12 @@ class _PrepareDocs:
     """P1 batch body: extract text/title, derive site + doc_id, shard filter,
     and apply the broadcast dedup-winner filter when duplicates exist."""
 
-    def __init__(self, shard_index: int, num_shards: int, url_filter: bool, winners_ref=None):
+    def __init__(self, shard_index: int, num_shards: int, url_filter: bool, winners_ref=None,
+                 exclude_sites: list[str] | None = None):
         self.shard_index = shard_index
         self.num_shards = num_shards
         self.url_filter = url_filter
+        self.exclude_sites = frozenset(exclude_sites or ())
         # {doc_id: winning warc_ts (us)} for doc_ids that have duplicates;
         # a ray.ObjectRef is resolved lazily on first use in the worker
         self._winners_ref = winners_ref
@@ -156,8 +158,24 @@ class _PrepareDocs:
                     batch = batch.filter(pa.array(~first))
                     doc_ids = doc_ids[~first]
                     urls_pd = urls_pd[~first].reset_index(drop=True)
-        batch = extract_batch(batch)
         site = urls_pd.str.extract(_SITE_RE, expand=False).fillna("")
+        if self.exclude_sites:
+            keep = ~site.isin(self.exclude_sites).to_numpy()
+            batch = batch.filter(pa.array(keep))
+            doc_ids = doc_ids[keep]
+            site = site[keep].reset_index(drop=True)
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "url": pa.array([], pa.string()),
+                        "site": pa.array([], pa.string()),
+                        "title": pa.array([], pa.string()),
+                        "warc_ts": pa.array([], pa.timestamp("us")),
+                        "text": pa.array([], pa.string()),
+                    }
+                )
+        batch = extract_batch(batch)
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
@@ -301,6 +319,7 @@ def build_index(
     salt_target: int = DEFAULT_SALT_TARGET,
     dedup_urls: bool = True,
     url_filter: bool = False,
+    exclude_sites: list[str] | None = None,
     extract_batch_size: int = 2048,
     lemma_batch_size: int = 2048,
     lemma_concurrency: tuple[int, int] | int | None = None,
@@ -317,6 +336,7 @@ def build_index(
         shard=[shard_index, num_shards],
         dedup=dedup_urls,
         url_filter=url_filter,
+        exclude_sites=sorted(exclude_sites or []),
         salt=[salt_df_threshold, salt_target],
     )
     metrics: dict[str, Any] = {"shard": shard_index, "phases": {}}
@@ -348,7 +368,7 @@ def build_index(
             # stateless tasks (cheap, elastic): extraction carries no heavy
             # state, and task scheduling outperforms an actor pool here
             ds = ds.map_batches(
-                _PrepareDocs(shard_index, num_shards, url_filter, winners_ref),
+                _PrepareDocs(shard_index, num_shards, url_filter, winners_ref, exclude_sites),
                 batch_format="pyarrow",
                 batch_size=extract_batch_size,
                 zero_copy_batch=True,

@@ -1,0 +1,194 @@
+"""Incremental operators — U1/U2/U3 of SURVEY.md §2.9.
+
+Reference behavior being replaced:
+
+- U1 single-page re-index (services/IndexingPageServiceImpl.java:37-135):
+  decrement each touched lemma's df in place, delete the page's postings and
+  row, then re-fetch and re-index — racy read-modify-write against MySQL.
+- U2 site purge (dto/indexing/SiteIndexer.java:108-129): cascade DELETEs of
+  index_table → page → lemma → site rows.
+
+Here both become *declarative* operations over immutable shard outputs:
+
+- ``incremental_update``: delta pages are just MORE page rows with newer
+  ``warc_ts``; the url-space shard(s) they hash into are rebuilt from
+  (original ∪ delta) inputs, where the existing D1 keep-latest dedup
+  resolves the override.  Document frequencies are recomputed by the normal
+  aggregation — never decremented in place.  Untouched shards are not read.
+- ``purge_site``: a soft delete recorded in ``tombstones.json`` at the index
+  root, carrying the exact correction terms (page count, Σ doc_len and the
+  purged doc ids) so the query engine serves *exactly* the results a full
+  rebuild without the site would produce (idf/avgdl corrected; candidates
+  filtered).  ``compact`` makes it physical by rebuilding without the site.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from .build import build_index
+from .schema import hash64_strings
+
+
+def affected_shards(delta_pages_path: str, num_shards: int) -> list[int]:
+    """Which url-space shards a delta touches (hash(url) % num_shards)."""
+    if num_shards <= 1:
+        return [0]
+    ds = pads.dataset(delta_pages_path, format="parquet")
+    urls = ds.to_table(columns=["url"]).column("url").to_pandas().to_numpy()
+    return sorted(set((hash64_strings(urls) % np.uint64(num_shards)).astype(int).tolist()))
+
+
+def _expand(paths: list[str]) -> list[str]:
+    """ray.data.read_parquet expands a single directory but not directories
+    inside a list — flatten to parquet file paths."""
+    out: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            out.extend(
+                os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+            )
+        else:
+            out.append(p)
+    return out
+
+
+def incremental_update(
+    index_dir: str,
+    original_pages: str | list[str],
+    delta_pages: str,
+    analyzer_spec: dict,
+    num_shards: int = 1,
+    **build_kwargs,
+) -> dict:
+    """U1: rebuild only the shards whose url-space the delta touches.
+
+    The combined input (original ∪ delta) changes those shards' phase config
+    keys, so their phases re-run; other shards' manifests still match and are
+    skipped untouched."""
+    paths = original_pages if isinstance(original_pages, list) else [original_pages]
+    combined = _expand(paths + [delta_pages])
+    out = {"rebuilt_shards": []}
+    for s in affected_shards(delta_pages, num_shards):
+        m = build_index(
+            combined, index_dir, analyzer_spec,
+            shard_index=s, num_shards=num_shards, **build_kwargs,
+        )
+        out["rebuilt_shards"].append(m)
+    return out
+
+
+def _tombstones_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "tombstones.json")
+
+
+def load_tombstones(index_dir: str) -> dict:
+    p = _tombstones_path(index_dir)
+    if not os.path.exists(p):
+        return {"sites": {}}
+    with open(p) as f:
+        return json.load(f)
+
+
+def purge_site(index_dir: str, site: str) -> dict:
+    """U2 soft delete: record the site + exact correction terms.
+
+    Scans the shard doc stores for the site's doc ids and joins doclen for
+    their Σ doc_len (a pruned column scan per shard — distributed-friendly:
+    each shard's docs are independent)."""
+    from .segments import list_shards
+
+    tomb = load_tombstones(index_dir)
+    if site in tomb["sites"]:
+        return tomb
+    doc_ids: list[int] = []
+    purged_tf = 0
+    for shard in list_shards(index_dir):
+        docs = pads.dataset(os.path.join(shard, "docs"), format="parquet").to_table(
+            columns=["doc_id"], filter=pc.field("site") == site
+        )
+        ids = docs.column("doc_id").to_numpy()
+        if len(ids) == 0:
+            continue
+        doc_ids.extend(int(d) for d in ids)
+        dl = pads.dataset(os.path.join(shard, "doclen"), format="parquet").to_table(
+            filter=pc.field("doc_id").isin(ids.tolist())
+        )
+        purged_tf += int(pc.sum(dl.column("doc_len")).as_py() or 0)
+    tomb["sites"][site] = {
+        "n_docs": len(doc_ids),
+        "purged_tf": purged_tf,
+        "doc_ids": sorted(doc_ids),
+    }
+    tmp = _tombstones_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(tomb, f)
+    os.replace(tmp, _tombstones_path(index_dir))
+    return tomb
+
+
+def compact(
+    index_dir: str,
+    original_pages: str | list[str],
+    analyzer_spec: dict,
+    out_dir: str,
+    num_shards: int = 1,
+    **build_kwargs,
+) -> dict:
+    """Make purges physical: full rebuild excluding tombstoned sites.
+
+    (The site filter rides the extract stage; no extra pass.)"""
+    tomb = load_tombstones(index_dir)
+    purged = sorted(tomb["sites"])
+    out = {"shards": []}
+    for s in range(num_shards):
+        m = build_index(
+            original_pages, out_dir, analyzer_spec,
+            shard_index=s, num_shards=num_shards,
+            exclude_sites=purged, **build_kwargs,
+        )
+        out["shards"].append(m)
+    return out
+
+
+def index_page(
+    index_dir: str,
+    url: str,
+    html: bytes,
+    warc_ts_us: int,
+    original_pages: str | list[str],
+    analyzer_spec: dict,
+    num_shards: int = 1,
+    scratch_dir: str | None = None,
+    **build_kwargs,
+) -> dict:
+    """The ``POST /api/indexPage`` equivalent: wrap one page as a delta table
+    and run the incremental update (services/IndexingPageServiceImpl.java:37-135)."""
+    import pyarrow as pa
+
+    from .schema import PAGES_SCHEMA
+
+    scratch = scratch_dir or os.path.join(index_dir, "_delta")
+    os.makedirs(scratch, exist_ok=True)
+    delta = os.path.join(scratch, f"delta_{abs(hash(url)) % (1 << 32):08x}")
+    os.makedirs(delta, exist_ok=True)
+    t = pa.table(
+        {
+            "url": pa.array([url], pa.string()),
+            "warc_ts": pa.array([warc_ts_us], pa.timestamp("us")),
+            "html": pa.array([html], pa.binary()),
+            "text": pa.array([""], pa.string()),
+            "lang": pa.array([""], pa.string()),
+        },
+        schema=PAGES_SCHEMA,
+    )
+    pq.write_table(t, os.path.join(delta, "part-00000.parquet"))
+    return incremental_update(
+        index_dir, original_pages, delta, analyzer_spec, num_shards, **build_kwargs
+    )

@@ -128,6 +128,7 @@ def wand_topk(
     entries: list[tuple[float, "ChainCursor"]],
     contrib_fn,
     k: int,
+    excluded: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Block-max WAND top-k over (idf, cursor) entries.
 
@@ -141,6 +142,14 @@ def wand_topk(
     cursors = [e for e in entries if e[1].n_blocks]
     if not cursors:
         return []
+    excl = excluded if excluded is not None and len(excluded) else None
+
+    def is_excluded(doc: int) -> bool:
+        if excl is None:
+            return False
+        i = int(np.searchsorted(excl, np.uint64(doc)))
+        return i < len(excl) and int(excl[i]) == doc
+
     block_ub: list[np.ndarray] = []
     term_ub: list[float] = []
     for idf, cur in cursors:
@@ -181,6 +190,11 @@ def wand_topk(
                 for i in prefix:
                     if cursors[i][1].doc < target:
                         cursors[i][1].next_geq(target)
+                continue
+            if is_excluded(pivot_doc):  # U2 tombstone: skip without scoring
+                for i in by_doc:
+                    if cursors[i][1].doc == pivot_doc:
+                        cursors[i][1].next()
                 continue
             score = 0.0
             for i in order:
@@ -235,6 +249,41 @@ class QueryEngine:
         self._site_docs_cache: dict[str, np.ndarray] = {}
         self._readers_cache: dict[str, list[BlockReader]] = {}
         self._decoded_cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+        # U2 soft deletes (tombstones.json): correct the global stats exactly
+        # and exclude the purged docs from every candidate set, so results
+        # equal a physical rebuild without the purged sites.
+        from .incremental import load_tombstones
+
+        tomb = load_tombstones(index_root)
+        self.purged_sites = set(tomb["sites"])
+        excluded: list[int] = []
+        for site, info in tomb["sites"].items():
+            self.n_docs -= int(info["n_docs"])
+            self.total_tf -= int(info["purged_tf"])
+            self.site_pages.pop(site, None)
+            excluded.extend(info["doc_ids"])
+        self.excluded_docs = np.array(sorted(excluded), dtype=np.uint64)
+        self.avgdl = (self.total_tf / self.n_docs) if self.n_docs else 0.0
+        if self.purged_sites:
+            # global df must exclude purged sites' contributions
+            live = {
+                t: 0 for t in self.term_df
+            }
+            for (site, t), v in self.site_term_df.items():
+                if site not in self.purged_sites:
+                    live[t] = live.get(t, 0) + int(v)
+            self.term_df = {t: v for t, v in live.items() if v > 0}
+
+    def _not_excluded(self, docs: np.ndarray) -> np.ndarray:
+        """Boolean mask of docs NOT tombstoned (sorted-array membership)."""
+        if self.excluded_docs.size == 0:
+            return np.ones(len(docs), dtype=bool)
+        idx = np.searchsorted(self.excluded_docs, docs)
+        hit = (idx < self.excluded_docs.size) & (
+            self.excluded_docs[np.minimum(idx, self.excluded_docs.size - 1)] == docs
+        )
+        return ~hit
 
     # -- lookups ------------------------------------------------------------
     def _cursor(self, term: str) -> ChainCursor:
@@ -298,6 +347,37 @@ class QueryEngine:
                 out[int(row["doc_id"])] = row
         return out
 
+    def statistics(self) -> dict:
+        """``GET /api/statistics`` equivalent (A3-A5,
+        services/StatisticsServiceImpl.java:57-89): totals + per-site pages
+        and lemma counts."""
+        site_lemmas: dict[str, int] = {}
+        for (site, _t), v in self.site_term_df.items():
+            if v > 0 and site not in self.purged_sites:
+                site_lemmas[site] = site_lemmas.get(site, 0) + 1
+        detailed = [
+            {
+                "url": f"https://{site}",
+                "name": site,
+                "status": "INDEXED",
+                "pages": int(pages),
+                "lemmas": int(site_lemmas.get(site, 0)),
+            }
+            for site, pages in sorted(self.site_pages.items())
+        ]
+        return {
+            "result": True,
+            "statistics": {
+                "total": {
+                    "sites": len(detailed),
+                    "pages": int(sum(self.site_pages.values())),
+                    "lemmas": len(self.term_df),
+                    "indexing": False,
+                },
+                "detailed": detailed,
+            },
+        }
+
     # -- K3 cutoff + K2 order ----------------------------------------------
     def _query_terms(self, query: str, site: str | None) -> list[tuple[str, int]]:
         lemmas = list(self.analyzer.collect_lemmas(query).keys())
@@ -316,6 +396,8 @@ class QueryEngine:
     def search(self, query: str, site: str | None = None, k: int | None = 10,
                with_snippets: bool = True) -> dict:
         """Full reference-semantics search → SearchingResponse-shaped dict."""
+        if site is not None and site in self.purged_sites:
+            return {"result": True, "count": 0, "data": []}
         kept = self._query_terms(query, site)
         if not kept:
             return {"result": True, "count": 0, "data": []}
@@ -329,6 +411,7 @@ class QueryEngine:
         if site is not None:
             sdocs = self._site_doc_ids(site)
             cand = cand[np.isin(cand, sdocs, assume_unique=True)]
+        cand = cand[self._not_excluded(cand)]
         if cand.size == 0:
             return {"result": True, "count": 0, "data": []}
         abs_rel = np.zeros(cand.size, dtype=np.float64)
@@ -386,6 +469,8 @@ class QueryEngine:
                 continue
             idf = self._idf(df)
             docs, tfs, dls = self._decoded(t)
+            live = self._not_excluded(docs)
+            docs, tfs, dls = docs[live], tfs[live], dls[live]
             doc_parts.append(docs)
             contrib_parts.append(
                 self._contrib(idf, tfs.astype(np.float64), dls.astype(np.float64))
@@ -443,4 +528,4 @@ class QueryEngine:
             if df == 0:
                 continue
             entries.append((self._idf(df), self._cursor(t)))
-        return wand_topk(entries, self._contrib, k)
+        return wand_topk(entries, self._contrib, k, excluded=self.excluded_docs)

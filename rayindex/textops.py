@@ -136,6 +136,33 @@ def search_and(sf_dir: str, term_a: str, term_b: str, k: int = 10) -> pd.DataFra
     return pdf.reset_index(drop=True)
 
 
+def site_stats(sf_dir: str) -> pd.DataFrame:
+    """A3-A5 (statistics endpoint): per-site page count + distinct-lemma
+    count.  Distinct counts don't partial-sum, so distinct pairs are reduced
+    per batch first and finalized in one small groupby each."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
+    tf = docs.map_batches(TokenizeDocs, fn_constructor_kwargs={"with_site": True},
+                          batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4))
+
+    from ray.data.aggregate import Count as _Count
+
+    def distinct(cols):
+        return (
+            tf.map_batches(
+                lambda t, c=cols: t.group_by(c).aggregate([]),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+            .groupby(cols)
+            .aggregate(_Count(alias_name="_n"))
+            .to_pandas()
+        )
+
+    pages = distinct(["site", "doc_id"]).groupby("site").size().rename("pages")
+    lemmas = distinct(["site", "term"]).groupby("site").size().rename("lemmas")
+    out = pd.concat([pages, lemmas], axis=1).fillna(0).astype("int64").reset_index()
+    return out.sort_values("site").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 
