@@ -35,6 +35,37 @@ _TS = f"{_TOKS_SITE}, t AS (SELECT doc_id, site, term FROM toks WHERE term <> ''
 
 _SEARCH_TERMS = ("table", "spark")
 
+# Reconstruction of the documents-seeded pages' extracted text in SQL (must
+# mirror rayindex.fixtures.pages_from_documents at repeat=1, body_repeat=1:
+# golden = "doc {id} rep 0" + " heading {id} " + p1 + " " + p2 where p1/p2 are
+# the text halves — i.e. the text itself, with " tail" appended for 1-word
+# texts — and url = https://{source}.bench.example/d/{id:08d}/0).
+_PAGES = (
+    "pages AS (SELECT "
+    "'https://' || source || '.bench.example/d/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '/0' AS url, "
+    "'doc ' || doc_id || ' rep 0 heading ' || doc_id || ' ' || "
+    "(CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 2 THEN text || ' tail' ELSE text END) AS full_text "
+    "FROM documents)"
+)
+_PTOKS = (
+    f"{_PAGES}, ptoks AS (SELECT url, unnest(string_split_regex(trim(regexp_replace("
+    "lower(full_text), '[^a-z0-9]', ' ', 'g')), ' +')) AS term FROM pages), "
+    f"pt AS (SELECT url, term FROM ptoks WHERE term <> '' AND term NOT IN {_STOP_SQL})"
+)
+
+# the flagship query set, tokenized with the same analyzer at import time so
+# the SQL oracle sees the identical per-query term sets
+def _flagship_query_terms() -> list[tuple[str, str]]:
+    from rayindex.analyze import simple_analyzer
+    from rayindex.pipelines import FLAGSHIP_QUERIES
+
+    an = simple_analyzer()
+    out = []
+    for q in FLAGSHIP_QUERIES:
+        for t in an.collect_lemmas(q):
+            out.append((q, t))
+    return out
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver checks rows ≥ 0)."""
@@ -74,6 +105,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_meta": __import__("rayindex.multimodal", fromlist=["media_meta"]).media_meta,
         "media_frames": __import__("rayindex.multimodal", fromlist=["media_frames"]).media_frames,
         "media_features": __import__("rayindex.multimodal", fromlist=["media_features"]).media_features,
+        # --- flagship END-TO-END through the built index (SQL-checked) ---
+        "engine_search_scores": __import__(
+            "rayindex.pipelines", fromlist=["engine_search_scores"]
+        ).engine_search_scores,
+        "engine_term_df": __import__(
+            "rayindex.pipelines", fromlist=["engine_term_df"]
+        ).engine_term_df,
         # --- rows-only (no SQL equivalent; pytest-verified) --------------
         "minhash_lsh_pairs": textops.minhash_lsh_pairs,
         "simhash": textops.simhash,
@@ -143,6 +181,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / "
             "len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard "
             "FROM gsets a JOIN gsets b ON b.doc_id = a.doc_id + 1"
+        ),
+        "engine_term_df": (
+            f"WITH {_PTOKS} SELECT term, CAST(count(DISTINCT url) AS BIGINT) AS df "
+            "FROM pt GROUP BY term"
+        ),
+        "engine_search_scores": (
+            f"WITH {_PTOKS}, "
+            "tf AS (SELECT url, term, count(*) AS tf FROM pt GROUP BY url, term), "
+            "df AS (SELECT term, count(DISTINCT url) AS df FROM pt GROUP BY term), "
+            "q(query, term) AS (VALUES "
+            + ", ".join(f"('{q}', '{t}')" for q, t in _flagship_query_terms())
+            + "), "
+            "kept AS (SELECT q.query, q.term FROM q JOIN df USING (term) "
+            "WHERE 200 * df.df < 159 * (SELECT count(*) FROM documents)), "
+            "nk AS (SELECT query, count(*) AS n_terms FROM kept GROUP BY query), "
+            "hits AS (SELECT k.query, t.url, t.term, t.tf FROM kept k JOIN tf t USING (term)), "
+            "cand AS (SELECT query, url, count(DISTINCT term) AS c, CAST(sum(tf) AS BIGINT) AS score "
+            "FROM hits GROUP BY query, url), "
+            "co AS (SELECT c.query, c.url, c.score FROM cand c JOIN nk USING (query) WHERE c.c = nk.n_terms) "
+            "SELECT query, url, score, "
+            "CAST(score AS DOUBLE) / max(score) OVER (PARTITION BY query) AS relevance FROM co"
         ),
         "media_meta": (
             "WITH m AS (SELECT doc_id AS media_id, "

@@ -172,8 +172,8 @@ def gen_fixture(n_pages: int = 2000, n_lemmas: int = 500, seed: int = 42) -> Fix
     for k in range(40, 48):
         a, b, c = (lemmas[(3 * k + m) % n_lemmas] for m in range(3))
         q(f"{forms[a][0]} {forms[b][0]} {forms[c][0]}")
-    q(f"{forms[head][0]} {forms[lemmas[20]][0]}")  # head + mid: head cut, mid survives
-    q(f"{forms[lemmas[30]][0]} ыыыы")  # known + unknown → empty intersection
+    q(f"{forms[head][0]} {forms[lemmas[20 % n_lemmas]][0]}")  # head + mid: head cut, mid survives
+    q(f"{forms[lemmas[30 % n_lemmas]][0]} ыыыы")  # known word + unknown word
 
     return Fixture(
         pages=pages,

@@ -84,6 +84,44 @@ def flagship_search(sf_dir: str, repeat: int = 1, queries: list[str] | None = No
     )
 
 
+def engine_search_scores(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:
+    """Flagship end-to-end, ORACLE-CHECKABLE: build the index over the
+    documents-seeded pages, run the reference-semantics search, return ALL
+    matches (the reference backend ignores limit/offset —
+    controllers/ApiController.java:55-58) as (query, url, score, relevance).
+
+    No rank column: result-set identity is order-insensitive, which sidesteps
+    the doc_id (hash) tie-break that SQL cannot reproduce; the DuckDB oracle
+    reconstructs page text from the documents table and replays the cutoff /
+    intersection / Σtf/max pipeline."""
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    rows = []
+    for q in queries or FLAGSHIP_QUERIES:
+        res = eng.search(q, k=None, with_snippets=False)
+        ids = [r["doc_id"] for r in res["data"]]
+        meta = eng.doc_meta(ids)
+        for r in res["data"]:
+            rows.append(
+                {
+                    "query": q,
+                    "url": meta[r["doc_id"]]["url"],
+                    "score": int(r["abs"]),
+                    "relevance": float(r["relevance"]),
+                }
+            )
+    return pd.DataFrame(rows, columns=["query", "url", "score", "relevance"])
+
+
+def engine_term_df(sf_dir: str) -> pd.DataFrame:
+    """End-to-end A1 check THROUGH the built index: the engine's loaded global
+    term→df dictionary (from the compressed-segment build) as a table."""
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    items = sorted(eng.term_df.items())
+    return pd.DataFrame({"term": [t for t, _ in items], "df": [int(v) for _, v in items]})
+
+
 def wand_search(sf_dir: str, repeat: int = 1, queries: list[str] | None = None) -> pd.DataFrame:
     """BM25 block-max WAND top-10 per demo query."""
     index_dir = build_bench_index(sf_dir, repeat)

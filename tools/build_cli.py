@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Index-build entrypoint for ``ray job submit`` (BASELINE.json north_rule).
+
+Cluster usage (each shard is an independent resumable unit of work):
+
+    ray job submit --working-dir . -- \
+        python tools/build_cli.py --pages s3://bucket/pages --out s3://bucket/index \
+        --analyzer simple --num-shards 64 --shard-range 0:64
+
+Local usage (owns its Ray session; the sandbox always runs local):
+
+    python tools/build_cli.py --pages /tmp/pages --out /tmp/index --analyzer simple
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--pages", required=True, help="pages Parquet path (input_hint schema)")
+    ap.add_argument("--out", required=True, help="index output root")
+    ap.add_argument("--analyzer", default="simple", choices=["simple", "reference_ru"])
+    ap.add_argument("--analyzer-spec-json", default=None,
+                    help="path to a JSON analyzer spec (overrides --analyzer)")
+    ap.add_argument("--num-shards", type=int, default=1)
+    ap.add_argument("--shard-range", default=None,
+                    help="START:END shard slice for this job (default: all)")
+    ap.add_argument("--num-buckets", type=int, default=None)
+    ap.add_argument("--no-dedup", action="store_true")
+    ap.add_argument("--url-filter", action="store_true")
+    ap.add_argument("--num-cpus", type=int, default=None,
+                    help="local-mode CPU count (ignored on a real cluster)")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        init_kwargs = dict(include_dashboard=False, ignore_reinit_error=True,
+                           logging_level="ERROR")
+        if args.num_cpus:
+            init_kwargs.update(address="local", num_cpus=args.num_cpus)
+        ray.init(**init_kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from rayindex.build import DEFAULT_NUM_BUCKETS, build_index
+
+    if args.analyzer_spec_json:
+        spec = json.load(open(args.analyzer_spec_json))
+    else:
+        spec = {"name": args.analyzer}
+
+    lo, hi = 0, args.num_shards
+    if args.shard_range:
+        lo, hi = (int(x) for x in args.shard_range.split(":"))
+
+    metrics = []
+    for s in range(lo, hi):
+        m = build_index(
+            args.pages, args.out, spec,
+            shard_index=s, num_shards=args.num_shards,
+            num_buckets=args.num_buckets or DEFAULT_NUM_BUCKETS,
+            dedup_urls=not args.no_dedup,
+            url_filter=args.url_filter,
+        )
+        print(json.dumps(m), flush=True)
+        metrics.append(m)
+    print(json.dumps({"done": True, "shards": [m["shard"] for m in metrics]}))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
