@@ -92,6 +92,15 @@ _HEAVY_SAMPLE_ROWS = 2_000_000  # posting rows sampled for skew detection
 LAYOUT_VERSION = 2  # bump when on-disk phase output schemas change (invalidates resume)
 
 
+def normalize_https(url: str) -> str:
+    """M11 (dto/indexing/SiteIndexer.java:98-103): the reference inserts an
+    ``s`` at position 4 when ``url[4] != 's'`` — i.e. http:// → https:// for
+    configured crawl roots.  Same effect, done sanely."""
+    if url.startswith("http://"):
+        return "https://" + url[len("http://"):]
+    return url
+
+
 def _config_key(**kwargs) -> str:
     return hashlib.sha256(json.dumps(kwargs, sort_keys=True).encode()).hexdigest()[:16]
 
@@ -233,6 +242,65 @@ class _AddSalt:
         return batch.append_column("salt", pa.array(salts, pa.int32()))
 
 
+class _EncodeUnit:
+    """Bucketed-shuffle reduce task: one (bucket, salt) unit per call.
+
+    Reads only its bucket's postings directory (the map-side partitioned
+    write colocated the bucket), derives salts for the broadcast heavy-term
+    set, slices its salt, and encodes — identical output to the groupby path.
+    """
+
+    def __init__(self, postings_dir: str, heavy_ref):
+        self.postings_dir = postings_dir
+        self._heavy_ref = heavy_ref
+        self.heavy: dict | None = heavy_ref if isinstance(heavy_ref, dict) else None
+
+    def _get_heavy(self) -> dict:
+        if self.heavy is None:
+            ref = self._heavy_ref
+            self.heavy = ray.get(ref) if isinstance(ref, ray.ObjectRef) else (ref or {})
+        return self.heavy
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        from .segments import MIXED_SCHEMA
+
+        out = []
+        heavy = self._get_heavy()
+        for unit in batch.to_pylist():
+            b, s = int(unit["bucket"]), int(unit["salt"])
+            d = os.path.join(self.postings_dir, f"bucket={b}")
+            t = pads.dataset(d, format="parquet").to_table(
+                columns=["doc_id", "site", "term", "tf", "doc_len"]
+            )
+            if t.num_rows == 0:
+                continue
+            salts = np.zeros(t.num_rows, dtype=np.int32)
+            if heavy:
+                terms = t.column("term").to_pandas()
+                n_salts = terms.map(heavy)
+                mask = n_salts.notna().to_numpy()
+                if mask.any():
+                    doc_ids = t.column("doc_id").to_pandas().to_numpy()[mask]
+                    ns = n_salts.to_numpy()[mask].astype(np.int64)
+                    sub = np.zeros(int(mask.sum()), dtype=np.int32)
+                    for val in np.unique(ns):
+                        m2 = ns == val
+                        sub[m2] = range_salt(doc_ids[m2], int(val))
+                    salts[mask] = sub
+            sel = salts == s
+            if not sel.any():
+                continue
+            df = t.filter(pa.array(sel)).to_pandas()
+            df["bucket"] = b
+            df["salt"] = s
+            out.append(encode_group(df))
+        if not out:
+            return MIXED_SCHEMA.empty_table()
+        return pa.concat_tables(out)
+
+
 def _detect_dup_winners(pages_path, shard_index: int, num_shards: int) -> dict[int, int]:
     """D1 winner selection over SKINNY columns: {doc_id: max warc_ts(us)} for
     urls that occur more than once.  The result is small (only actual
@@ -274,11 +342,10 @@ def _sample_heavy_terms(
     estimate per-term df from a row sample and return {term: n_salts} for
     terms whose estimated df crosses ``threshold``.  Misestimates only affect
     parallelism, never correctness (salting is order-preserving)."""
-    files = sorted(
-        os.path.join(postings_dir, f)
-        for f in os.listdir(postings_dir)
-        if f.endswith(".parquet")
-    )
+    files = []
+    for root, _dirs, names in os.walk(postings_dir):
+        files.extend(os.path.join(root, f) for f in names if f.endswith(".parquet"))
+    files.sort()
     if not files:
         return {}
     total_rows = 0
@@ -320,6 +387,9 @@ def build_index(
     dedup_urls: bool = True,
     url_filter: bool = False,
     exclude_sites: list[str] | None = None,
+    shuffle_mode: str = "bucketed",  # "bucketed" (map-side partitioned write +
+    # per-(bucket, salt) reduce tasks) or "groupby" (Ray sort-based shuffle);
+    # both produce byte-identical segments
     extract_batch_size: int = 2048,
     lemma_batch_size: int = 2048,
     lemma_concurrency: tuple[int, int] | int | None = None,
@@ -338,6 +408,7 @@ def build_index(
         url_filter=url_filter,
         exclude_sites=sorted(exclude_sites or []),
         salt=[salt_df_threshold, salt_target],
+        shuffle_mode=shuffle_mode,
     )
     metrics: dict[str, Any] = {"shard": shard_index, "phases": {}}
     t_start = time.monotonic()
@@ -409,7 +480,9 @@ def build_index(
             postings = postings.map_batches(
                 _AddBucket(num_buckets), batch_format="pyarrow", zero_copy_batch=True
             )
-            _write_parquet(postings, tmp)
+            # map-side shuffle write: one directory per term-hash bucket, so
+            # the encode phase can run as independent per-bucket work units
+            _write_parquet(postings, tmp, partition_cols=["bucket"])
         commit_phase(shard_dir, "postings", key, {"seconds": round(time.monotonic() - t1, 3)})
     metrics["phases"]["postings"] = round(time.monotonic() - t1, 3)
 
@@ -456,6 +529,14 @@ def build_index(
     metrics["phases"]["prestats"] = round(time.monotonic() - t2, 3)
 
     # ---- P4: THE wide shuffle — segments + partial df --------------------
+    # "bucketed": the shuffle is explicit — P2 already wrote postings
+    # partitioned by term-hash bucket (map side); here each (bucket, salt)
+    # pair is an independent reduce task that reads only its bucket directory,
+    # slices its salt range, sorts locally and encodes.  No all-to-all
+    # barrier; parallelism = Σ salts over buckets; per-task memory is bounded
+    # by the bucket size (choose num_buckets for the data scale) and by
+    # salt_target for head terms.  "groupby" keeps Ray's sort-based shuffle;
+    # both produce byte-identical segment rows.
     t3 = time.monotonic()
     if not (resume and phase_done(shard_dir, "segments", key)):
         stats = json.load(open(os.path.join(shard_dir, "stats.json")))
@@ -465,15 +546,45 @@ def build_index(
         heavy = _sample_heavy_terms(postings_dir, threshold, salt_target)
         heavy_ref = ray.put(heavy)
         with phase_output(seg_dir) as tmp:
-            p = rd.read_parquet(
-                postings_dir, columns=["doc_id", "site", "term", "tf", "doc_len", "bucket"]
-            )
-            p = p.map_batches(
-                _AddSalt(heavy_ref),
-                batch_format="pyarrow", zero_copy_batch=True,
-            )
-            segs = p.groupby(["bucket", "salt"]).map_groups(encode_group, batch_format="pandas")
-            _write_parquet(segs, tmp, partition_cols=["bucket"])
+            if shuffle_mode == "bucketed":
+                present = sorted(
+                    int(name.split("=", 1)[1])
+                    for name in os.listdir(postings_dir)
+                    if name.startswith("bucket=")
+                )
+                bucket_salts: dict[int, set[int]] = {b: {0} for b in present}
+                if heavy:
+                    hterms = np.array(list(heavy.keys()), dtype=object)
+                    hbuckets = term_bucket(hterms, num_buckets)
+                    for term, hb in zip(hterms, hbuckets):
+                        if int(hb) in bucket_salts:
+                            bucket_salts[int(hb)].update(range(heavy[term]))
+                units = [
+                    {"bucket": b, "salt": s}
+                    for b in present
+                    for s in sorted(bucket_salts[b])
+                ]
+                units_ds = rd.from_items(units)
+                segs = units_ds.map_batches(
+                    _EncodeUnit(postings_dir, heavy_ref),
+                    batch_size=1, batch_format="pyarrow", zero_copy_batch=True,
+                )
+                _write_parquet(segs, tmp, partition_cols=["bucket"])
+            else:
+                p = rd.read_parquet(
+                    postings_dir, columns=["doc_id", "site", "term", "tf", "doc_len"]
+                )
+                p = p.map_batches(
+                    _AddBucket(num_buckets), batch_format="pyarrow", zero_copy_batch=True
+                )
+                p = p.map_batches(
+                    _AddSalt(heavy_ref),
+                    batch_format="pyarrow", zero_copy_batch=True,
+                )
+                segs = p.groupby(["bucket", "salt"]).map_groups(
+                    encode_group, batch_format="pandas"
+                )
+                _write_parquet(segs, tmp, partition_cols=["bucket"])
         commit_phase(
             shard_dir, "segments", key,
             {"seconds": round(time.monotonic() - t3, 3), "heavy_terms": len(heavy)},

@@ -13,6 +13,7 @@ from .query import QueryEngine
 
 SIMPLE_SPEC = {"name": "simple"}
 CACHE_ROOT = "/tmp/rayindex_cache"
+PAGES_GEN_VERSION = 2  # bump when pages_from_documents output changes (stale-cache guard)
 
 # engine demo queries over the documents vocabulary: conjunctions, a term that
 # sits at the 80 % cutoff boundary, and an unknown word (silently dropped)
@@ -42,7 +43,9 @@ def bench_pages(
     sf_dir: str, repeat: int = 1, n_fragments: int = 64, body_repeat: int = 1
 ) -> str:
     suffix = f"_b{body_repeat}" if body_repeat > 1 else ""
-    out = os.path.join(CACHE_ROOT, f"pages_{_sf_name(sf_dir)}_r{repeat}{suffix}")
+    out = os.path.join(
+        CACHE_ROOT, f"pages_{_sf_name(sf_dir)}_r{repeat}{suffix}_v{PAGES_GEN_VERSION}"
+    )
     return pages_from_documents(
         os.path.join(sf_dir, "documents.parquet"), out, repeat=repeat,
         n_fragments=n_fragments, body_repeat=body_repeat,
@@ -53,7 +56,9 @@ def build_bench_index(sf_dir: str, repeat: int = 1, out_dir: str | None = None, 
     """Build (or resume) the index over the documents-seeded pages table."""
     pages_dir = bench_pages(sf_dir, repeat)
     if out_dir is None:
-        out_dir = os.path.join(CACHE_ROOT, f"index_{_sf_name(sf_dir)}_r{repeat}")
+        out_dir = os.path.join(
+            CACHE_ROOT, f"index_{_sf_name(sf_dir)}_r{repeat}_v{PAGES_GEN_VERSION}"
+        )
     build_index(pages_dir, out_dir, SIMPLE_SPEC, **kwargs)
     return out_dir
 

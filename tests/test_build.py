@@ -92,3 +92,62 @@ def test_dedup_idempotent(ray_session, fixture_corpus, tmp_path):
     # winners must be the newer rows (non-zero timestamps)
     ts = docs.filter(pc.equal(pc.year(docs["warc_ts"]), 1970))
     assert ts.num_rows == 0
+
+
+def test_url_filter_rejects_media_and_query_urls(ray_session, fixture_corpus, tmp_path):
+    """M8 (dto/indexing/PageIndexer.java:136-144): media extensions, ?, #."""
+    import pyarrow as pa
+
+    from rayindex.build import build_index
+    from rayindex.fixtures import write_pages
+
+    pages = fixture_corpus.pages.slice(0, 12)
+    urls = pages.column("url").to_pylist()
+    urls[1] = urls[1] + ".png"
+    urls[2] = urls[2] + "?session=1"
+    urls[3] = urls[3] + "#frag"
+    urls[4] = urls[4] + ".PDF"  # case-insensitive
+    pages = pages.set_column(0, "url", pa.array(urls, pa.string()))
+    pdir = str(tmp_path / "pages")
+    write_pages(pages, pdir, 2)
+    out = str(tmp_path / "idx")
+    build_index(pdir, out, fixture_corpus.analyzer_spec, num_buckets=4, url_filter=True)
+    docs = pads.dataset(f"{out}/shard=0/docs").to_table()
+    kept = set(docs.column("url").to_pylist())
+    assert len(kept) == 8
+    assert urls[1] not in kept and urls[2] not in kept
+    assert urls[3] not in kept and urls[4] not in kept
+
+
+def test_compact_makes_purge_physical(ray_session, fixture_corpus, tmp_path):
+    import pyarrow as pa
+
+    from rayindex.build import build_index
+    from rayindex.fixtures import write_pages
+    from rayindex.incremental import compact, purge_site
+    from rayindex.query import QueryEngine
+
+    pages = fixture_corpus.pages.slice(0, 30)
+    urls = pages.column("url").to_pylist()
+    urls2 = [u.replace("fixture.example", "dead.example") if i < 10 else u for i, u in enumerate(urls)]
+    pages = pages.set_column(0, "url", pa.array(urls2, pa.string()))
+    pdir = str(tmp_path / "pages")
+    write_pages(pages, pdir, 2)
+    out = str(tmp_path / "idx")
+    build_index(pdir, out, fixture_corpus.analyzer_spec, num_buckets=4)
+    purge_site(out, "dead.example")
+    out2 = str(tmp_path / "idx2")
+    compact(out, pdir, fixture_corpus.analyzer_spec, out2, num_shards=1, num_buckets=4)
+    eng = QueryEngine(out2, fixture_corpus.analyzer_spec)
+    assert eng.n_docs == 20
+    assert "dead.example" not in eng.site_pages
+    assert not eng.purged_sites  # compacted index carries no tombstones
+
+
+def test_normalize_https():
+    """M11 (dto/indexing/SiteIndexer.java:98-103)."""
+    from rayindex.build import normalize_https
+
+    assert normalize_https("http://a.example/x") == "https://a.example/x"
+    assert normalize_https("https://a.example/x") == "https://a.example/x"
+    assert normalize_https("ftp://a.example") == "ftp://a.example"

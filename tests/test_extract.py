@@ -47,3 +47,20 @@ def test_every_fixture_page_has_title(fixture_corpus):
     """Missing <title> crashes the reference (SearchingServiceImpl.java:163-167)."""
     out = extract_batch(fixture_corpus.pages)
     assert all(t for t in out.column("title").to_pylist())
+
+
+def test_extractor_never_crashes_on_fuzzed_html():
+    """Robustness: arbitrary tag soup must parse without raising."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.text(alphabet="<>ab c/!&;=\"'пqт-\n", max_size=300))
+    @settings(max_examples=200, deadline=None)
+    def run(s):
+        out = extract_text(s)
+        assert isinstance(out, str)
+        assert "  " not in out  # whitespace always collapsed
+        assert out == out.strip()
+        extract_title(s)
+
+    run()

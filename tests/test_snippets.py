@@ -55,3 +55,19 @@ def test_multiple_occurrences_all_bolded():
     text = "кошка видит кошка бежит."
     got = create_snippet("кошка", text)
     assert got.count("<b>кошка</b>") == 2
+
+
+def test_snippets_never_crash_on_fuzzed_input():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.text(alphabet="абв xy.?!;()[]*+\\", max_size=60),
+        st.text(alphabet="абвгд xy.?!; ", max_size=300),
+    )
+    @settings(max_examples=150, deadline=None)
+    def run(query, text):
+        out = create_snippet(query, text)
+        assert isinstance(out, str)
+
+    run()
