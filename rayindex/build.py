@@ -12,10 +12,11 @@ wide (all-to-all) operation for the entire build — everything else is
 embarrassingly-parallel maps, filter scans, or kilobyte-scale aggregations:
 
   P1 docs      read(url,warc_ts,html) → extract (M1/M2 tasks) → doc_id/site
-               → docs/.  Exact url-dedup (D1) uses a SKINNY aggregate over
-               (doc_id, warc_ts) only; when duplicates exist the (small)
-               winner set is broadcast via ray.put and applied as a filter in
-               the same map — full page rows are never shuffled.
+               → docs/.  Exact url-dedup (D1): a SKINNY aggregate finds dup
+               doc_ids; only then a second pass picks winners by a packed
+               (warc_ts, content-hash) key — deterministic even for equal
+               timestamps — broadcast via ray.put and applied as a filter in
+               the same map.  Full page rows are never shuffled.
   P2 postings  docs(text) → Lemmatize actor pool (ST1, M3-M6) → term bucket
                → postings/ (doc_id, site, term, tf, doc_len, first, bucket)
   P3 doclen    A8 as a shuffle-free filter scan (the lemmatizer marks one
@@ -79,7 +80,7 @@ except Exception:  # noqa: BLE001
 
 from .analyze import LemmatizeStage
 from .extract import extract_batch
-from .schema import doc_ids_for_urls, hash64_strings, term_bucket, range_salt
+from .schema import DOCS_SCHEMA, doc_ids_for_urls, hash64_strings, term_bucket, range_salt
 from .segments import commit_phase, encode_group, phase_done, phase_output
 
 _SITE_RE = r"^[a-z][a-z0-9+.-]*://([^/]+)"
@@ -106,10 +107,58 @@ def _config_key(**kwargs) -> str:
 
 
 def _write_parquet(ds: rd.Dataset, path: str, partition_cols: list[str] | None = None):
-    if partition_cols and "partition_cols" in inspect.signature(ds.write_parquet).parameters:
+    if partition_cols:
+        if "partition_cols" not in inspect.signature(ds.write_parquet).parameters:
+            # bucketed shuffle + segment pruning depend on the hive layout;
+            # silently degrading would commit an empty segments phase
+            raise RuntimeError(
+                "this Ray version lacks write_parquet(partition_cols=...); "
+                "required for the bucketed index layout"
+            )
         ds.write_parquet(path, partition_cols=partition_cols)
         return
     ds.write_parquet(path)
+
+
+def _resolve_ref(ref):
+    """Lazy broadcast: resolve a ray.put handle once, in the worker."""
+    return ray.get(ref) if isinstance(ref, ray.ObjectRef) else (ref or {})
+
+
+def derive_salts(terms: "pd.Series", doc_ids: np.ndarray, heavy: dict) -> np.ndarray:
+    """Salt assignment shared by BOTH shuffle modes (their byte-identical
+    output depends on this being the single implementation): 0 for normal
+    terms; order-preserving docid-range salt for heavy terms."""
+    salts = np.zeros(len(terms), dtype=np.int32)
+    if heavy:
+        n_salts = terms.map(heavy)
+        mask = n_salts.notna().to_numpy()
+        if mask.any():
+            ids = doc_ids[mask]
+            ns = n_salts.to_numpy()[mask].astype(np.int64)
+            sub = np.zeros(int(mask.sum()), dtype=np.int32)
+            for val in np.unique(ns):
+                m2 = ns == val
+                sub[m2] = range_salt(ids[m2], int(val))
+            salts[mask] = sub
+    return salts
+
+
+def pack_winner(ts_us: np.ndarray, htmls: list) -> np.ndarray:
+    """Deterministic total order for url-dedup winners: millisecond timestamp
+    in the high bits, 22 bits of content hash as the tiebreak — same url +
+    same warc_ts + different content resolves deterministically instead of
+    crashing the posting encoder with duplicate doc_ids.  Bit-identical
+    duplicates still collapse (same packed value → residual copies are
+    dropped by the encoder's (term, doc) dedup guard)."""
+    import hashlib as _h
+
+    md = np.array(
+        [int.from_bytes(_h.md5(h if isinstance(h, bytes) else h.encode()).digest()[:4], "little") & 0x3FFFFF
+         for h in htmls],
+        dtype=np.int64,
+    )
+    return ((ts_us // 1000) << np.int64(22)) | md
 
 
 class _PrepareDocs:
@@ -122,7 +171,7 @@ class _PrepareDocs:
         self.num_shards = num_shards
         self.url_filter = url_filter
         self.exclude_sites = frozenset(exclude_sites or ())
-        # {doc_id: winning warc_ts (us)} for doc_ids that have duplicates;
+        # {doc_id: winning packed (ts_ms, content-hash)} for dup doc_ids;
         # a ray.ObjectRef is resolved lazily on first use in the worker
         self._winners_ref = winners_ref
         self.winners = winners_ref if isinstance(winners_ref, dict) else None
@@ -141,22 +190,21 @@ class _PrepareDocs:
             h = hash64_strings(batch.column("url").to_pandas().to_numpy())
             batch = batch.filter(pa.array(h % np.uint64(self.num_shards) == self.shard_index))
         if batch.num_rows == 0:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "url": pa.array([], pa.string()),
-                    "site": pa.array([], pa.string()),
-                    "title": pa.array([], pa.string()),
-                    "warc_ts": pa.array([], pa.timestamp("us")),
-                    "text": pa.array([], pa.string()),
-                }
-            )
+            return DOCS_SCHEMA.empty_table()
         urls_pd = batch.column("url").to_pandas()
         doc_ids = doc_ids_for_urls(urls_pd.to_numpy())
         if self._get_winners():
             ts = batch.column("warc_ts").cast(pa.int64()).to_numpy()
-            win = pd.Series(doc_ids).map(self.winners)
-            keep_mask = win.isna().to_numpy() | (win.to_numpy() == ts)
+            w = self.winners
+            # exact int64 lookup (a pandas .map would round-trip the packed
+            # values through float64 and corrupt anything above 2^53)
+            win_np = np.array([w.get(int(d), -1) for d in doc_ids], dtype=np.int64)
+            need = win_np != -1
+            packed = np.zeros(len(doc_ids), dtype=np.int64)
+            if need.any():
+                htmls = batch.filter(pa.array(need)).column("html").to_pylist()
+                packed[need] = pack_winner(ts[need], htmls)
+            keep_mask = (~need) | (win_np == packed)
             batch = batch.filter(pa.array(keep_mask))
             doc_ids = doc_ids[keep_mask]
             urls_pd = urls_pd[keep_mask].reset_index(drop=True)
@@ -174,16 +222,7 @@ class _PrepareDocs:
             doc_ids = doc_ids[keep]
             site = site[keep].reset_index(drop=True)
             if batch.num_rows == 0:
-                return pa.table(
-                    {
-                        "doc_id": pa.array([], pa.int64()),
-                        "url": pa.array([], pa.string()),
-                        "site": pa.array([], pa.string()),
-                        "title": pa.array([], pa.string()),
-                        "warc_ts": pa.array([], pa.timestamp("us")),
-                        "text": pa.array([], pa.string()),
-                    }
-                )
+                return DOCS_SCHEMA.empty_table()
         batch = extract_batch(batch)
         return pa.table(
             {
@@ -220,25 +259,15 @@ class _AddSalt:
 
     def _get_heavy(self) -> dict:
         if self.heavy is None:
-            ref = self._heavy_ref
-            self.heavy = ray.get(ref) if isinstance(ref, ray.ObjectRef) else (ref or {})
+            self.heavy = _resolve_ref(self._heavy_ref)
         return self.heavy
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        salts = np.zeros(n, dtype=np.int32)
-        if self._get_heavy():
-            terms = batch.column("term").to_pandas()
-            n_salts = terms.map(self.heavy)
-            mask = n_salts.notna().to_numpy()
-            if mask.any():
-                doc_ids = batch.column("doc_id").to_pandas().to_numpy()[mask]
-                ns = n_salts.to_numpy()[mask].astype(np.int64)
-                sub = np.zeros(int(mask.sum()), dtype=np.int32)
-                for s in np.unique(ns):
-                    m2 = ns == s
-                    sub[m2] = range_salt(doc_ids[m2], int(s))
-                salts[mask] = sub
+        salts = derive_salts(
+            batch.column("term").to_pandas(),
+            batch.column("doc_id").to_pandas().to_numpy(),
+            self._get_heavy(),
+        )
         return batch.append_column("salt", pa.array(salts, pa.int32()))
 
 
@@ -257,8 +286,7 @@ class _EncodeUnit:
 
     def _get_heavy(self) -> dict:
         if self.heavy is None:
-            ref = self._heavy_ref
-            self.heavy = ray.get(ref) if isinstance(ref, ray.ObjectRef) else (ref or {})
+            self.heavy = _resolve_ref(self._heavy_ref)
         return self.heavy
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -271,24 +299,20 @@ class _EncodeUnit:
         for unit in batch.to_pylist():
             b, s = int(unit["bucket"]), int(unit["salt"])
             d = os.path.join(self.postings_dir, f"bucket={b}")
-            t = pads.dataset(d, format="parquet").to_table(
-                columns=["doc_id", "site", "term", "tf", "doc_len"]
+            dset = pads.dataset(d, format="parquet")
+            # salt units beyond 0 contain only heavy-term rows — push the term
+            # filter into the read instead of materializing the whole bucket
+            flt = pc.field("term").isin(list(heavy)) if (s > 0 and heavy) else None
+            t = dset.to_table(
+                columns=["doc_id", "site", "term", "tf", "doc_len"], filter=flt
             )
             if t.num_rows == 0:
                 continue
-            salts = np.zeros(t.num_rows, dtype=np.int32)
-            if heavy:
-                terms = t.column("term").to_pandas()
-                n_salts = terms.map(heavy)
-                mask = n_salts.notna().to_numpy()
-                if mask.any():
-                    doc_ids = t.column("doc_id").to_pandas().to_numpy()[mask]
-                    ns = n_salts.to_numpy()[mask].astype(np.int64)
-                    sub = np.zeros(int(mask.sum()), dtype=np.int32)
-                    for val in np.unique(ns):
-                        m2 = ns == val
-                        sub[m2] = range_salt(doc_ids[m2], int(val))
-                    salts[mask] = sub
+            salts = derive_salts(
+                t.column("term").to_pandas(),
+                t.column("doc_id").to_pandas().to_numpy(),
+                heavy,
+            )
             sel = salts == s
             if not sel.any():
                 continue
@@ -302,28 +326,28 @@ class _EncodeUnit:
 
 
 def _detect_dup_winners(pages_path, shard_index: int, num_shards: int) -> dict[int, int]:
-    """D1 winner selection over SKINNY columns: {doc_id: max warc_ts(us)} for
-    urls that occur more than once.  The result is small (only actual
-    duplicates) and is broadcast to the extract stage; with url-space
-    sharding each shard's duplicate set stays bounded."""
+    """D1 winner selection: {doc_id: max packed (ts_ms, content-hash)} for
+    urls that occur more than once.
+
+    Two stages so the common no-duplicates case stays cheap: a SKINNY
+    (url, warc_ts) aggregate finds which doc_ids have duplicates at all; only
+    when some exist does a second pass (restricted to those doc_ids) hash the
+    html payloads to produce the packed content-tiebroken winner.  The result
+    is small (only actual duplicates) and is broadcast to the extract stage;
+    with url-space sharding each shard's duplicate set stays bounded."""
 
     def skinny(batch: pa.Table) -> pa.Table:
         if num_shards > 1 and batch.num_rows:
             h = hash64_strings(batch.column("url").to_pandas().to_numpy())
             batch = batch.filter(pa.array(h % np.uint64(num_shards) == shard_index))
         ids = doc_ids_for_urls(batch.column("url").to_pandas().to_numpy())
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "ts": batch.column("warc_ts").cast(pa.int64()),
-            }
-        )
+        return pa.table({"doc_id": pa.array(ids, pa.int64())})
 
     agg = (
         rd.read_parquet(pages_path, columns=["url", "warc_ts"])
         .map_batches(skinny, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("doc_id")
-        .aggregate(Max("ts", alias_name="max_ts"), Count(alias_name="n"))
+        .aggregate(Count(alias_name="n"))
     )
     dups = agg.map_batches(
         lambda t: t.filter(pc.greater(t.column("n"), 1)),
@@ -332,7 +356,32 @@ def _detect_dup_winners(pages_path, shard_index: int, num_shards: int) -> dict[i
     ).to_pandas()
     if len(dups) == 0 or "doc_id" not in dups.columns:
         return {}
-    return dict(zip(dups["doc_id"].astype(np.int64), dups["max_ts"].astype(np.int64)))
+    dup_ids = set(dups["doc_id"].astype(np.int64).tolist())
+    dup_ref = ray.put(dup_ids)
+
+    def packed_of_dups(batch: pa.Table) -> pa.Table:
+        wanted = _resolve_ref(dup_ref)
+        ids = doc_ids_for_urls(batch.column("url").to_pandas().to_numpy())
+        mask = np.array([int(i) in wanted for i in ids], dtype=bool)
+        if not mask.any():
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "packed": pa.array([], pa.int64())}
+            )
+        batch = batch.filter(pa.array(mask))
+        ts = batch.column("warc_ts").cast(pa.int64()).to_numpy()
+        packed = pack_winner(ts, batch.column("html").to_pylist())
+        return pa.table(
+            {"doc_id": pa.array(ids[mask], pa.int64()), "packed": pa.array(packed, pa.int64())}
+        )
+
+    winners = (
+        rd.read_parquet(pages_path, columns=["url", "warc_ts", "html"])
+        .map_batches(packed_of_dups, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id")
+        .aggregate(Max("packed", alias_name="win"))
+        .to_pandas()
+    )
+    return dict(zip(winners["doc_id"].astype(np.int64), winners["win"].astype(np.int64)))
 
 
 def _sample_heavy_terms(

@@ -85,7 +85,7 @@ class EncodedPostings:
 
 
 def encode_postings(
-    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, block_size: int = BLOCK_SIZE
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray
 ) -> EncodedPostings:
     """Encode a docid-sorted posting list into block-max blobs.
 
@@ -110,11 +110,11 @@ def encode_postings(
     deltas[0] = doc_ids[0]
     deltas[1:] = doc_ids[1:] - doc_ids[:-1]
     # reset block heads to absolute docids
-    head_idx = np.arange(0, n, block_size)
+    head_idx = np.arange(0, n, BLOCK_SIZE)
     deltas[head_idx] = doc_ids[head_idx]
 
     n_blocks = len(head_idx)
-    tail_idx = np.minimum(head_idx + block_size, n) - 1
+    tail_idx = np.minimum(head_idx + BLOCK_SIZE, n) - 1
     b_last = doc_ids[tail_idx].astype(np.uint64)
     # per-block reductions via ufunc.reduceat
     b_max_tf = np.maximum.reduceat(tfs, head_idx).astype(np.uint32)
@@ -125,7 +125,7 @@ def encode_postings(
     tf_lens = np.empty(n_blocks, dtype=np.uint32)
     dl_lens = np.empty(n_blocks, dtype=np.uint32)
     for k in range(n_blocks):
-        lo, hi = head_idx[k], min(head_idx[k] + block_size, n)
+        lo, hi = head_idx[k], min(head_idx[k] + BLOCK_SIZE, n)
         d = varbyte_encode(deltas[lo:hi])
         t = varbyte_encode(tfs[lo:hi])
         l = varbyte_encode(dls[lo:hi])

@@ -59,6 +59,29 @@ def _expand(paths: list[str]) -> list[str]:
     return out
 
 
+def _deltas_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "deltas.json")
+
+
+def registered_deltas(index_dir: str) -> list[str]:
+    p = _deltas_path(index_dir)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return json.load(f)["deltas"]
+
+
+def _register_delta(index_dir: str, delta_pages: str) -> list[str]:
+    deltas = registered_deltas(index_dir)
+    if delta_pages not in deltas:
+        deltas.append(delta_pages)
+    tmp = _deltas_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"deltas": deltas}, f)
+    os.replace(tmp, _deltas_path(index_dir))
+    return deltas
+
+
 def incremental_update(
     index_dir: str,
     original_pages: str | list[str],
@@ -69,11 +92,15 @@ def incremental_update(
 ) -> dict:
     """U1: rebuild only the shards whose url-space the delta touches.
 
-    The combined input (original ∪ delta) changes those shards' phase config
-    keys, so their phases re-run; other shards' manifests still match and are
-    skipped untouched."""
+    Deltas COMPOSE: every applied delta is registered in ``deltas.json`` at
+    the index root, and each rebuild uses (original ∪ all registered deltas)
+    — a later update never reverts an earlier one.  The combined input
+    changes the touched shards' phase config keys so their phases re-run;
+    untouched shards' manifests still match and are skipped."""
     paths = original_pages if isinstance(original_pages, list) else [original_pages]
-    combined = _expand(paths + [delta_pages])
+    os.makedirs(index_dir, exist_ok=True)
+    deltas = _register_delta(index_dir, delta_pages)
+    combined = _expand(paths + deltas)
     out = {"rebuilt_shards": []}
     for s in affected_shards(delta_pages, num_shards):
         m = build_index(
@@ -146,10 +173,12 @@ def compact(
     (The site filter rides the extract stage; no extra pass.)"""
     tomb = load_tombstones(index_dir)
     purged = sorted(tomb["sites"])
+    paths = original_pages if isinstance(original_pages, list) else [original_pages]
+    combined = _expand(paths + registered_deltas(index_dir))
     out = {"shards": []}
     for s in range(num_shards):
         m = build_index(
-            original_pages, out_dir, analyzer_spec,
+            combined, out_dir, analyzer_spec,
             shard_index=s, num_shards=num_shards,
             exclude_sites=purged, **build_kwargs,
         )
@@ -174,9 +203,15 @@ def index_page(
 
     from .schema import PAGES_SCHEMA
 
+    import hashlib
+
     scratch = scratch_dir or os.path.join(index_dir, "_delta")
     os.makedirs(scratch, exist_ok=True)
-    delta = os.path.join(scratch, f"delta_{abs(hash(url)) % (1 << 32):08x}")
+    # content-addressed delta dir: re-submitting the same url with NEW content
+    # yields a new path, which changes the build config key and defeats the
+    # phase-resume skip; the old delta stays registered and loses by warc_ts
+    fp = hashlib.md5(url.encode() + str(warc_ts_us).encode() + html).hexdigest()[:12]
+    delta = os.path.join(scratch, f"delta_{fp}")
     os.makedirs(delta, exist_ok=True)
     t = pa.table(
         {

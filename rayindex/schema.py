@@ -10,7 +10,11 @@ The reference assigns page ids with MySQL auto-increment
 (model/PageEntity.java:15-16) — a global sequential bottleneck that cannot
 exist at 10^12 documents.  We replace it with ``doc_id = hash64(url) >> 1``:
 deterministic, order-free, computed vectorized per batch; collisions are
-checked at fixture scale by tests.  The id is confined to 63 bits and stored
+checked at fixture scale by tests (known trade-off: at the full 10^12-doc
+design scale, 63-bit birthday math expects ~5×10^4 colliding url pairs, which
+the url-dedup then treats as duplicates; the mitigation path is a per-shard
+id namespace — shard index in the high bits — left for a future round).  The
+id is confined to 63 bits and stored
 as ``int64`` so signed and unsigned orderings coincide — Arrow/pandas/Ray
 aggregate machinery is int64-native (uint64 keys above 2^63 degrade to
 pickled-object columns in shuffles).
@@ -34,19 +38,21 @@ PAGES_SCHEMA = pa.schema(
     ]
 )
 
-# Doc store (replaces the reference `page` table; SURVEY.md §1).
+# Doc store (replaces the reference `page` table; SURVEY.md §1).  doc_len
+# lives in the postings/doclen tables, not here.
 DOCS_SCHEMA = pa.schema(
     [
         ("doc_id", pa.int64()),
         ("url", pa.string()),
         ("site", pa.string()),
         ("title", pa.string()),
-        ("doc_len", pa.uint32()),  # Σ tf over the page (A8; needed for BM25)
+        ("warc_ts", pa.timestamp("us")),
         ("text", pa.string()),
     ]
 )
 
-# Exploded postings before the shuffle: one row per (doc, term).
+# Exploded postings before the shuffle: one row per (doc, term).  `first`
+# marks one row per doc (shuffle-free doclen); `bucket` = hash(term) % B.
 POSTINGS_FLAT_SCHEMA = pa.schema(
     [
         ("doc_id", pa.int64()),
@@ -54,6 +60,8 @@ POSTINGS_FLAT_SCHEMA = pa.schema(
         ("term", pa.string()),
         ("tf", pa.uint32()),
         ("doc_len", pa.uint32()),
+        ("first", pa.bool_()),
+        ("bucket", pa.int32()),
     ]
 )
 
@@ -122,4 +130,7 @@ def range_salt(doc_ids: np.ndarray, num_salts: int) -> np.ndarray:
     if num_salts <= 1:
         return np.zeros(len(doc_ids), dtype=np.int32)
     width = np.int64(2**63 // num_salts)
-    return (doc_ids.astype(np.int64) // width).astype(np.int32)
+    out = (doc_ids.astype(np.int64) // width).astype(np.int32)
+    # doc_ids in the top (2^63 mod S) sliver would yield salt == S; clip so
+    # salts stay in [0, S) (ordering is preserved — the sliver maps to S-1)
+    return np.minimum(out, np.int32(num_salts - 1))

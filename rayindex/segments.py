@@ -67,6 +67,11 @@ def encode_group(df: pd.DataFrame) -> pa.Table:
     if len(df) == 0:
         return MIXED_SCHEMA.empty_table()
     df = df.sort_values(["term", "doc_id"], kind="stable")
+    # resilience guard: bit-identical duplicate pages that survive the
+    # url-dedup (same url, warc_ts AND content) yield duplicate (term, doc)
+    # rows with equal tf/doc_len — drop the copies instead of crashing the
+    # strictly-increasing-docid encoder
+    df = df.drop_duplicates(["term", "doc_id"], keep="first")
     terms = df["term"].to_numpy()
     doc_ids = df["doc_id"].to_numpy().astype(np.uint64)
     tfs = df["tf"].to_numpy().astype(np.uint64)

@@ -305,7 +305,7 @@ def simhash(sf_dir: str) -> rd.Dataset:
                             concurrency=(1, 4))
 
 
-def ngram_jaccard_pairs(sf_dir: str, n: int = 2) -> rd.Dataset:
+def ngram_jaccard_pairs(sf_dir: str, n: int = 2) -> pd.DataFrame:
     """n-gram Jaccard between consecutive doc pairs (doc_id, doc_id+1) —
     SQL-mirrorable verification op for the near-dup family."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -363,7 +363,7 @@ def quality_signals(sf_dir: str) -> rd.Dataset:
     """Quality scoring signals (integers for oracle-hash stability):
     n_chars, n_tokens, n_stopwords, n_unique_terms."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    stop = sorted(EN_STOPWORDS)
+    stop = EN_STOPWORDS
 
     def sig(t: pa.Table) -> pa.Table:
         s = t.column("text").to_pandas()

@@ -161,3 +161,86 @@ def test_index_page_single(ray_session, fixture_corpus, tmp_path):
     got = eng.search(word, k=10, with_snippets=False)
     metas = eng.doc_meta([r["doc_id"] for r in got["data"]])
     assert any(m["url"].endswith("55555555") for m in metas.values())
+
+
+def test_sequential_index_page_calls_compose(ray_session, fixture_corpus, tmp_path):
+    """Review regression: a later single-page update must not revert earlier
+    ones (deltas are registered and composed into every rebuild)."""
+    from rayindex.fixtures import SITE_URL
+
+    pages = fixture_corpus.pages.slice(0, 15)
+    pdir = str(tmp_path / "pages")
+    write_pages(pages, pdir, 2)
+    out = str(tmp_path / "idx")
+    build_index(pdir, out, fixture_corpus.analyzer_spec, num_buckets=4)
+    w1, w2 = fixture_corpus.lemmas[-1], fixture_corpus.lemmas[-2]
+    h1, _ = _page_html("A", w1, [f"{w1} {w1}"])
+    h2, _ = _page_html("B", w2, [f"{w2} {w2}"])
+    index_page(out, f"{SITE_URL}/p/11111111", h1.encode(), 1_600_000_000_000_000,
+               pdir, fixture_corpus.analyzer_spec, num_shards=1, num_buckets=4)
+    index_page(out, f"{SITE_URL}/p/22222222", h2.encode(), 1_600_000_100_000_000,
+               pdir, fixture_corpus.analyzer_spec, num_shards=1, num_buckets=4)
+    eng = QueryEngine(out, fixture_corpus.analyzer_spec)
+    assert eng.n_docs == 17  # both pages present
+    for w, suffix in [(w1, "11111111"), (w2, "22222222")]:
+        got = eng.search(w, k=10, with_snippets=False)
+        metas = eng.doc_meta([r["doc_id"] for r in got["data"]])
+        assert any(m["url"].endswith(suffix) for m in metas.values()), w
+
+
+def test_same_url_same_ts_different_content_cross_batch(ray_session, fixture_corpus, tmp_path):
+    """Review regression: identical (url, warc_ts) with different html in
+    different fragments must resolve deterministically, not crash P4."""
+    import pyarrow as pa
+
+    from rayindex.fixtures import SITE_URL
+
+    base = fixture_corpus.pages.slice(0, 8)
+    h1, g1 = _page_html("Вариант один", "первый", ["текст один"])
+    h2, g2 = _page_html("Вариант два", "второй", ["текст два"])
+    dup_url = f"{SITE_URL}/p/00777777"
+
+    def one(html, golden):
+        return pa.table(
+            {
+                "url": pa.array([dup_url], pa.string()),
+                "warc_ts": pa.array([1_500_000_000_000_000], pa.timestamp("us")),
+                "html": pa.array([html.encode()], pa.binary()),
+                "text": pa.array([golden], pa.string()),
+                "lang": pa.array(["ru"], pa.string()),
+            }
+        )
+
+    pdir = str(tmp_path / "pages")
+    os.makedirs(pdir, exist_ok=True)
+    import pyarrow.parquet as pq
+
+    pq.write_table(base, f"{pdir}/part-0.parquet")
+    pq.write_table(one(h1, g1), f"{pdir}/part-1.parquet")  # separate fragments →
+    pq.write_table(one(h2, g2), f"{pdir}/part-2.parquet")  # separate batches
+    out = str(tmp_path / "idx")
+    build_index(pdir, out, fixture_corpus.analyzer_spec, num_buckets=4)
+    import pyarrow.dataset as pads
+
+    docs = pads.dataset(f"{out}/shard=0/docs").to_table()
+    assert docs.num_rows == 9  # exactly one winner for the dup url
+    eng = QueryEngine(out, fixture_corpus.analyzer_spec)
+    assert eng.n_docs == 9
+
+
+def test_bit_identical_duplicate_rows_dont_crash(ray_session, fixture_corpus, tmp_path):
+    """Fully identical rows across fragments collapse via the encoder guard."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = fixture_corpus.pages.slice(0, 6)
+    dup = fixture_corpus.pages.slice(2, 1)
+    pdir = str(tmp_path / "pages")
+    os.makedirs(pdir, exist_ok=True)
+    pq.write_table(base, f"{pdir}/part-0.parquet")
+    pq.write_table(dup, f"{pdir}/part-1.parquet")
+    out = str(tmp_path / "idx")
+    build_index(pdir, out, fixture_corpus.analyzer_spec, num_buckets=4)
+    eng = QueryEngine(out, fixture_corpus.analyzer_spec)
+    q = fixture_corpus.forms[fixture_corpus.lemmas[10]][0]
+    eng.search(q, k=5, with_snippets=False)  # must not raise
