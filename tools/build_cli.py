@@ -37,6 +37,9 @@ def main() -> int:
     ap.add_argument("--url-filter", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="local-mode CPU count (ignored on a real cluster)")
+    ap.add_argument("--object-store-gb", type=float, default=None,
+                    help="local-mode object store size (needed when several "
+                         "node-model jobs share one machine)")
     args = ap.parse_args()
 
     import ray
@@ -46,6 +49,8 @@ def main() -> int:
                            logging_level="ERROR")
         if args.num_cpus:
             init_kwargs.update(address="local", num_cpus=args.num_cpus)
+        if args.object_store_gb:
+            init_kwargs.update(object_store_memory=int(args.object_store_gb * (1 << 30)))
         ray.init(**init_kwargs)
     from ray.data import DataContext
 
