@@ -79,7 +79,7 @@ except Exception:  # noqa: BLE001
     _sys.modules.setdefault("fsspec.implementations.http", _m)
 
 from .analyze import LemmatizeStage
-from .extract import extract_batch
+from .extract import extract_batch, extract_batch_fast
 from .schema import DOCS_SCHEMA, doc_ids_for_urls, hash64_strings, term_bucket, range_salt
 from .segments import commit_phase, encode_group, phase_done, phase_output
 
@@ -166,7 +166,10 @@ class _PrepareDocs:
     and apply the broadcast dedup-winner filter when duplicates exist."""
 
     def __init__(self, shard_index: int, num_shards: int, url_filter: bool, winners_ref=None,
-                 exclude_sites: list[str] | None = None):
+                 exclude_sites: list[str] | None = None, extractor: str = "parser"):
+        # "parser" = per-doc HTML parser (robust to adversarial markup);
+        # "fast" = vectorized regex path, byte-identical on well-formed pages
+        self.extract = extract_batch_fast if extractor == "fast" else extract_batch
         self.shard_index = shard_index
         self.num_shards = num_shards
         self.url_filter = url_filter
@@ -223,7 +226,7 @@ class _PrepareDocs:
             site = site[keep].reset_index(drop=True)
             if batch.num_rows == 0:
                 return DOCS_SCHEMA.empty_table()
-        batch = extract_batch(batch)
+        batch = self.extract(batch)
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
@@ -439,6 +442,7 @@ def build_index(
     shuffle_mode: str = "bucketed",  # "bucketed" (map-side partitioned write +
     # per-(bucket, salt) reduce tasks) or "groupby" (Ray sort-based shuffle);
     # both produce byte-identical segments
+    extractor: str = "parser",  # "parser" | "fast" (vectorized regex path)
     extract_batch_size: int = 2048,
     lemma_batch_size: int = 2048,
     lemma_concurrency: tuple[int, int] | int | None = None,
@@ -458,6 +462,7 @@ def build_index(
         exclude_sites=sorted(exclude_sites or []),
         salt=[salt_df_threshold, salt_target],
         shuffle_mode=shuffle_mode,
+        extractor=extractor,
     )
     metrics: dict[str, Any] = {"shard": shard_index, "phases": {}}
     t_start = time.monotonic()
@@ -488,7 +493,8 @@ def build_index(
             # stateless tasks (cheap, elastic): extraction carries no heavy
             # state, and task scheduling outperforms an actor pool here
             ds = ds.map_batches(
-                _PrepareDocs(shard_index, num_shards, url_filter, winners_ref, exclude_sites),
+                _PrepareDocs(shard_index, num_shards, url_filter, winners_ref,
+                             exclude_sites, extractor),
                 batch_format="pyarrow",
                 batch_size=extract_batch_size,
                 zero_copy_batch=True,

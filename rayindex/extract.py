@@ -91,6 +91,59 @@ def extract_title(html: str) -> str:
     return html[i + len(_TITLE_OPEN) : j]
 
 
+_BLOCK_TAG_RE = re.compile(
+    r"(?i)</?(?:" + "|".join(sorted(_BLOCK_TAGS)) + r")\b[^>]*/?>"
+)
+_SKIP_BLOCK_RE = re.compile(r"(?is)<(script|style|template)\b[^>]*>.*?</\1\s*>")
+_ANY_TAG_RE = re.compile(r"<[^>]+>")
+_COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
+
+
+def extract_text_fast(htmls: "pd.Series") -> "pd.Series":
+    """Vectorized regex fast path with the same semantics as ``extract_text``
+    on well-formed markup (C regex engines instead of a per-char Python
+    parser; ~2× faster on this corpus and friendlier to multi-core scaling).
+
+    Known divergence from the parser path: attribute values containing a
+    literal ``>`` truncate the tag early (regexes cannot pair quotes).  The
+    build pipeline verifies fast≡parser per corpus in tests; use the parser
+    path (``extractor="parser"``) for adversarial input.
+    """
+    import html as _html
+
+    s = htmls
+    s = s.str.replace(_COMMENT_RE, "", regex=True)
+    s = s.str.replace(_SKIP_BLOCK_RE, "", regex=True)  # jsoup DataNodes excluded
+    s = s.str.replace(_BLOCK_TAG_RE, "\n", regex=True)  # block boundaries
+    s = s.str.replace(_ANY_TAG_RE, "", regex=True)  # inline tags: no separator
+    # entity decoding only where entities exist (rare; python fallback)
+    mask = s.str.contains("&", regex=False)
+    if mask.any():
+        s = s.copy()
+        s[mask] = s[mask].map(_html.unescape)
+    return s.str.replace(_WS_RUN, " ", regex=True).str.strip()
+
+
+def extract_titles_fast(htmls: "pd.Series") -> "pd.Series":
+    """M2 literal-substring semantics, vectorized."""
+    return htmls.str.extract(r"(?s)<title>(.*?)</title>", expand=False).fillna("")
+
+
+def extract_batch_fast(batch: pa.Table) -> pa.Table:
+    """Fast-path counterpart of ``extract_batch`` (same output columns)."""
+    import pandas as pd
+
+    raw = batch.column("html").to_pandas()
+    htmls = raw.str.decode("utf-8") if raw.dtype == object and len(raw) and isinstance(raw.iloc[0], bytes) else raw
+    if not isinstance(htmls, pd.Series):
+        htmls = pd.Series(htmls)
+    texts = extract_text_fast(htmls)
+    titles = extract_titles_fast(htmls)
+    batch = batch.append_column("extracted_text", pa.array(texts.to_numpy(), type=pa.string()))
+    batch = batch.append_column("title", pa.array(titles.to_numpy(), type=pa.string()))
+    return batch
+
+
 def extract_batch(batch: pa.Table) -> pa.Table:
     """map_batches body: pages(url, html, ...) → + extracted_text, title.
 

@@ -151,3 +151,17 @@ def test_normalize_https():
     assert normalize_https("http://a.example/x") == "https://a.example/x"
     assert normalize_https("https://a.example/x") == "https://a.example/x"
     assert normalize_https("ftp://a.example") == "ftp://a.example"
+
+
+def test_fast_extractor_build_digest_equal(ray_session, fixture_corpus, tmp_path):
+    from rayindex.build import build_index
+    from rayindex.fixtures import write_pages
+    from rayindex.segments import segments_digest
+
+    pages = fixture_corpus.pages.slice(0, 40)
+    pdir = str(tmp_path / "pages")
+    write_pages(pages, pdir, 2)
+    a, b = str(tmp_path / "ia"), str(tmp_path / "ib")
+    build_index(pdir, a, fixture_corpus.analyzer_spec, num_buckets=4, extractor="parser")
+    build_index(pdir, b, fixture_corpus.analyzer_spec, num_buckets=4, extractor="fast")
+    assert segments_digest(f"{a}/shard=0") == segments_digest(f"{b}/shard=0")

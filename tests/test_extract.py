@@ -64,3 +64,14 @@ def test_extractor_never_crashes_on_fuzzed_html():
         extract_title(s)
 
     run()
+
+
+def test_fast_extractor_matches_parser(fixture_corpus):
+    """The vectorized regex path must be byte-identical to the parser path on
+    the corpus family (well-formed markup)."""
+    from rayindex.extract import extract_batch_fast
+
+    a = extract_batch(fixture_corpus.pages)
+    b = extract_batch_fast(fixture_corpus.pages)
+    assert a.column("extracted_text").to_pylist() == b.column("extracted_text").to_pylist()
+    assert a.column("title").to_pylist() == b.column("title").to_pylist()
