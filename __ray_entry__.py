@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_signals": textops.quality_signals,
         "token_count_bpe": textops.token_count_bpe,
         "jaccard_pairs": lambda sf: textops.ngram_jaccard_pairs(sf, n=1),
+        "embedding_near_dup": textops.embedding_near_dup,
         "ann_cosine_topk": textops.ann_cosine_topk,
         # --- multimodal (binary payload columns; STUB decode kernels) ----
         "media_meta": __import__("rayindex.multimodal", fromlist=["media_meta"]).media_meta,
@@ -215,6 +216,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN kind='audio' THEN n*4 ELSE 0 END AS BIGINT) AS n_samples, "
             "CAST(CASE WHEN kind='video' THEN greatest(1, n // 64) ELSE 0 END AS BIGINT) AS n_frames "
             "FROM m"
+        ),
+        "embedding_near_dup": (
+            "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b FROM embeddings a "
+            "JOIN embeddings b ON b.vec_id > a.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
         ),
         "ann_cosine_topk": (
             "WITH s AS (SELECT e.vec_id, list_cosine_similarity(e.embedding, "

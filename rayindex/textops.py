@@ -442,6 +442,56 @@ def ann_cosine_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pd.DataF
     return pdf[["rank", "vec_id"]]
 
 
+class CosinePairFinder:
+    """Embedding-cosine near-dup pairs: each batch's vectors are compared
+    against the broadcast full (normalized) matrix — numpy matmul per batch,
+    emitting (a, b) with a < b and cosine ≥ τ.  The broadcast side fits
+    memory at dedup-corpus scale (n×dim floats); beyond that the LSH-bucketed
+    path (``ann_lsh_topk`` machinery) is the scale route."""
+
+    def __init__(self, matrix_ref, ids_ref, tau: float):
+        self.all_emb = ray.get(matrix_ref) if isinstance(matrix_ref, ray.ObjectRef) else matrix_ref
+        self.all_ids = ray.get(ids_ref) if isinstance(ids_ref, ray.ObjectRef) else ids_ref
+        self.tau = tau
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        emb = np.stack(batch.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        scores = emb @ self.all_emb.T  # (batch, n_all)
+        rows, cols = np.nonzero(scores >= self.tau)
+        a = ids[rows]
+        b = self.all_ids[cols]
+        keep = a < b  # canonical orientation; also drops self-pairs
+        return pa.table(
+            {
+                "vec_id_a": pa.array(a[keep].astype(np.int64), pa.int64()),
+                "vec_id_b": pa.array(b[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def embedding_near_dup(sf_dir: str, tau: float = 0.4) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs (the fifth dedup family member)."""
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_emb = np.stack(t.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+    all_emb = all_emb / np.linalg.norm(all_emb, axis=1, keepdims=True)
+    all_ids = t.column("vec_id").to_numpy()
+    m_ref, i_ref = ray.put(all_emb), ray.put(all_ids)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pairs = ds.map_batches(
+        CosinePairFinder, fn_constructor_kwargs={"matrix_ref": m_ref, "ids_ref": i_ref, "tau": tau},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4), batch_size=1024,
+    ).to_pandas()
+    if len(pairs) == 0 or "vec_id_a" not in pairs.columns:  # empty loses schema
+        return pd.DataFrame(
+            {"vec_id_a": pd.Series(dtype="int64"), "vec_id_b": pd.Series(dtype="int64")}
+        )
+    return pairs.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+
+
 class LshBucketer:
     """Random-hyperplane LSH (the IVF-style scale path).
 

@@ -152,3 +152,19 @@ def test_media_stages(ray_session, mini_sf):
     f3 = feats.set_index("media_id").loc[3, "feature"]
     f10 = feats.set_index("media_id").loc[10, "feature"]
     assert np.allclose(list(f3), list(f10))
+
+
+def test_embedding_near_dup(ray_session, mini_sf):
+    from rayindex.textops import embedding_near_dup
+
+    pairs = embedding_near_dup(mini_sf, tau=0.9)
+    got = set(zip(pairs["vec_id_a"], pairs["vec_id_b"]))
+    assert (0, 7) in got  # planted collinear pair
+    # brute-force cross-check at the same tau
+    t = pq.read_table(f"{mini_sf}/embeddings.parquet")
+    emb = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    cos = emb @ emb.T
+    iu = np.triu_indices(len(emb), k=1)
+    want = {(int(a), int(b)) for a, b in zip(iu[0], iu[1]) if cos[a, b] >= 0.9}
+    assert got == want
