@@ -426,6 +426,50 @@ def _sample_heavy_terms(
     return heavy
 
 
+def _count_input_rows(pages_path) -> int:
+    paths = pages_path if isinstance(pages_path, list) else [pages_path]
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for f in os.listdir(p):
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
+        elif p.endswith(".parquet"):
+            total += pq.ParquetFile(p).metadata.num_rows
+    return total
+
+
+def _write_empty_shard(shard_dir: str, num_buckets: int, analyzer_spec: dict,
+                       shard_index: int, num_shards: int, key: str) -> None:
+    """Zero-page input: a complete, schema-correct empty shard (Ray's writer
+    emits schema-less files for empty datasets, which breaks every reader)."""
+    from .schema import DOCS_SCHEMA, POSTINGS_FLAT_SCHEMA, TERM_STATS_SCHEMA
+    from .segments import MIXED_SCHEMA
+
+    layouts = {
+        "docs": DOCS_SCHEMA,
+        "postings": POSTINGS_FLAT_SCHEMA,
+        "doclen": pa.schema([("doc_id", pa.int64()), ("doc_len", pa.uint32())]),
+        "sites": pa.schema([("site", pa.string()), ("pages", pa.int64())]),
+        "segments": MIXED_SCHEMA,
+        "term_stats": TERM_STATS_SCHEMA,
+        "term_df": pa.schema([("term", pa.string()), ("df", pa.int64())]),
+    }
+    for name, schema in layouts.items():
+        d = os.path.join(shard_dir, name)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(schema.empty_table(), os.path.join(d, "empty.parquet"))
+    stats = {
+        "n_docs": 0, "total_tf": 0, "avgdl": 0.0, "num_buckets": num_buckets,
+        "analyzer": analyzer_spec.get("name"), "shard_index": shard_index,
+        "num_shards": num_shards,
+    }
+    with open(os.path.join(shard_dir, "stats.json"), "w") as f:
+        json.dump(stats, f)
+    for phase in ("docs", "postings", "prestats", "segments", "stats"):
+        commit_phase(shard_dir, phase, key, {"seconds": 0.0, "empty_input": True})
+
+
 def build_index(
     pages_path: str | list[str],
     out_dir: str,
@@ -466,6 +510,12 @@ def build_index(
     )
     metrics: dict[str, Any] = {"shard": shard_index, "phases": {}}
     t_start = time.monotonic()
+
+    if not (resume and phase_done(shard_dir, "stats", key)) and _count_input_rows(pages_path) == 0:
+        _write_empty_shard(shard_dir, num_buckets, analyzer_spec, shard_index, num_shards, key)
+        metrics["phases"] = {p: 0.0 for p in ("docs", "postings", "prestats", "segments", "stats")}
+        metrics["total_seconds"] = round(time.monotonic() - t_start, 3)
+        return metrics
 
     # size actor pools to the cluster — a fixed cap silently breaks scaling
     avail_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8

@@ -165,3 +165,24 @@ def test_fast_extractor_build_digest_equal(ray_session, fixture_corpus, tmp_path
     build_index(pdir, a, fixture_corpus.analyzer_spec, num_buckets=4, extractor="parser")
     build_index(pdir, b, fixture_corpus.analyzer_spec, num_buckets=4, extractor="fast")
     assert segments_digest(f"{a}/shard=0") == segments_digest(f"{b}/shard=0")
+
+
+def test_empty_corpus_builds_and_queries(ray_session, tmp_path):
+    """A zero-page input yields a complete, queryable empty index (Ray's
+    writer emits schema-less files for empty datasets otherwise)."""
+    import pyarrow.parquet as pq
+
+    from rayindex.build import build_index
+    from rayindex.query import QueryEngine
+    from rayindex.schema import PAGES_SCHEMA
+
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    pq.write_table(PAGES_SCHEMA.empty_table(), str(pdir / "part-0.parquet"))
+    out = str(tmp_path / "idx")
+    build_index(str(pdir), out, {"name": "simple"}, num_buckets=4)
+    eng = QueryEngine(out, {"name": "simple"})
+    assert eng.n_docs == 0
+    assert eng.search("anything", k=5)["count"] == 0
+    assert eng.bm25_topk("anything", k=5) == []
+    assert eng.statistics()["statistics"]["total"]["pages"] == 0
