@@ -172,18 +172,35 @@ class LemmatizeStage:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = doc_ids_for_urls(batch.column("url").to_pandas().to_numpy())
+        if "doc_id" in batch.schema.names:  # P2 passes the stored id through
+            doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        else:  # standalone use over raw pages
+            doc_ids = doc_ids_for_urls(batch.column("url").to_pandas().to_numpy())
         rows, terms, tfs = self.analyzer.lemmatize_arrow(batch.column(self.text_col))
         # doc_len = Σ tf per document (A8) — computable batch-locally because
         # every posting of a doc comes from the same input row.
         dl_per_row = np.zeros(len(batch), dtype=np.int64)
         np.add.at(dl_per_row, rows, tfs)
         # `first` marks one posting row per doc (rows are sorted ascending by
-        # construction), letting the doclen table be a shuffle-free filter
+        # construction), letting the doclen table be a shuffle-free filter.
+        # Docs with ZERO terms still get one marker row (term "", tf 0) so the
+        # doclen table is exactly one row per document — the fused P3 derives
+        # n_docs / per-site pages from it; ``encode_group`` drops the markers.
+        has_terms = np.zeros(len(batch), dtype=bool)
+        has_terms[rows] = True
+        empty_rows = np.nonzero(~has_terms)[0].astype(np.int64)
         if len(rows):
             first = np.concatenate(([True], rows[1:] != rows[:-1]))
         else:
             first = np.zeros(0, dtype=bool)
+        if len(empty_rows):
+            rows = np.concatenate([rows, empty_rows])
+            terms = pa.concat_arrays(
+                [terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms,
+                 pa.array([""] * len(empty_rows), pa.string())]
+            )
+            tfs = np.concatenate([tfs, np.zeros(len(empty_rows), np.int64)])
+            first = np.concatenate([first, np.ones(len(empty_rows), bool)])
         sites = pc.take(batch.column("site"), pa.array(rows))
         return pa.table(
             {

@@ -13,15 +13,22 @@ embarrassingly-parallel maps, filter scans, or kilobyte-scale aggregations:
 
   P1 docs      read(url,warc_ts,html) → extract (M1/M2 tasks) → doc_id/site
                → docs/.  Exact url-dedup (D1): a SKINNY aggregate finds dup
-               doc_ids; only then a second pass picks winners by a packed
-               (warc_ts, content-hash) key — deterministic even for equal
-               timestamps — broadcast via ray.put and applied as a filter in
-               the same map.  Full page rows are never shuffled.
-  P2 postings  docs(text) → Lemmatize actor pool (ST1, M3-M6) → term bucket
-               → postings/ (doc_id, site, term, tf, doc_len, first, bucket)
+               doc_ids (broadcast as a sorted int64 array); rows with a
+               duplicated doc_id are DROPPED from the streaming path and
+               resolved on a small side path — groupby(doc_id) picks exactly
+               ONE winner per id by a total (warc_ts, content-hash, url)
+               order, so the result is independent of batch partitioning
+               (bit-identical copies in different batches cannot both
+               survive).  Full non-dup page rows are never shuffled.
+  P2 postings  docs(doc_id,text) → Lemmatize actor pool (ST1, M3-M6) → term
+               bucket → postings/ (doc_id, site, term, tf, doc_len, first,
+               bucket)
   P3 doclen    A8 as a shuffle-free filter scan (the lemmatizer marks one
-               posting row per doc); sites (A3) small groupby; total_tf sum;
-               heavy-term detection by SAMPLING postings fragments
+               posting row per doc) carrying site → doclen/(doc_id, site,
+               doc_len); ONE tiny follow-up groupby over that skinny table
+               yields sites (A3), n_docs and total_tf together (fused —
+               previously three separate driver-serial jobs); heavy-term
+               detection by SAMPLING postings fragments
   P4 segments  postings + range salt for sampled head terms (SURVEY.md §4)
                → groupby(bucket, salt)  ← THE one wide shuffle →
                encode_group → compressed segment rows + partial per-(site,
@@ -57,7 +64,7 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Count, Sum
 
 # fsspec.implementations.http fails to import here (no aiohttp), so every
 # ray.data read/write retries the import; concurrent first-imports race and
@@ -90,7 +97,9 @@ _URL_REJECT_RE = r"(?i)\.(png|jpg|gif|bmp|jpeg|pdf|php|zip)$|[?#]"
 DEFAULT_NUM_BUCKETS = 32
 DEFAULT_SALT_TARGET = 1 << 18  # max postings per salted sub-list of a head term
 _HEAVY_SAMPLE_ROWS = 2_000_000  # posting rows sampled for skew detection
-LAYOUT_VERSION = 2  # bump when on-disk phase output schemas change (invalidates resume)
+LAYOUT_VERSION = 3  # bump when on-disk phase output schemas change (invalidates resume)
+# v3: shard-namespaced doc ids (shard index in the low bits), doclen carries
+# site + empty-doc marker rows, term_stats/term_df hive-partitioned by bucket
 
 
 def normalize_https(url: str) -> str:
@@ -144,28 +153,57 @@ def derive_salts(terms: "pd.Series", doc_ids: np.ndarray, heavy: dict) -> np.nda
     return salts
 
 
-def pack_winner(ts_us: np.ndarray, htmls: list) -> np.ndarray:
-    """Deterministic total order for url-dedup winners: millisecond timestamp
-    in the high bits, 22 bits of content hash as the tiebreak — same url +
-    same warc_ts + different content resolves deterministically instead of
-    crashing the posting encoder with duplicate doc_ids.  Bit-identical
-    duplicates still collapse (same packed value → residual copies are
-    dropped by the encoder's (term, doc) dedup guard)."""
+def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+    """Vectorized membership of int64 values in a sorted int64 array."""
+    if sorted_arr.size == 0:
+        return np.zeros(len(values), dtype=bool)
+    idx = np.searchsorted(sorted_arr, values)
+    return (idx < sorted_arr.size) & (
+        sorted_arr[np.minimum(idx, sorted_arr.size - 1)] == values
+    )
+
+
+def _content_tie(htmls: list) -> list[str]:
+    """Full md5 hex of the page payload — the content component of the
+    deterministic dup-winner total order (bit-identical copies tie here and
+    are then interchangeable; any single survivor is the same row)."""
     import hashlib as _h
 
-    md = np.array(
-        [int.from_bytes(_h.md5(h if isinstance(h, bytes) else h.encode()).digest()[:4], "little") & 0x3FFFFF
-         for h in htmls],
-        dtype=np.int64,
+    return [_h.md5(h if isinstance(h, bytes) else h.encode()).hexdigest() for h in htmls]
+
+
+def _docs_table(batch: pa.Table, doc_ids: np.ndarray,
+                exclude_sites: frozenset, extract_fn) -> pa.Table:
+    """Shared P1 tail: site from url, site exclusion, text/title extraction →
+    DOCS_SCHEMA rows.  ``batch`` must carry url, warc_ts, html."""
+    urls_pd = batch.column("url").to_pandas()
+    site = urls_pd.str.extract(_SITE_RE, expand=False).fillna("")
+    if exclude_sites:
+        keep = ~site.isin(exclude_sites).to_numpy()
+        batch = batch.filter(pa.array(keep))
+        doc_ids = doc_ids[keep]
+        site = site[keep].reset_index(drop=True)
+        if batch.num_rows == 0:
+            return DOCS_SCHEMA.empty_table()
+    batch = extract_fn(batch)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "url": batch.column("url"),
+            "site": pa.array(site.to_numpy(), pa.string()),
+            "title": batch.column("title"),
+            "warc_ts": batch.column("warc_ts").cast(pa.timestamp("us")),
+            "text": batch.column("extracted_text"),
+        }
     )
-    return ((ts_us // 1000) << np.int64(22)) | md
 
 
 class _PrepareDocs:
-    """P1 batch body: extract text/title, derive site + doc_id, shard filter,
-    and apply the broadcast dedup-winner filter when duplicates exist."""
+    """P1 batch body (streaming path): url/shard filters, doc_id derivation,
+    DROP rows whose doc_id is duplicated (they resolve on the side path),
+    extract text/title."""
 
-    def __init__(self, shard_index: int, num_shards: int, url_filter: bool, winners_ref=None,
+    def __init__(self, shard_index: int, num_shards: int, url_filter: bool, dup_ref=None,
                  exclude_sites: list[str] | None = None, extractor: str = "parser"):
         # "parser" = per-doc HTML parser (robust to adversarial markup);
         # "fast" = vectorized regex path, byte-identical on well-formed pages
@@ -174,16 +212,16 @@ class _PrepareDocs:
         self.num_shards = num_shards
         self.url_filter = url_filter
         self.exclude_sites = frozenset(exclude_sites or ())
-        # {doc_id: winning packed (ts_ms, content-hash)} for dup doc_ids;
-        # a ray.ObjectRef is resolved lazily on first use in the worker
-        self._winners_ref = winners_ref
-        self.winners = winners_ref if isinstance(winners_ref, dict) else None
+        # sorted int64 array of duplicated doc_ids; a ray.ObjectRef resolves
+        # lazily (zero-copy from the local object store) on first use
+        self._dup_ref = dup_ref
+        self.dups = dup_ref if isinstance(dup_ref, np.ndarray) else None
 
-    def _get_winners(self) -> dict:
-        if self.winners is None:
-            ref = self._winners_ref
-            self.winners = ray.get(ref) if isinstance(ref, ray.ObjectRef) else (ref or {})
-        return self.winners
+    def _get_dups(self) -> np.ndarray:
+        if self.dups is None:
+            ref = self._dup_ref
+            self.dups = ray.get(ref) if isinstance(ref, ray.ObjectRef) else np.empty(0, np.int64)
+        return self.dups
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.url_filter:
@@ -194,49 +232,86 @@ class _PrepareDocs:
             batch = batch.filter(pa.array(h % np.uint64(self.num_shards) == self.shard_index))
         if batch.num_rows == 0:
             return DOCS_SCHEMA.empty_table()
-        urls_pd = batch.column("url").to_pandas()
-        doc_ids = doc_ids_for_urls(urls_pd.to_numpy())
-        if self._get_winners():
-            ts = batch.column("warc_ts").cast(pa.int64()).to_numpy()
-            w = self.winners
-            # exact int64 lookup (a pandas .map would round-trip the packed
-            # values through float64 and corrupt anything above 2^53)
-            win_np = np.array([w.get(int(d), -1) for d in doc_ids], dtype=np.int64)
-            need = win_np != -1
-            packed = np.zeros(len(doc_ids), dtype=np.int64)
-            if need.any():
-                htmls = batch.filter(pa.array(need)).column("html").to_pylist()
-                packed[need] = pack_winner(ts[need], htmls)
-            keep_mask = (~need) | (win_np == packed)
-            batch = batch.filter(pa.array(keep_mask))
-            doc_ids = doc_ids[keep_mask]
-            urls_pd = urls_pd[keep_mask].reset_index(drop=True)
-            if batch.num_rows:
-                # same-batch exact (doc_id, warc_ts) ties: keep the first
-                first = pd.Series(doc_ids).duplicated(keep="first").to_numpy()
-                if first.any():
-                    batch = batch.filter(pa.array(~first))
-                    doc_ids = doc_ids[~first]
-                    urls_pd = urls_pd[~first].reset_index(drop=True)
-        site = urls_pd.str.extract(_SITE_RE, expand=False).fillna("")
-        if self.exclude_sites:
-            keep = ~site.isin(self.exclude_sites).to_numpy()
+        doc_ids = doc_ids_for_urls(
+            batch.column("url").to_pandas().to_numpy(), self.shard_index, self.num_shards
+        )
+        dups = self._get_dups()
+        if dups.size:
+            keep = ~_in_sorted(doc_ids, dups)
             batch = batch.filter(pa.array(keep))
             doc_ids = doc_ids[keep]
-            site = site[keep].reset_index(drop=True)
             if batch.num_rows == 0:
                 return DOCS_SCHEMA.empty_table()
-        batch = self.extract(batch)
+        return _docs_table(batch, doc_ids, self.exclude_sites, self.extract)
+
+
+class _DupCandidates:
+    """P1 side path, map step: restrict to duplicated doc_ids and attach the
+    winner sort keys (timestamp, full content hash) — the actual winner
+    selection happens in an exact per-doc_id groupby, so it cannot depend on
+    which batch a copy landed in."""
+
+    def __init__(self, shard_index: int, num_shards: int, url_filter: bool, dup_ref):
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+        self.url_filter = url_filter
+        self._dup_ref = dup_ref
+        self.dups = dup_ref if isinstance(dup_ref, np.ndarray) else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.dups is None:
+            ref = self._dup_ref
+            self.dups = ray.get(ref) if isinstance(ref, ray.ObjectRef) else np.empty(0, np.int64)
+        if self.url_filter:
+            keep = pc.invert(pc.match_substring_regex(batch.column("url"), _URL_REJECT_RE))
+            batch = batch.filter(keep)
+        if self.num_shards > 1 and batch.num_rows:
+            h = hash64_strings(batch.column("url").to_pandas().to_numpy())
+            batch = batch.filter(pa.array(h % np.uint64(self.num_shards) == self.shard_index))
+        ids = doc_ids_for_urls(
+            batch.column("url").to_pandas().to_numpy(), self.shard_index, self.num_shards
+        )
+        mask = _in_sorted(ids, self.dups)
+        batch = batch.filter(pa.array(mask))
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, pa.int64()),
+                "doc_id": pa.array(ids[mask], pa.int64()),
                 "url": batch.column("url"),
-                "site": pa.array(site.to_numpy(), pa.string()),
-                "title": batch.column("title"),
-                "warc_ts": batch.column("warc_ts"),
-                "text": batch.column("extracted_text"),
+                "ts_us": batch.column("warc_ts").cast(pa.int64()),
+                "html": batch.column("html"),
+                "tie": pa.array(_content_tie(batch.column("html").to_pylist()), pa.string()),
             }
         )
+
+
+def _pick_dup_winner(g: pd.DataFrame) -> pd.DataFrame:
+    """Exactly ONE row per duplicated doc_id: newest warc_ts, then content
+    hash desc, then url asc (total order; bit-identical copies are
+    interchangeable so 'first' is well-defined by content)."""
+    g = g.sort_values(["ts_us", "tie", "url"], ascending=[False, False, True], kind="stable")
+    return g.iloc[:1][["doc_id", "url", "ts_us", "html"]]
+
+
+class _FinishDupDocs:
+    """P1 side path, final map: winner rows → DOCS_SCHEMA (same tail as the
+    streaming path)."""
+
+    def __init__(self, exclude_sites: list[str] | None, extractor: str):
+        self.extract = extract_batch_fast if extractor == "fast" else extract_batch
+        self.exclude_sites = frozenset(exclude_sites or ())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.schema.names:
+            return DOCS_SCHEMA.empty_table()
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        page = pa.table(
+            {
+                "url": batch.column("url"),
+                "warc_ts": batch.column("ts_us").cast(pa.timestamp("us")),
+                "html": batch.column("html").cast(pa.binary()),
+            }
+        )
+        return _docs_table(page, doc_ids, self.exclude_sites, self.extract)
 
 
 class _AddBucket:
@@ -328,26 +403,32 @@ class _EncodeUnit:
         return pa.concat_tables(out)
 
 
-def _detect_dup_winners(pages_path, shard_index: int, num_shards: int) -> dict[int, int]:
-    """D1 winner selection: {doc_id: max packed (ts_ms, content-hash)} for
-    urls that occur more than once.
+def _detect_dup_ids(pages_path, shard_index: int, num_shards: int,
+                    url_filter: bool) -> np.ndarray:
+    """D1 step 1: sorted int64 array of doc_ids that occur more than once.
 
-    Two stages so the common no-duplicates case stays cheap: a SKINNY
-    (url, warc_ts) aggregate finds which doc_ids have duplicates at all; only
-    when some exist does a second pass (restricted to those doc_ids) hash the
-    html payloads to produce the packed content-tiebroken winner.  The result
-    is small (only actual duplicates) and is broadcast to the extract stage;
-    with url-space sharding each shard's duplicate set stays bounded."""
+    A SKINNY url-only aggregate — the common no-duplicates case costs one
+    pruned column scan and returns an empty array.  The result is broadcast
+    (``ray.put``) as a compact numpy array (8 bytes per duplicate) and probed
+    with vectorized ``searchsorted``; with url-space sharding each shard's
+    duplicate set stays bounded.  (Winner SELECTION happens later in an exact
+    per-doc_id groupby on the side path, not here — a broadcast winner-key
+    filter cannot distinguish bit-identical copies in different batches.)"""
 
     def skinny(batch: pa.Table) -> pa.Table:
+        if url_filter and batch.num_rows:
+            keep = pc.invert(pc.match_substring_regex(batch.column("url"), _URL_REJECT_RE))
+            batch = batch.filter(keep)
         if num_shards > 1 and batch.num_rows:
             h = hash64_strings(batch.column("url").to_pandas().to_numpy())
             batch = batch.filter(pa.array(h % np.uint64(num_shards) == shard_index))
-        ids = doc_ids_for_urls(batch.column("url").to_pandas().to_numpy())
+        ids = doc_ids_for_urls(
+            batch.column("url").to_pandas().to_numpy(), shard_index, num_shards
+        )
         return pa.table({"doc_id": pa.array(ids, pa.int64())})
 
     agg = (
-        rd.read_parquet(pages_path, columns=["url", "warc_ts"])
+        rd.read_parquet(pages_path, columns=["url"])
         .map_batches(skinny, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("doc_id")
         .aggregate(Count(alias_name="n"))
@@ -358,33 +439,8 @@ def _detect_dup_winners(pages_path, shard_index: int, num_shards: int) -> dict[i
         zero_copy_batch=True,
     ).to_pandas()
     if len(dups) == 0 or "doc_id" not in dups.columns:
-        return {}
-    dup_ids = set(dups["doc_id"].astype(np.int64).tolist())
-    dup_ref = ray.put(dup_ids)
-
-    def packed_of_dups(batch: pa.Table) -> pa.Table:
-        wanted = _resolve_ref(dup_ref)
-        ids = doc_ids_for_urls(batch.column("url").to_pandas().to_numpy())
-        mask = np.array([int(i) in wanted for i in ids], dtype=bool)
-        if not mask.any():
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()), "packed": pa.array([], pa.int64())}
-            )
-        batch = batch.filter(pa.array(mask))
-        ts = batch.column("warc_ts").cast(pa.int64()).to_numpy()
-        packed = pack_winner(ts, batch.column("html").to_pylist())
-        return pa.table(
-            {"doc_id": pa.array(ids[mask], pa.int64()), "packed": pa.array(packed, pa.int64())}
-        )
-
-    winners = (
-        rd.read_parquet(pages_path, columns=["url", "warc_ts", "html"])
-        .map_batches(packed_of_dups, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("doc_id")
-        .aggregate(Max("packed", alias_name="win"))
-        .to_pandas()
-    )
-    return dict(zip(winners["doc_id"].astype(np.int64), winners["win"].astype(np.int64)))
+        return np.empty(0, np.int64)
+    return np.sort(dups["doc_id"].to_numpy().astype(np.int64))
 
 
 def _sample_heavy_terms(
@@ -427,36 +483,59 @@ def _sample_heavy_terms(
 
 
 def _count_input_rows(pages_path) -> int:
+    """Total rows across parquet files, recursing nested (hive) directories —
+    metadata only, no data read."""
     paths = pages_path if isinstance(pages_path, list) else [pages_path]
     total = 0
     for p in paths:
         if os.path.isdir(p):
-            for f in os.listdir(p):
-                if f.endswith(".parquet"):
-                    total += pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
+            for root, _dirs, names in os.walk(p):
+                for f in names:
+                    if f.endswith(".parquet"):
+                        total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
         elif p.endswith(".parquet"):
             total += pq.ParquetFile(p).metadata.num_rows
     return total
 
 
-def _write_empty_shard(shard_dir: str, num_buckets: int, analyzer_spec: dict,
-                       shard_index: int, num_shards: int, key: str) -> None:
-    """Zero-page input: a complete, schema-correct empty shard (Ray's writer
-    emits schema-less files for empty datasets, which breaks every reader)."""
+def _empty_layouts() -> dict[str, pa.Schema]:
     from .schema import DOCS_SCHEMA, POSTINGS_FLAT_SCHEMA, TERM_STATS_SCHEMA
     from .segments import MIXED_SCHEMA
 
-    layouts = {
+    return {
         "docs": DOCS_SCHEMA,
         "postings": POSTINGS_FLAT_SCHEMA,
-        "doclen": pa.schema([("doc_id", pa.int64()), ("doc_len", pa.uint32())]),
+        "doclen": pa.schema(
+            [("doc_id", pa.int64()), ("site", pa.string()), ("doc_len", pa.uint32())]
+        ),
         "sites": pa.schema([("site", pa.string()), ("pages", pa.int64())]),
         "segments": MIXED_SCHEMA,
         "term_stats": TERM_STATS_SCHEMA,
         "term_df": pa.schema([("term", pa.string()), ("df", pa.int64())]),
     }
-    for name, schema in layouts.items():
+
+
+def _write_empty_shard(shard_dir: str, num_buckets: int, analyzer_spec: dict,
+                       shard_index: int, num_shards: int, key: str,
+                       skip: tuple[str, ...] = ()) -> None:
+    """Schema-correct empty outputs for every phase not in ``skip`` (Ray's
+    writer emits schema-less files for empty datasets, which breaks every
+    reader).  Covers BOTH the zero-page input and the zero-row SHARD (global
+    input non-empty but sharding / url_filter / exclude_sites drained this
+    shard — previously a KeyError crash in P2)."""
+    phase_of = {
+        "docs": "docs", "postings": "postings", "doclen": "prestats",
+        "sites": "prestats", "segments": "segments", "term_stats": "stats",
+        "term_df": "stats",
+    }
+    for name, schema in _empty_layouts().items():
+        if phase_of[name] in skip:
+            continue
         d = os.path.join(shard_dir, name)
+        if os.path.exists(d):
+            import shutil as _sh
+
+            _sh.rmtree(d)
         os.makedirs(d, exist_ok=True)
         pq.write_table(schema.empty_table(), os.path.join(d, "empty.parquet"))
     stats = {
@@ -467,7 +546,17 @@ def _write_empty_shard(shard_dir: str, num_buckets: int, analyzer_spec: dict,
     with open(os.path.join(shard_dir, "stats.json"), "w") as f:
         json.dump(stats, f)
     for phase in ("docs", "postings", "prestats", "segments", "stats"):
-        commit_phase(shard_dir, phase, key, {"seconds": 0.0, "empty_input": True})
+        if phase not in skip:
+            commit_phase(shard_dir, phase, key, {"seconds": 0.0, "empty_input": True})
+
+
+def _dir_rows(d: str) -> int:
+    total = 0
+    for root, _dirs, names in os.walk(d):
+        for f in names:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
 
 
 def build_index(
@@ -534,33 +623,72 @@ def build_index(
 
     # ---- P1: docs --------------------------------------------------------
     if not (resume and phase_done(shard_dir, "docs", key)):
-        winners: dict[int, int] = {}
+        dup_ids = np.empty(0, np.int64)
         if dedup_urls:
-            winners = _detect_dup_winners(pages_path, shard_index, num_shards)
-        winners_ref = ray.put(winners)
+            dup_ids = _detect_dup_ids(pages_path, shard_index, num_shards, url_filter)
+        dup_ref = ray.put(dup_ids)
         with phase_output(docs_dir) as tmp:
             ds = rd.read_parquet(pages_path, columns=["url", "warc_ts", "html"])
             # stateless tasks (cheap, elastic): extraction carries no heavy
             # state, and task scheduling outperforms an actor pool here
-            ds = ds.map_batches(
-                _PrepareDocs(shard_index, num_shards, url_filter, winners_ref,
+            main = ds.map_batches(
+                _PrepareDocs(shard_index, num_shards, url_filter, dup_ref,
                              exclude_sites, extractor),
                 batch_format="pyarrow",
                 batch_size=extract_batch_size,
                 zero_copy_batch=True,
             )
-            _write_parquet(ds, tmp)
+            if dup_ids.size:
+                # exact D1 winner selection: shuffle ONLY the duplicated rows
+                # (groupby doc_id → one deterministic winner per id — result
+                # independent of batch partitioning)
+                side = (
+                    rd.read_parquet(pages_path, columns=["url", "warc_ts", "html"])
+                    .map_batches(
+                        _DupCandidates(shard_index, num_shards, url_filter, dup_ref),
+                        batch_format="pyarrow",
+                        batch_size=extract_batch_size,
+                        zero_copy_batch=True,
+                    )
+                    .groupby("doc_id")
+                    .map_groups(_pick_dup_winner, batch_format="pandas")
+                    .map_batches(
+                        _FinishDupDocs(exclude_sites, extractor),
+                        batch_format="pyarrow",
+                        batch_size=extract_batch_size,
+                        zero_copy_batch=True,
+                    )
+                )
+                main = main.union(side)
+            _write_parquet(main, tmp)
+            if _dir_rows(tmp) == 0:
+                # zero-row SHARD: replace Ray's schema-less empty output with
+                # a schema-pinned empty table so every reader stays typed
+                for root, _dirs, names in os.walk(tmp):
+                    for f in names:
+                        os.unlink(os.path.join(root, f))
+                pq.write_table(DOCS_SCHEMA.empty_table(), os.path.join(tmp, "empty.parquet"))
         commit_phase(
             shard_dir, "docs", key,
-            {"seconds": round(time.monotonic() - t_start, 3), "dup_urls": len(winners)},
+            {"seconds": round(time.monotonic() - t_start, 3), "dup_urls": int(dup_ids.size)},
         )
     metrics["phases"]["docs"] = round(time.monotonic() - t_start, 3)
+
+    if _dir_rows(docs_dir) == 0:
+        # the whole shard drained (sharding / url_filter / exclude_sites):
+        # finish with schema-correct empty phases instead of crashing P2
+        _write_empty_shard(shard_dir, num_buckets, analyzer_spec, shard_index,
+                           num_shards, key, skip=("docs",))
+        for p in ("postings", "prestats", "segments", "stats"):
+            metrics["phases"][p] = 0.0
+        metrics["total_seconds"] = round(time.monotonic() - t_start, 3)
+        return metrics
 
     # ---- P2: postings ----------------------------------------------------
     t1 = time.monotonic()
     if not (resume and phase_done(shard_dir, "postings", key)):
         with phase_output(postings_dir) as tmp:
-            docs = rd.read_parquet(docs_dir, columns=["url", "site", "text"])
+            docs = rd.read_parquet(docs_dir, columns=["doc_id", "site", "text"])
             # ST1: a heavy analyzer (closed lemma dictionary) runs as an
             # actor pool so the dictionary loads once per actor; a tiny
             # stateless analyzer runs as plain tasks (pool scheduling tax
@@ -591,35 +719,59 @@ def build_index(
         commit_phase(shard_dir, "postings", key, {"seconds": round(time.monotonic() - t1, 3)})
     metrics["phases"]["postings"] = round(time.monotonic() - t1, 3)
 
-    # ---- P3: shuffle-free stats ------------------------------------------
+    # ---- P3: shuffle-free stats (ONE scan + ONE tiny groupby) ------------
+    # The doclen table (one row per doc, carrying site) is extracted by a
+    # filter scan; sites (A3), n_docs and total_tf then all come from a
+    # single small aggregation over THAT skinny table — previously three
+    # separate driver-serialized Dataset jobs (sites groupby over docs,
+    # doclen sum, docs count), a measurable slice of the per-shard serial
+    # fraction in the scaling protocol.
     t2 = time.monotonic()
     if not (resume and phase_done(shard_dir, "prestats", key)):
         with phase_output(doclen_dir) as tmp:
-            p = rd.read_parquet(postings_dir, columns=["doc_id", "doc_len", "first"])
+            p = rd.read_parquet(postings_dir, columns=["doc_id", "site", "doc_len", "first"])
             dl = p.map_batches(
-                lambda t: t.filter(t.column("first")).select(["doc_id", "doc_len"]),
+                lambda t: t.filter(t.column("first")).select(["doc_id", "site", "doc_len"]),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
             _write_parquet(dl, tmp)
         with phase_output(sites_dir) as tmp:
-            d = rd.read_parquet(docs_dir, columns=["site", "doc_id"])
+            d = rd.read_parquet(doclen_dir, columns=["site", "doc_len"])
             partial = d.map_batches(
-                lambda t: t.group_by("site").aggregate([("doc_id", "count")]),
+                lambda t: t.group_by("site").aggregate(
+                    [("doc_len", "count"), ("doc_len", "sum")]
+                ),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
-            _write_parquet(
-                partial.groupby("site").aggregate(Sum("doc_id_count", alias_name="pages")), tmp
+            per_site = (
+                partial.groupby("site")
+                .aggregate(
+                    Sum("doc_len_count", alias_name="pages"),
+                    Sum("doc_len_sum", alias_name="site_tf"),
+                )
+                .to_pandas()
             )
-        total_tf = rd.read_parquet(doclen_dir, columns=["doc_len"]).sum("doc_len") or 0
-        import pyarrow.dataset as pads
-
-        n_docs = pads.dataset(docs_dir, format="parquet").count_rows()
+            if len(per_site) and "site" in per_site.columns:
+                n_docs = int(per_site["pages"].sum())
+                total_tf = int(per_site["site_tf"].sum())
+                sites_tab = pa.table(
+                    {
+                        "site": pa.array(per_site["site"].astype(str), pa.string()),
+                        "pages": pa.array(per_site["pages"].astype(np.int64), pa.int64()),
+                    }
+                )
+            else:
+                n_docs, total_tf = 0, 0
+                sites_tab = pa.table(
+                    {"site": pa.array([], pa.string()), "pages": pa.array([], pa.int64())}
+                )
+            pq.write_table(sites_tab, os.path.join(tmp, "sites.parquet"))
         stats = {
-            "n_docs": int(n_docs),
-            "total_tf": int(total_tf),
-            "avgdl": (int(total_tf) / n_docs) if n_docs else 0.0,
+            "n_docs": n_docs,
+            "total_tf": total_tf,
+            "avgdl": (total_tf / n_docs) if n_docs else 0.0,
             "num_buckets": num_buckets,
             "analyzer": analyzer_spec.get("name"),
             "shard_index": shard_index,
@@ -697,23 +849,31 @@ def build_index(
     metrics["phases"]["segments"] = round(time.monotonic() - t3, 3)
 
     # ---- P5: finish A1 from the df rows (tiny groupbys) ------------------
+    # Both dictionary tables are written partitioned by the term's hash
+    # bucket, so the query engine can look a term's df up with a pruned
+    # per-bucket read instead of loading the whole vocabulary at init
+    # (init memory independent of vocabulary size).
     t4 = time.monotonic()
     if not (resume and phase_done(shard_dir, "stats", key)):
         with phase_output(term_stats_dir) as tmp:
-            mixed = rd.read_parquet(seg_dir, columns=["term", "site", "df", "kind"])
+            mixed = rd.read_parquet(seg_dir, columns=["term", "site", "df", "kind", "bucket"])
             dfrows = mixed.map_batches(
                 lambda t: t.filter(pc.equal(t.column("kind"), "df")).select(
-                    ["site", "term", "df"]
+                    ["bucket", "site", "term", "df"]
                 ),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
             _write_parquet(
-                dfrows.groupby(["site", "term"]).aggregate(Sum("df", alias_name="df")), tmp
+                dfrows.groupby(["bucket", "site", "term"]).aggregate(Sum("df", alias_name="df")),
+                tmp, partition_cols=["bucket"],
             )
         with phase_output(term_df_dir) as tmp:
             ts = rd.read_parquet(term_stats_dir)
-            _write_parquet(ts.groupby("term").aggregate(Sum("df", alias_name="df")), tmp)
+            _write_parquet(
+                ts.groupby(["bucket", "term"]).aggregate(Sum("df", alias_name="df")),
+                tmp, partition_cols=["bucket"],
+            )
         commit_phase(shard_dir, "stats", key, {"seconds": round(time.monotonic() - t4, 3)})
     metrics["phases"]["stats"] = round(time.monotonic() - t4, 3)
 

@@ -56,14 +56,21 @@ class OracleIndex:
         return sum(self.site_pages.values())
 
 
-def build_oracle_index(pages_rows: list[dict], analyzer: Analyzer) -> OracleIndex:
+def build_oracle_index(pages_rows: list[dict], analyzer: Analyzer,
+                       num_shards: int = 1) -> OracleIndex:
     """pages rows (url, text, …) → in-memory index. ``text`` is the golden
-    extracted text (the build path's extractor is tested separately)."""
+    extracted text (the build path's extractor is tested separately).
+    ``num_shards`` must match the build's sharding so doc ids agree (the id
+    embeds the shard index — schema.py)."""
+    from .schema import hash64_strings
+    import numpy as np
+
     idx = OracleIndex(analyzer=analyzer)
     df: dict[tuple[str, str], int] = defaultdict(int)
     for row in pages_rows:
         url = row["url"]
-        doc_id = int(doc_ids_for_urls([url])[0])
+        shard = int(hash64_strings([url])[0] % np.uint64(num_shards)) if num_shards > 1 else 0
+        doc_id = int(doc_ids_for_urls([url], shard, num_shards)[0])
         site = url.split("://", 1)[-1].split("/", 1)[0]
         lemmas = analyzer.collect_lemmas(row["text"])
         idx.site_pages[site] += 1

@@ -123,8 +123,7 @@ def engine_term_df(sf_dir: str) -> pd.DataFrame:
     term→df dictionary (from the compressed-segment build) as a table."""
     index_dir = build_bench_index(sf_dir, repeat=1)
     eng = QueryEngine(index_dir, SIMPLE_SPEC)
-    items = sorted(eng.term_df.items())
-    return pd.DataFrame({"term": [t for t, _ in items], "df": [int(v) for _, v in items]})
+    return eng.term_df_table()
 
 
 def wand_search(sf_dir: str, repeat: int = 1, queries: list[str] | None = None) -> pd.DataFrame:

@@ -220,6 +220,10 @@ def wand_topk(
 class QueryEngine:
     """ST4: loads dictionary + stats once, serves many queries."""
 
+    # per-term dictionary entries cached after their first bucket-pruned read;
+    # bounds engine memory independent of vocabulary size (FIFO eviction)
+    DICT_CACHE_CAP = 1 << 16
+
     def __init__(self, index_root: str, analyzer_spec: dict, k1: float = 1.2, b: float = 0.75):
         self.analyzer = make_analyzer(analyzer_spec)
         self.k1, self.b = k1, b
@@ -233,19 +237,19 @@ class QueryEngine:
         self.avgdl = (self.total_tf / self.n_docs) if self.n_docs else 0.0
         self.readers = [SegmentReader(d, self.num_buckets) for d in self.shard_dirs]
 
-        # term dictionary: global df (J1); per-site df + site pages for K3
-        tdf = pd.concat(
-            [pads.dataset(os.path.join(d, "term_df")).to_table().to_pandas() for d in self.shard_dirs]
-        )
-        self.term_df = tdf.groupby("term")["df"].sum().to_dict()
-        ts = pd.concat(
-            [pads.dataset(os.path.join(d, "term_stats")).to_table().to_pandas() for d in self.shard_dirs]
-        )
-        self.site_term_df = ts.groupby(["site", "term"])["df"].sum().to_dict()
+        # Term dictionary (J1/K3) is NOT loaded here: per-term (site → df)
+        # rows are fetched lazily via bucket-pruned reads (term_stats is
+        # hive-partitioned by the term's hash bucket) and cached — init
+        # memory is independent of vocabulary size.  Only the per-SITE page
+        # counts (one row per site) load eagerly.
         sp = pd.concat(
             [pads.dataset(os.path.join(d, "sites")).to_table().to_pandas() for d in self.shard_dirs]
         )
-        self.site_pages = sp.groupby("site")["pages"].sum().to_dict()
+        if len(sp) and "site" in sp.columns:
+            self.site_pages = sp.groupby("site")["pages"].sum().to_dict()
+        else:
+            self.site_pages = {}
+        self._site_df_cache: dict[str, dict[str, int]] = {}
         self._site_docs_cache: dict[str, np.ndarray] = {}
         self._readers_cache: dict[str, list[BlockReader]] = {}
         self._decoded_cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
@@ -265,15 +269,54 @@ class QueryEngine:
             excluded.extend(info["doc_ids"])
         self.excluded_docs = np.array(sorted(excluded), dtype=np.uint64)
         self.avgdl = (self.total_tf / self.n_docs) if self.n_docs else 0.0
-        if self.purged_sites:
-            # global df must exclude purged sites' contributions
-            live = {
-                t: 0 for t in self.term_df
-            }
-            for (site, t), v in self.site_term_df.items():
-                if site not in self.purged_sites:
-                    live[t] = live.get(t, 0) + int(v)
-            self.term_df = {t: v for t, v in live.items() if v > 0}
+
+    # -- lazy term dictionary ------------------------------------------------
+    def _term_site_df(self, term: str) -> dict[str, int]:
+        """J1: {site: df} for one term — ONE pruned read of the term's hash
+        bucket per shard, then cached.  Purged sites are filtered here so
+        every consumer sees post-purge values."""
+        got = self._site_df_cache.get(term)
+        if got is None:
+            bucket = int(term_bucket(np.array([term], dtype=object), self.num_buckets)[0])
+            got = {}
+            for d in self.shard_dirs:
+                p = os.path.join(d, "term_stats", f"bucket={bucket}")
+                if not os.path.isdir(p):
+                    continue
+                t = pads.dataset(p, format="parquet").to_table(
+                    filter=pc.field("term") == term
+                )
+                for site, df in zip(t.column("site").to_pylist(), t.column("df").to_pylist()):
+                    if site not in self.purged_sites:
+                        got[site] = got.get(site, 0) + int(df)
+            if len(self._site_df_cache) >= self.DICT_CACHE_CAP:
+                self._site_df_cache.pop(next(iter(self._site_df_cache)))
+            self._site_df_cache[term] = got
+        return got
+
+    def term_global_df(self, term: str) -> int:
+        """Global df = Σ per-site df (a doc belongs to exactly one site)."""
+        return sum(self._term_site_df(term).values())
+
+    def _scan_term_stats(self) -> pd.DataFrame:
+        """FULL dictionary scan — reporting endpoints only (statistics, the
+        A1 conformance dump), never the query path."""
+        ts = pd.concat(
+            [pads.dataset(os.path.join(d, "term_stats")).to_table(
+                columns=["site", "term", "df"]).to_pandas()
+             for d in self.shard_dirs]
+        )
+        if self.purged_sites and len(ts):
+            ts = ts[~ts["site"].isin(self.purged_sites)]
+        return ts
+
+    def term_df_table(self) -> pd.DataFrame:
+        """A1 global roll-up as a table (term, df), purge-corrected."""
+        ts = self._scan_term_stats()
+        if len(ts) == 0:
+            return pd.DataFrame({"term": pd.Series(dtype=str), "df": pd.Series(dtype="int64")})
+        out = ts.groupby("term", sort=True)["df"].sum().astype("int64").reset_index()
+        return out[out["df"] > 0].reset_index(drop=True)
 
     def _not_excluded(self, docs: np.ndarray) -> np.ndarray:
         """Boolean mask of docs NOT tombstoned (sorted-array membership)."""
@@ -306,13 +349,19 @@ class QueryEngine:
                 dls_l.append(l)
             docs = np.concatenate(docs_l)
             order = np.argsort(docs, kind="stable")
+            docs = docs[order]
+            tfs = np.concatenate(tfs_l)[order].astype(np.uint64)
+            dls = np.concatenate(dls_l)[order].astype(np.uint64)
+            # shard-namespaced doc ids make cross-shard equality impossible
+            # (schema.py); this guard covers legacy/mixed-layout indexes where
+            # a collision would otherwise crash the strictly-increasing encoder
+            if docs.size > 1:
+                uniq = np.concatenate(([True], docs[1:] != docs[:-1]))
+                if not uniq.all():
+                    docs, tfs, dls = docs[uniq], tfs[uniq], dls[uniq]
             from .codec import encode_postings
 
-            enc = encode_postings(
-                docs[order],
-                np.concatenate(tfs_l)[order].astype(np.uint64),
-                np.concatenate(dls_l)[order].astype(np.uint64),
-            )
+            enc = encode_postings(docs, tfs, dls)
             readers = [BlockReader(enc)]
         self._readers_cache[term] = readers
         return ChainCursor(readers)
@@ -351,10 +400,12 @@ class QueryEngine:
         """``GET /api/statistics`` equivalent (A3-A5,
         services/StatisticsServiceImpl.java:57-89): totals + per-site pages
         and lemma counts."""
-        site_lemmas: dict[str, int] = {}
-        for (site, _t), v in self.site_term_df.items():
-            if v > 0 and site not in self.purged_sites:
-                site_lemmas[site] = site_lemmas.get(site, 0) + 1
+        ts = self._scan_term_stats()
+        live = ts[ts["df"] > 0] if len(ts) else ts
+        site_lemmas = (
+            live.groupby("site")["term"].nunique().to_dict() if len(live) else {}
+        )
+        n_lemmas = int(live["term"].nunique()) if len(live) else 0
         detailed = [
             {
                 "url": f"https://{site}",
@@ -371,7 +422,7 @@ class QueryEngine:
                 "total": {
                     "sites": len(detailed),
                     "pages": int(sum(self.site_pages.values())),
-                    "lemmas": len(self.term_df),
+                    "lemmas": n_lemmas,
                     "indexing": False,
                 },
                 "detailed": detailed,
@@ -382,10 +433,10 @@ class QueryEngine:
     def _query_terms(self, query: str, site: str | None) -> list[tuple[str, int]]:
         lemmas = list(self.analyzer.collect_lemmas(query).keys())
         if site is None:
-            df_of = lambda t: int(self.term_df.get(t, 0))
+            df_of = lambda t: self.term_global_df(t)
             pages = self.n_docs
         else:
-            df_of = lambda t: int(self.site_term_df.get((site, t), 0))
+            df_of = lambda t: int(self._term_site_df(t).get(site, 0))
             pages = int(self.site_pages.get(site, 0))
         known = [(t, df_of(t)) for t in lemmas if df_of(t) > 0]
         kept = [(t, df) for t, df in known if pages and java_round(100.0 * df / pages) < 80]
@@ -459,12 +510,12 @@ class QueryEngine:
         """
         terms = sorted(
             {t for t in self.analyzer.collect_lemmas(query)},
-            key=lambda t: (int(self.term_df.get(t, 0)), t),
+            key=lambda t: (self.term_global_df(t), t),
         )
         doc_parts: list[np.ndarray] = []
         contrib_parts: list[np.ndarray] = []
         for t in terms:
-            df = int(self.term_df.get(t, 0))
+            df = self.term_global_df(t)
             if df == 0:
                 continue
             idf = self._idf(df)
@@ -507,7 +558,7 @@ class QueryEngine:
         if algorithm == "wand":
             return self.bm25_wand(query, k)
         total = sum(
-            int(self.term_df.get(t, 0)) for t in self.analyzer.collect_lemmas(query)
+            self.term_global_df(t) for t in self.analyzer.collect_lemmas(query)
         )
         if total == 0:
             return []
@@ -520,11 +571,11 @@ class QueryEngine:
         broken doc_id asc; float sums in the same (df, term) order)."""
         terms = sorted(
             {t for t in self.analyzer.collect_lemmas(query)},
-            key=lambda t: (int(self.term_df.get(t, 0)), t),
+            key=lambda t: (self.term_global_df(t), t),
         )
         entries: list[tuple[float, ChainCursor]] = []
         for t in terms:
-            df = int(self.term_df.get(t, 0))
+            df = self.term_global_df(t)
             if df == 0:
                 continue
             entries.append((self._idf(df), self._cursor(t)))

@@ -8,16 +8,22 @@ each logical table is a Parquet-backed ``ray.data.Dataset`` of Arrow blocks.
 
 The reference assigns page ids with MySQL auto-increment
 (model/PageEntity.java:15-16) — a global sequential bottleneck that cannot
-exist at 10^12 documents.  We replace it with ``doc_id = hash64(url) >> 1``:
-deterministic, order-free, computed vectorized per batch; collisions are
-checked at fixture scale by tests (known trade-off: at the full 10^12-doc
-design scale, 63-bit birthday math expects ~5×10^4 colliding url pairs, which
-the url-dedup then treats as duplicates; the mitigation path is a per-shard
-id namespace — shard index in the high bits — left for a future round).  The
-id is confined to 63 bits and stored
-as ``int64`` so signed and unsigned orderings coincide — Arrow/pandas/Ray
-aggregate machinery is int64-native (uint64 keys above 2^63 degrade to
-pickled-object columns in shuffles).
+exist at 10^12 documents.  We replace it with a deterministic, order-free
+url hash, computed vectorized per batch.  With ``num_shards == 1`` the id is
+``hash64(url) >> 1``; with sharding the shard index occupies the LOW bits
+(``doc_id = (hash64(url) >> (1+B)) << B | shard_index`` where
+``B = bits(num_shards-1)``), which makes cross-shard doc_id ranges disjoint
+— two urls in different shards can NEVER collide, so the query engine's
+multi-shard posting merge never sees equal doc_ids.  Low bits (not high)
+keep each shard's ids spread over the full [0, 2^63) range, which the
+order-preserving docid-range salting of head terms depends on.  Within one
+shard, a residual 2^(63-B)-space birthday collision (~5×10^4 pairs at the
+10^12-doc design scale) maps both urls to the same doc_id; the build's exact
+dup-resolution groupby then keeps one deterministic winner — a documented
+treat-as-duplicate degradation, never a crash.  The id is confined to 63
+bits and stored as ``int64`` so signed and unsigned orderings coincide —
+Arrow/pandas/Ray aggregate machinery is int64-native (uint64 keys above 2^63
+degrade to pickled-object columns in shuffles).
 """
 
 from __future__ import annotations
@@ -110,9 +116,20 @@ def hash64_strings(values) -> np.ndarray:
     return out.astype(np.uint64)
 
 
-def doc_ids_for_urls(urls) -> np.ndarray:
-    """doc_id = hash64(url) >> 1, int64 in [0, 2^63) (SURVEY.md §4)."""
-    return (hash64_strings(urls) >> np.uint64(1)).astype(np.int64)
+def doc_ids_for_urls(urls, shard_index: int = 0, num_shards: int = 1) -> np.ndarray:
+    """Deterministic doc id, int64 in [0, 2^63) (SURVEY.md §4; module
+    docstring for the shard-namespace layout).
+
+    num_shards == 1: ``hash64(url) >> 1``.  Sharded: shard index in the LOW
+    ``B = bits(num_shards-1)`` bits → cross-shard ids are disjoint (no
+    collision can span shards) while each shard's ids still cover the full
+    [0, 2^63) range (required by ``range_salt``'s ordered sub-lists).
+    """
+    h = hash64_strings(urls)
+    if num_shards <= 1:
+        return (h >> np.uint64(1)).astype(np.int64)
+    b = int(num_shards - 1).bit_length()
+    return (((h >> np.uint64(1 + b)) << np.uint64(b)) | np.uint64(shard_index)).astype(np.int64)
 
 
 def term_bucket(terms, num_buckets: int) -> np.ndarray:

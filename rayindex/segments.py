@@ -66,6 +66,12 @@ def encode_group(df: pd.DataFrame) -> pa.Table:
     """
     if len(df) == 0:
         return MIXED_SCHEMA.empty_table()
+    # empty-doc marker rows (term "", tf 0 — see LemmatizeStage) exist only
+    # for the doclen/sites scan; they are not postings
+    if (df["term"] == "").any():
+        df = df[df["term"] != ""]
+        if len(df) == 0:
+            return MIXED_SCHEMA.empty_table()
     df = df.sort_values(["term", "doc_id"], kind="stable")
     # resilience guard: bit-identical duplicate pages that survive the
     # url-dedup (same url, warc_ts AND content) yield duplicate (term, doc)
@@ -238,27 +244,31 @@ class SegmentReader:
     def __init__(self, shard_dir: str, num_buckets: int):
         self.shard_dir = shard_dir
         self.num_buckets = num_buckets
-        self._bucket_cache: dict[int, pa.Table] = {}
+        self._ds_cache: dict[int, "pads.Dataset"] = {}
 
-    def _bucket_table(self, bucket: int) -> pa.Table | None:
-        t = self._bucket_cache.get(bucket)
-        if t is None:
+    def _bucket_dataset(self, bucket: int):
+        ds = self._ds_cache.get(bucket)
+        if ds is None:
             d = os.path.join(self.shard_dir, "segments", f"bucket={bucket}")
             if not os.path.isdir(d):
                 return None
-            t = pads.dataset(d, format="parquet").to_table()
-            if "kind" in t.schema.names:  # mixed seg+df layout
-                t = t.filter(pa.compute.equal(t.column("kind"), "seg"))
-            self._bucket_cache[bucket] = t
-        return t
+            ds = pads.dataset(d, format="parquet")
+            self._ds_cache[bucket] = ds
+        return ds
 
     def postings(self, term: str, bucket: int) -> list[BlockReader]:
-        """All sub-lists for a term, ordered by salt (docid ranges ascend)."""
-        t = self._bucket_table(bucket)
-        if t is None:
+        """All sub-lists for a term, ordered by salt (docid ranges ascend).
+
+        A per-TERM filtered read (predicate pushdown on row-group stats) —
+        never materializes the whole bucket, so reader memory is independent
+        of bucket size; the engine caches decoded readers per term above."""
+        ds = self._bucket_dataset(bucket)
+        if ds is None:
             return []
-        mask = pa.compute.equal(t.column("term"), term)
-        rows = t.filter(mask)
+        flt = pa.compute.field("term") == term
+        if "kind" in ds.schema.names:  # mixed seg+df layout
+            flt = flt & (pa.compute.field("kind") == "seg")
+        rows = ds.to_table(filter=flt)
         if rows.num_rows == 0:
             return []
         rows = rows.sort_by("salt")

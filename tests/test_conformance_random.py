@@ -49,7 +49,9 @@ def test_full_size_conformance_corpus(ray_session, tmp_path):
               salt_df_threshold=400, salt_target=256)
     eng = QueryEngine(out, fx.analyzer_spec)
     assert eng.n_docs == 2000
-    oidx = build_oracle_index(fx.pages.to_pylist(), make_analyzer(fx.analyzer_spec))
+    oidx = build_oracle_index(
+        fx.pages.to_pylist(), make_analyzer(fx.analyzer_spec), num_shards=2
+    )
     for q in fx.queries[::2]:
         want = oracle_search(oidx, q["query"], k=10)
         got = eng.search(q["query"], k=10, with_snippets=False)

@@ -52,7 +52,7 @@ def test_delta_reindex_overrides_page(ray_session, fixture_corpus, tmp_path):
     # engine must now equal an oracle built over (pages with page 7 replaced)
     rows = pages.to_pylist()
     rows[7]["text"] = golden
-    oidx = build_oracle_index(rows, make_analyzer(fixture_corpus.analyzer_spec))
+    oidx = build_oracle_index(rows, make_analyzer(fixture_corpus.analyzer_spec), num_shards=2)
     eng = QueryEngine(out, fixture_corpus.analyzer_spec)
     assert eng.n_docs == 60
     for q in [new_word, fixture_corpus.forms[fixture_corpus.lemmas[5]][0]]:

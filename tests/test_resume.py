@@ -82,7 +82,7 @@ def test_sharded_build_and_query(ray_session, fixture_corpus, tmp_path):
     build_all(pdir, out, fixture_corpus.analyzer_spec, num_shards=2, num_buckets=4)
     eng = QueryEngine(out, fixture_corpus.analyzer_spec)
     assert eng.n_docs == 80
-    oidx = build_oracle_index(pages.to_pylist(), make_analyzer(fixture_corpus.analyzer_spec))
+    oidx = build_oracle_index(pages.to_pylist(), make_analyzer(fixture_corpus.analyzer_spec), num_shards=2)
     for q in fixture_corpus.queries[:12]:
         want = oracle_search(oidx, q["query"], k=10)
         got = eng.search(q["query"], k=10, with_snippets=False)
