@@ -30,11 +30,35 @@ from .analyze import EN_STOPWORDS, simple_analyzer
 # tokenization (shared by df / doclen / tf / search entries)
 
 
-class TokenizeDocs:
-    """Actor stage: documents(doc_id, source, text) → (doc_id, [site,] term, tf).
+def _task_cpus() -> int:
+    """Cluster CPU count for sizing stage parallelism hints."""
+    try:
+        if ray.is_initialized():
+            return max(2, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:  # noqa: BLE001
+        pass
+    return 8
 
-    The analyzer state (compiled regexes + stop set) is built once per actor
-    (ST1 pattern); the batch body is pandas-vectorized explode + groupby.
+
+def auto_concurrency() -> tuple[int, int]:
+    """Actor-pool bounds sized from the cluster (a hardcoded cap like (1, 4)
+    silently serializes on a 32-CPU node and worse on a real cluster).  Only
+    for stages that genuinely need an actor pool (heavy per-actor state);
+    stateless stages should be passed as plain callables (task pool) — in
+    this Ray version actor pools pay a scheduling tax that only amortizes
+    when ``__init__`` does real work."""
+    return (1, _task_cpus())
+
+
+class TokenizeDocs:
+    """Tokenize stage: documents(doc_id, source, text) → (doc_id, [site,]
+    term, tf).
+
+    Passed as an INSTANCE (stateless task stage): the analyzer carries only
+    compiled regexes + a small stop set, so per-task pickling is cheap and
+    the elastic task pool beats an actor pool's scheduling tax (the heavy
+    dictionary-carrying analyzer in the index build DOES use an actor pool —
+    build.py ST1).  The batch body is Arrow/numpy-vectorized.
     """
 
     def __init__(self, with_site: bool = False):
@@ -60,8 +84,7 @@ class TokenizeDocs:
 def doc_tf(sf_dir: str) -> rd.Dataset:
     """M6 as a dataset op: (doc_id, term, tf) exploded postings."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return docs.map_batches(TokenizeDocs, batch_format="pyarrow", zero_copy_batch=True,
-                            concurrency=(1, 4))
+    return docs.map_batches(TokenizeDocs(), batch_format="pyarrow", zero_copy_batch=True)
 
 
 def term_df(sf_dir: str) -> rd.Dataset:
@@ -77,8 +100,8 @@ def term_df(sf_dir: str) -> rd.Dataset:
 def site_term_df(sf_dir: str) -> rd.Dataset:
     """A1 (per-site semantics, ``source`` plays the site role)."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
-    tf = docs.map_batches(TokenizeDocs, fn_constructor_kwargs={"with_site": True},
-                          batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4))
+    tf = docs.map_batches(TokenizeDocs(with_site=True),
+                          batch_format="pyarrow", zero_copy_batch=True)
     partial = tf.map_batches(
         lambda t: t.group_by(["site", "term"]).aggregate([("doc_id", "count")]),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -141,8 +164,8 @@ def site_stats(sf_dir: str) -> pd.DataFrame:
     count.  Distinct counts don't partial-sum, so distinct pairs are reduced
     per batch first and finalized in one small groupby each."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
-    tf = docs.map_batches(TokenizeDocs, fn_constructor_kwargs={"with_site": True},
-                          batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4))
+    tf = docs.map_batches(TokenizeDocs(with_site=True),
+                          batch_format="pyarrow", zero_copy_batch=True)
 
     from ray.data.aggregate import Count as _Count
 
@@ -203,11 +226,27 @@ def fingerprint(sf_dir: str) -> rd.Dataset:
     return docs.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _md5_le64(strings) -> np.ndarray:
+    """LE-uint64 of the first 8 md5 bytes per string — THE hash primitive of
+    the dedup family.  DuckDB mirrors it exactly as ``md5_number_upper(s)``,
+    which is what makes the minhash/simhash oracles SQL-expressible."""
+    md5 = hashlib.md5
+    return np.fromiter(
+        (int.from_bytes(md5(s.encode()).digest()[:8], "little") for s in strings),
+        dtype=np.uint64,
+        count=len(strings),
+    )
+
+
 class MinHasher:
     """MinHash over word 3-shingles; 32 permutations in 8 LSH bands of 4.
 
     Emits (band, band_hash, doc_id) rows; near-dup candidates are docs sharing
     a (band, band_hash) bucket — found by one groupby, no pairwise scan.
+    Vectorization: md5 runs once per UNIQUE shingle per batch (factorized),
+    and all permutations × shingles are one uint64 outer product.  The band
+    hash is md5 of the '-'-joined decimal signature chunk — deterministic and
+    exactly mirrorable in SQL (md5 + string_agg).
     """
 
     N_PERM = 32
@@ -221,28 +260,46 @@ class MinHasher:
         self.p = np.uint64((1 << 61) - 1)  # Mersenne prime
 
     def signature(self, text: str) -> np.ndarray | None:
+        """Single-doc reference path (tests); the batch path is __call__."""
         toks = text.lower().split()
         if len(toks) < self.shingle:
             return None
-        sh = {" ".join(toks[i : i + self.shingle]) for i in range(len(toks) - self.shingle + 1)}
-        hv = np.array(
-            [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") & ((1 << 61) - 1) for s in sh],
-            dtype=np.uint64,
-        )
-        # (a*h + b) mod p for every permutation — vectorized outer product
+        sh = sorted({" ".join(toks[i: i + self.shingle]) for i in range(len(toks) - self.shingle + 1)})
+        hv = _md5_le64(sh) & np.uint64((1 << 61) - 1)
         m = (self.a[:, None] * hv[None, :] + self.b[:, None]) % self.p
         return m.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, bands, bhashes = [], [], []
         n_bands = self.N_PERM // self.BAND
-        for did, text in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            sig = self.signature(text)
-            if sig is None:
+        doc_ids_in = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pandas().str.lower().str.split()
+        # factorize shingles across the whole batch → md5 per unique only
+        uniq_idx: dict[str, int] = {}
+        doc_rows: list[tuple[int, np.ndarray]] = []
+        for did, toks in zip(doc_ids_in, texts):
+            toks = toks if isinstance(toks, list) else []
+            if len(toks) < self.shingle:
                 continue
+            codes = {
+                uniq_idx.setdefault(" ".join(toks[i: i + self.shingle]), len(uniq_idx))
+                for i in range(len(toks) - self.shingle + 1)
+            }
+            doc_rows.append((did, np.fromiter(codes, dtype=np.int64, count=len(codes))))
+        if not doc_rows:
+            return pa.table(
+                {"band": pa.array([], pa.int32()), "band_hash": pa.array([], pa.string()),
+                 "doc_id": pa.array([], pa.int64())}
+            )
+        hv = _md5_le64(list(uniq_idx)) & np.uint64((1 << 61) - 1)
+        # (perm, uniq) permuted hashes, computed once per batch
+        m_all = (self.a[:, None] * hv[None, :] + self.b[:, None]) % self.p
+        doc_ids, bands, bhashes = [], [], []
+        md5 = hashlib.md5
+        for did, codes in doc_rows:
+            sig = m_all[:, codes].min(axis=1)
             for bnd in range(n_bands):
-                chunk = sig[bnd * self.BAND : (bnd + 1) * self.BAND]
-                h = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
+                chunk = sig[bnd * self.BAND: (bnd + 1) * self.BAND]
+                h = md5("-".join(str(int(v)) for v in chunk).encode()).hexdigest()[:16]
                 doc_ids.append(did)
                 bands.append(bnd)
                 bhashes.append(h)
@@ -255,20 +312,37 @@ class MinHasher:
         )
 
 
+# A single viral boilerplate text can put millions of docs in one LSH bucket;
+# emitting that bucket's O(n²) pairs would stall the whole shuffle.  Buckets
+# above the cap are split into consecutive sorted chunks — deterministic, and
+# the lost cross-chunk candidates are exactly the pathological near-identical
+# mass the downstream cluster-resolution collapses anyway (documented recall
+# trade-off; raise the cap per deployment if needed).
+LSH_BUCKET_CAP = 512
+
+
 def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     ids = np.sort(g["doc_id"].to_numpy())
     if len(ids) < 2:
         return pd.DataFrame({"doc_a": [], "doc_b": []})
-    a, b = np.meshgrid(ids, ids, indexing="ij")
-    m = a < b
-    return pd.DataFrame({"doc_a": a[m], "doc_b": b[m]})
+    out_a, out_b = [], []
+    for s in range(0, len(ids), LSH_BUCKET_CAP):
+        chunk = ids[s: s + LSH_BUCKET_CAP]
+        if len(chunk) < 2:
+            continue
+        a, b = np.meshgrid(chunk, chunk, indexing="ij")
+        m = a < b
+        out_a.append(a[m])
+        out_b.append(b[m])
+    if not out_a:
+        return pd.DataFrame({"doc_a": [], "doc_b": []})
+    return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)})
 
 
 def minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH near-duplicate candidate pairs (deduplicated)."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    sigs = docs.map_batches(MinHasher, batch_format="pyarrow", zero_copy_batch=True,
-                            concurrency=(1, 4))
+    sigs = docs.map_batches(MinHasher(), batch_format="pyarrow", zero_copy_batch=True)
     pairs = sigs.groupby(["band", "band_hash"]).map_groups(_bucket_pairs, batch_format="pandas")
     pdf = pairs.to_pandas()
     if len(pdf) == 0:
@@ -280,58 +354,143 @@ def minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
 
 
 class SimHasher:
-    """64-bit SimHash over unigram md5 hashes, tf-weighted."""
+    """64-bit SimHash over unigram md5 hashes, tf-weighted.
+
+    Vectorized batch body: tokens are factorized so md5 runs once per UNIQUE
+    token; bit-plane accumulation is one ``np.add.reduceat`` over the
+    per-occurrence sign matrix (the old per-token Python loop was the
+    slowest dedup stage at scale).  Output is bit-identical to the scalar
+    reference (``simhash_one``, kept for tests/oracles).
+    """
+
+    @staticmethod
+    def simhash_one(text: str) -> int:
+        """Scalar reference implementation (pre-vectorization semantics)."""
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in text.lower().split():
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        val = 0
+        for i in range(64):
+            if acc[i] > 0:
+                val |= 1 << i
+        return val - (1 << 63)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = []
-        for text in batch.column("text").to_pylist():
-            toks = text.lower().split()
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in toks:
-                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits.astype(bool), 1, -1)
-            val = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    val |= 1 << i
-            out.append(val - (1 << 63))  # store as int64
+        import itertools
+
+        toks = batch.column("text").to_pandas().str.lower().str.split()
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        out = np.full(len(toks), -(1 << 63), dtype=np.int64)  # zero-token docs
+        total = int(lens.sum())
+        if total:
+            flat = np.fromiter(itertools.chain.from_iterable(toks), dtype=object, count=total)
+            codes, uniques = pd.factorize(flat)
+            uh = _md5_le64(list(uniques))
+            shifts = np.arange(64, dtype=np.uint64)
+            signs = (((uh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32) * 2 - 1)
+            occ = signs[codes]  # (total, 64), ±1 per token occurrence
+            cum = np.concatenate(([0], np.cumsum(lens)))
+            nz = lens > 0
+            acc = np.add.reduceat(occ, cum[:-1][nz], axis=0)
+            pos = acc > 0
+            powers = np.uint64(1) << shifts
+            v = (pos * powers[None, :]).sum(axis=1, dtype=np.uint64)
+            # val - 2^63 over the full uint64 range == flip the sign bit
+            out[nz] = (v ^ np.uint64(1 << 63)).view(np.int64)
         return pa.table({"doc_id": batch.column("doc_id"), "simhash": pa.array(out, pa.int64())})
 
 
 def simhash(sf_dir: str) -> rd.Dataset:
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return docs.map_batches(SimHasher, batch_format="pyarrow", zero_copy_batch=True,
-                            concurrency=(1, 4))
+    return docs.map_batches(SimHasher(), batch_format="pyarrow", zero_copy_batch=True,
+                            batch_size=1024)
+
+
+# sentinel "gram" marking document presence in the keyed self-join (cannot
+# collide with real grams, which are space-joined lowercase tokens)
+_PRESENCE = "\x01"
 
 
 def ngram_jaccard_pairs(sf_dir: str, n: int = 2) -> pd.DataFrame:
     """n-gram Jaccard between consecutive doc pairs (doc_id, doc_id+1) —
-    SQL-mirrorable verification op for the near-dup family."""
+    SQL-mirrorable verification op for the near-dup family.
+
+    Fully distributed keyed SELF-JOIN via groupby (no driver materialization
+    — the old version did ``to_pandas()`` + a Python loop over the corpus):
+    each doc's distinct grams are emitted under pair keys ``k = doc_id``
+    (role a, r=1) and ``k = doc_id − 1`` (role b, r=2), plus one presence
+    marker per role; ``groupby(k, gram)`` sums roles (3 ⇔ gram in both
+    docs), and a second tiny ``groupby(k)`` counts union/intersection."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def grams(t: pa.Table) -> pa.Table:
-        ids, gs = [], []
+    def emit(t: pa.Table) -> pa.Table:
+        ks, gs, rs = [], [], []
         for did, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
             toks = text.lower().split()
-            ids.append(did)
-            gs.append(sorted({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}))
-        return pa.table({"doc_id": pa.array(ids, pa.int64()), "grams": pa.array(gs, pa.list_(pa.string()))})
-
-    gds = docs.map_batches(grams, batch_format="pyarrow", zero_copy_batch=True)
-    pdf = gds.to_pandas().sort_values("doc_id").reset_index(drop=True)
-    rows = []
-    for i in range(len(pdf) - 1):
-        a_id, b_id = int(pdf["doc_id"][i]), int(pdf["doc_id"][i + 1])
-        if b_id != a_id + 1:
-            continue
-        sa, sb = set(pdf["grams"][i]), set(pdf["grams"][i + 1])
-        inter, union = len(sa & sb), len(sa | sb)
-        rows.append(
-            {"doc_a": a_id, "doc_b": b_id, "n_inter": inter, "n_union": union,
-             "jaccard": (inter / union) if union else 0.0}
+            grams = {" ".join(toks[i: i + n]) for i in range(len(toks) - n + 1)}
+            for k, r in ((did, 1), (did - 1, 2)):
+                ks.append(k)
+                gs.append(_PRESENCE)
+                rs.append(r * 4)  # presence: 4 / 8 → both present ⇔ sum 12
+                for g in grams:
+                    ks.append(k)
+                    gs.append(g)
+                    rs.append(r)
+        return pa.table(
+            {"k": pa.array(ks, pa.int64()), "gram": pa.array(gs, pa.string()),
+             "r": pa.array(rs, pa.int64())}
         )
-    return pd.DataFrame(rows)
+
+    per_gram = (
+        docs.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["k", "gram"])
+        .aggregate(Sum("r", alias_name="s"))
+    )
+
+    def indicators(t: pa.Table) -> pa.Table:
+        is_marker = pc.equal(t.column("gram"), _PRESENCE)
+        s = t.column("s").to_numpy()
+        marker = is_marker.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": t.column("k"),
+                "u": pa.array(np.where(marker, 0, 1).astype(np.int64), pa.int64()),
+                "i": pa.array(((~marker) & (s == 3)).astype(np.int64), pa.int64()),
+                "pres": pa.array(np.where(marker, s, 0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    fin = (
+        per_gram.map_batches(indicators, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(
+            Sum("u", alias_name="n_union"),
+            Sum("i", alias_name="n_inter"),
+            Sum("pres", alias_name="pres"),
+        )
+    )
+    pdf = fin.to_pandas()  # O(#docs) result rows — this IS the final output
+    if len(pdf) == 0 or "k" not in pdf.columns:
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+             "n_inter": pd.Series(dtype="int64"), "n_union": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
+    pdf = pdf[pdf["pres"] == 12]  # both doc k and doc k+1 exist
+    out = pd.DataFrame(
+        {
+            "doc_a": pdf["k"].astype("int64"),
+            "doc_b": (pdf["k"] + 1).astype("int64"),
+            "n_inter": pdf["n_inter"].astype("int64"),
+            "n_union": pdf["n_union"].astype("int64"),
+        }
+    )
+    out["jaccard"] = np.where(
+        out["n_union"] > 0, out["n_inter"] / out["n_union"].replace(0, 1), 0.0
+    )
+    return out.sort_values("doc_a").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
