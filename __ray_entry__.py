@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": textops.token_count_bpe,
         "jaccard_pairs": lambda sf: textops.ngram_jaccard_pairs(sf, n=1),
         "embedding_near_dup": textops.embedding_near_dup,
+        "dedup_near_clusters": textops.dedup_near_clusters,  # pairs → components → winner
         "ann_cosine_topk": textops.ann_cosine_topk,
         # --- multimodal (binary payload columns; STUB decode kernels) ----
         "media_meta": __import__("rayindex.multimodal", fromlist=["media_meta"]).media_meta,
@@ -113,9 +114,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engine_term_df": __import__(
             "rayindex.pipelines", fromlist=["engine_term_df"]
         ).engine_term_df,
-        # --- rows-only (no SQL equivalent; pytest-verified) --------------
+        # --- SQL-checked via md5_number_upper (≡ LE64 of md5 bytes) ------
         "minhash_lsh_pairs": textops.minhash_lsh_pairs,
         "simhash": textops.simhash,
+        # --- rows-only (no SQL equivalent; pytest-verified) --------------
         "ann_lsh_topk": textops.ann_lsh_topk,
         "engine_search_topk": flagship_search,  # full build+query engine
         "engine_wand_topk": wand_search,  # BM25 block-max WAND
@@ -125,6 +127,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     stop = _STOP_SQL
     ta, tb = _SEARCH_TERMS
+    # DuckDB md5_number_upper(s) == int.from_bytes(md5(s)[:8], 'little') —
+    # the hash primitive of the whole dedup family (textops._md5_le64), which
+    # is what makes minhash/simhash/media oracles exactly expressible.
+    from rayindex.textops import MinHasher
+
+    _mh = MinHasher()
+    _perm_vals = ", ".join(
+        f"({j}, {int(a)}, {int(b)})" for j, (a, b) in enumerate(zip(_mh.a, _mh.b))
+    )
+    _mask61 = (1 << 61) - 1
     return {
         "doc_tf": f"WITH {_T} SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, term",
         "term_df": f"WITH {_T} SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY term",
@@ -227,5 +239,67 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT embedding FROM embeddings WHERE vec_id = 0)) AS score FROM embeddings e) "
             "SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS rank, vec_id "
             "FROM s ORDER BY score DESC, vec_id LIMIT 10"
+        ),
+        "dedup_near_clusters": (
+            # transitive closure of the near-dup pair graph; cluster id =
+            # min reachable vec_id (singletons map to themselves)
+            "WITH RECURSIVE p AS ("
+            "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
+            "JOIN embeddings b ON b.vec_id > a.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4), "
+            "e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p), "
+            "reach(src, dst) AS ("
+            "SELECT vec_id, vec_id FROM embeddings "
+            "UNION "
+            "SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst) "
+            "SELECT src AS vec_id, CAST(min(dst) AS BIGINT) AS cluster_id "
+            "FROM reach GROUP BY src"
+        ),
+        "simhash": (
+            r"WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents), "
+            "t AS (SELECT doc_id, tok, CAST(count(*) AS HUGEINT) AS tf FROM toks WHERE tok <> '' GROUP BY doc_id, tok), "
+            "h AS (SELECT doc_id, md5_number_upper(tok) AS hv, tf FROM t), "
+            "bits AS (SELECT doc_id, i.i AS i, "
+            "sum(CASE WHEN (hv >> i.i) & 1 = 1 THEN tf ELSE -tf END) AS acc "
+            "FROM h CROSS JOIN (SELECT unnest(range(64)) AS i) i GROUP BY doc_id, i.i), "
+            "vals AS (SELECT doc_id, sum(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << i ELSE 0 END) AS v "
+            "FROM bits GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE(v.v, 0) - 9223372036854775808 AS BIGINT) AS simhash "
+            "FROM documents d LEFT JOIN vals v USING (doc_id)"
+        ),
+        "minhash_lsh_pairs": (
+            # numpy uint64 arithmetic wraps at 2^64, so the permutation is
+            # ((a*h + b) mod 2^64) mod p — mirrored with the double modulo.
+            # The Ray side also caps pathological buckets at LSH_BUCKET_CAP
+            # (512); fixture buckets are far smaller, so the sets agree.
+            r"WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS l FROM documents), "
+            "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1), "
+            "i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS s FROM toks WHERE len(l) >= 3), "
+            f"hv AS (SELECT doc_id, CAST(md5_number_upper(s) & CAST({_mask61} AS UBIGINT) AS HUGEINT) AS hv FROM sh), "
+            f"perms(j, a, b) AS (VALUES {_perm_vals}), "
+            "m AS (SELECT hv.doc_id, p.j, "
+            f"min(((CAST(p.a AS HUGEINT) * hv.hv + p.b) % 18446744073709551616) % {_mask61}) AS sig "
+            "FROM hv CROSS JOIN perms p GROUP BY hv.doc_id, p.j), "
+            "bands AS (SELECT doc_id, CAST(j // 4 AS INTEGER) AS band, "
+            "substr(md5(string_agg(CAST(sig AS VARCHAR), '-' ORDER BY j)), 1, 16) AS band_hash "
+            "FROM m GROUP BY doc_id, j // 4) "
+            "SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b "
+            "FROM bands x JOIN bands y ON x.band = y.band AND x.band_hash = y.band_hash "
+            "AND y.doc_id > x.doc_id ORDER BY doc_a, doc_b"
+        ),
+        "media_frames": (
+            # documents are ASCII, so VARCHAR substr == byte slicing of the
+            # utf-8 payload; frame f covers bytes [f*64, f*64+64)
+            "WITH m AS (SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n "
+            "FROM documents WHERE doc_id % 3 = 2), "
+            "f AS (SELECT media_id, text, unnest(range(0, greatest(1, n // 64), 8)) AS frame_id FROM m) "
+            "SELECT media_id, CAST(frame_id AS BIGINT) AS frame_id, "
+            "substr(md5(substr(text, CAST(frame_id*64 + 1 AS INTEGER), 64)), 1, 16) AS frame_hash FROM f"
+        ),
+        "media_features": (
+            "WITH f AS (SELECT doc_id AS media_id, unnest(range(16)) AS dim_id, text FROM documents) "
+            "SELECT media_id, CAST(dim_id AS BIGINT) AS dim_id, "
+            "CAST(CAST(CAST(md5_number_upper(text || ':' || dim_id) AS DOUBLE) "
+            "/ 18446744073709551616.0 AS FLOAT) AS DOUBLE) AS value FROM f"
         ),
     }

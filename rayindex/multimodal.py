@@ -24,6 +24,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from .textops import auto_concurrency
+
 try:  # real codecs are absent in this container; keep the seam explicit
     from PIL import Image  # noqa: F401
 
@@ -145,8 +147,10 @@ class FrameSampleStage:
             for f in range(0, _frame_count_stub(payload), self.every_n):
                 mids.append(mid)
                 fids.append(f)
-                # STUB frame content hash (real impl: decoded frame bytes)
-                fhash.append(hashlib.md5(payload[f : f + 64] or b"\0").hexdigest()[:16])
+                # STUB frame content hash (real impl: decoded frame bytes);
+                # frame f covers BYTES [f*64, f*64+64) — slicing by frame
+                # index instead of byte offset was a review finding
+                fhash.append(hashlib.md5(payload[f * 64 : f * 64 + 64] or b"\0").hexdigest()[:16])
         return pa.table(
             {
                 "media_id": pa.array(mids, pa.int64()),
@@ -157,17 +161,26 @@ class FrameSampleStage:
 
 
 class FeatureStage:
-    """Payload → fixed-size embedding (STUB: seeded from payload md5; real
-    impl: a model forward pass, batched).  Emits ``list<float>`` Arrow."""
+    """Payload → fixed-size embedding (STUB: a deterministic hash-derived
+    pseudo-embedding; real impl: a model forward pass, batched).  Emits
+    ``list<float32>`` Arrow — the schema/batching a real model stage needs.
+
+    Stub definition (exactly mirrorable in SQL for the correctness gate):
+    ``feature[j] = float32(md5_le64(payload ∥ ':' ∥ j) / 2^64)`` — uniform in
+    [0, 1), a pure function of the payload bytes."""
 
     DIM = 16
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        md5 = hashlib.md5
         feats = []
         for payload in batch.column("payload").to_pylist():
-            seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "little")
-            rng = np.random.default_rng(seed)
-            feats.append(rng.standard_normal(self.DIM).astype(np.float32))
+            v = np.fromiter(
+                (int.from_bytes(md5(payload + f":{j}".encode()).digest()[:8], "little")
+                 for j in range(self.DIM)),
+                dtype=np.uint64, count=self.DIM,
+            )
+            feats.append((v / np.float64(2**64)).astype(np.float32))
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
@@ -181,19 +194,35 @@ def media_meta(sf_dir: str) -> rd.Dataset:
     function of octet_length + first byte)."""
     return synth_media(sf_dir).map_batches(
         MediaDecodeStage, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4), batch_size=256,
+        concurrency=auto_concurrency(), batch_size=256,
     )
 
 
 def media_frames(sf_dir: str) -> rd.Dataset:
     return synth_media(sf_dir).map_batches(
         FrameSampleStage, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4), batch_size=256,
+        concurrency=auto_concurrency(), batch_size=256,
     )
 
 
 def media_features(sf_dir: str) -> rd.Dataset:
-    return synth_media(sf_dir).map_batches(
+    """Feature extraction → LONG format (media_id, dim_id, value float64) so
+    the driver's value-hash check (and any SQL consumer) sees scalar columns;
+    ``FeatureStage`` itself emits the list<float32> a model stage would."""
+    feats = synth_media(sf_dir).map_batches(
         FeatureStage, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4), batch_size=256,
+        concurrency=auto_concurrency(), batch_size=256,
     )
+
+    def explode(t: pa.Table) -> pa.Table:
+        f = t.column("feature")
+        flat = pa.compute.list_flatten(f).cast(pa.float64())
+        parents = pa.compute.list_parent_indices(f)
+        ids = t.column("media_id").take(parents)
+        n = FeatureStage.DIM
+        dims = np.tile(np.arange(n, dtype=np.int64), len(t))
+        return pa.table(
+            {"media_id": ids, "dim_id": pa.array(dims, pa.int64()), "value": flat}
+        )
+
+    return feats.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)

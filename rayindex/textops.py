@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Count as _Count, Min, Sum
 
 from .analyze import EN_STOPWORDS, simple_analyzer
 
@@ -575,7 +575,11 @@ class CosineTopK:
         emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
         scores = emb.astype(np.float64) @ self.q.astype(np.float64)
         k = min(self.k, len(ids))
-        top = np.argpartition(-scores, k - 1)[:k]
+        # lexsort (not argpartition) so the batch-local cut respects the
+        # GLOBAL (score desc, vec_id asc) tie-break — argpartition could drop
+        # the tied smaller vec_id at the k-th score boundary, diverging from
+        # the driver-side merge and the exact-equality oracle
+        top = np.lexsort((ids, -scores))[:k]
         return pa.table(
             {"vec_id": pa.array(ids[top], pa.int64()), "score": pa.array(scores[top], pa.float64())}
         )
@@ -589,11 +593,12 @@ def ann_cosine_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pd.DataF
         filter=pc.field("vec_id") == query_vec_id
     )
     q = np.array(qtab.column("embedding").to_pylist()[0], dtype=np.float64)
-    qref = ray.put(q)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # instance task stage: the query vector is tiny (dim floats), so shipping
+    # it inside the pickled callable IS the broadcast — no actor pool needed
     local = ds.map_batches(
-        CosineTopK, fn_constructor_kwargs={"query_ref": qref, "k": k},
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4), batch_size=4096,
+        CosineTopK(q, k),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=4096,
     )
     pdf = local.to_pandas()
     pdf = pdf.sort_values(["score", "vec_id"], ascending=[False, True]).head(k).reset_index(drop=True)
@@ -602,18 +607,27 @@ def ann_cosine_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pd.DataF
 
 
 class CosinePairFinder:
-    """Embedding-cosine near-dup pairs: each batch's vectors are compared
-    against the broadcast full (normalized) matrix — numpy matmul per batch,
-    emitting (a, b) with a < b and cosine ≥ τ.  The broadcast side fits
-    memory at dedup-corpus scale (n×dim floats); beyond that the LSH-bucketed
-    path (``ann_lsh_topk`` machinery) is the scale route."""
+    """Embedding-cosine near-dup pairs, EXACT small-corpus path: each batch's
+    vectors are compared against the broadcast full (normalized) matrix —
+    numpy matmul per batch, emitting (a, b) with a < b and cosine ≥ τ.
+
+    Bounded by ``EXACT_PAIR_LIMIT`` rows (the broadcast is n×dim floats and
+    work is O(n²)); above that ``embedding_near_dup`` switches to the banded
+    LSH bucket path, which shuffles each vector B times instead of
+    broadcasting the whole matrix anywhere."""
 
     def __init__(self, matrix_ref, ids_ref, tau: float):
-        self.all_emb = ray.get(matrix_ref) if isinstance(matrix_ref, ray.ObjectRef) else matrix_ref
-        self.all_ids = ray.get(ids_ref) if isinstance(ids_ref, ray.ObjectRef) else ids_ref
+        # refs resolve lazily in the worker (zero-copy from the local object
+        # store); instantiating on the driver would re-ship the matrix per task
+        self._matrix_ref, self._ids_ref = matrix_ref, ids_ref
+        self.all_emb = matrix_ref if isinstance(matrix_ref, np.ndarray) else None
+        self.all_ids = ids_ref if isinstance(ids_ref, np.ndarray) else None
         self.tau = tau
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.all_emb is None:
+            self.all_emb = ray.get(self._matrix_ref)
+            self.all_ids = ray.get(self._ids_ref)
         ids = batch.column("vec_id").to_numpy()
         emb = np.stack(batch.column("embedding").to_pandas().to_numpy()).astype(np.float64)
         emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
@@ -630,24 +644,117 @@ class CosinePairFinder:
         )
 
 
-def embedding_near_dup(sf_dir: str, tau: float = 0.4) -> pd.DataFrame:
-    """Embedding-cosine near-duplicate pairs (the fifth dedup family member)."""
+# exact all-pairs fallback bound: n×n scores and an n×dim broadcast stay
+# trivially in worker memory below this; the LSH path takes over above it
+EXACT_PAIR_LIMIT = 100_000
+
+
+class BandedLshStage:
+    """Banded random-hyperplane LSH for near-dup candidate generation (the
+    100-TB pair-generation route): emits one (band, bucket, vec_id,
+    embedding) row per band, so a groupby(band, bucket) colocates candidate
+    sets.  Recall for pairs at cosine τ is 1 − (1 − p^r)^B with
+    p = 1 − arccos(τ)/π; r=4, B=16 gives ~0.94 at τ=0.4 and >0.999 for real
+    near-dups (τ ≥ 0.8).  Data movement is B× the input (embedding carried
+    through the shuffle) — the price for never materializing an n×n compare.
+    """
+
+    def __init__(self, dim: int = 64, bands: int = 16, planes_per_band: int = 4,
+                 seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.bands = bands
+        self.r = planes_per_band
+        self.planes = rng.standard_normal((bands, planes_per_band, dim))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        emb_col = batch.column("embedding")
+        emb = np.stack(emb_col.to_pandas().to_numpy()).astype(np.float64)
+        n = len(ids)
+        powers = 1 << np.arange(self.r)
+        out_band = np.repeat(np.arange(self.bands, dtype=np.int32), n)
+        out_bucket = np.empty(self.bands * n, dtype=np.int64)
+        for b in range(self.bands):
+            bits = (emb @ self.planes[b].T) > 0
+            out_bucket[b * n: (b + 1) * n] = bits @ powers
+        out_ids = np.tile(ids, self.bands)
+        emb_rep = pa.chunked_array([emb_col.combine_chunks()] * self.bands) \
+            if isinstance(emb_col, pa.ChunkedArray) else pa.chunked_array([emb_col] * self.bands)
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int32()),
+                "bucket": pa.array(out_bucket, pa.int64()),
+                "vec_id": pa.array(out_ids, pa.int64()),
+                "embedding": emb_rep,
+            }
+        )
+
+
+def _bucket_cosine_pairs(g: pd.DataFrame, tau: float) -> pd.DataFrame:
+    """Within one (band, bucket) group: exact cosine verify of all pairs.
+    Groups above LSH_BUCKET_CAP are split into consecutive sorted chunks
+    (same deterministic recall trade-off as ``_bucket_pairs``)."""
+    if len(g) < 2:
+        return pd.DataFrame({"vec_id_a": [], "vec_id_b": []})
+    g = g.sort_values("vec_id")
+    out_a, out_b = [], []
+    for s in range(0, len(g), LSH_BUCKET_CAP):
+        c = g.iloc[s: s + LSH_BUCKET_CAP]
+        if len(c) < 2:
+            continue
+        ids = c["vec_id"].to_numpy()
+        emb = np.stack(c["embedding"].to_numpy()).astype(np.float64)
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        scores = emb @ emb.T
+        rows, cols = np.nonzero(scores >= tau)
+        keep = rows < cols
+        out_a.append(ids[rows[keep]])
+        out_b.append(ids[cols[keep]])
+    if not out_a:
+        return pd.DataFrame({"vec_id_a": [], "vec_id_b": []})
+    return pd.DataFrame(
+        {"vec_id_a": np.concatenate(out_a), "vec_id_b": np.concatenate(out_b)}
+    )
+
+
+def embedding_near_dup(sf_dir: str, tau: float = 0.4, method: str = "auto") -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs (the fifth dedup family member).
+
+    ``auto`` = exact all-pairs below EXACT_PAIR_LIMIT rows (the oracle-equal
+    path), banded-LSH bucket pair generation + exact in-bucket verify above
+    (approximate: recall per BandedLshStage docstring; no whole-matrix
+    broadcast anywhere in the plan)."""
     import pyarrow.parquet as pq_
 
-    t = pq_.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    all_emb = np.stack(t.column("embedding").to_pandas().to_numpy()).astype(np.float64)
-    all_emb = all_emb / np.linalg.norm(all_emb, axis=1, keepdims=True)
-    all_ids = t.column("vec_id").to_numpy()
-    m_ref, i_ref = ray.put(all_emb), ray.put(all_ids)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    pairs = ds.map_batches(
-        CosinePairFinder, fn_constructor_kwargs={"matrix_ref": m_ref, "ids_ref": i_ref, "tau": tau},
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4), batch_size=1024,
-    ).to_pandas()
+    n = pq_.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    if method == "exact" or (method == "auto" and n <= EXACT_PAIR_LIMIT):
+        t = pq_.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        all_emb = np.stack(t.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+        all_emb = all_emb / np.linalg.norm(all_emb, axis=1, keepdims=True)
+        all_ids = t.column("vec_id").to_numpy()
+        m_ref, i_ref = ray.put(all_emb), ray.put(all_ids)
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        pairs = ds.map_batches(
+            CosinePairFinder(m_ref, i_ref, tau),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=1024,
+        ).to_pandas()
+    else:
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        pairs = (
+            ds.map_batches(BandedLshStage(), batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=2048)
+            .groupby(["band", "bucket"])
+            .map_groups(lambda g, t=tau: _bucket_cosine_pairs(g, t), batch_format="pandas")
+            .groupby(["vec_id_a", "vec_id_b"])
+            .aggregate(_Count(alias_name="_n"))  # distinct: same pair in several bands
+            .to_pandas()
+            .drop(columns=["_n"], errors="ignore")
+        )
     if len(pairs) == 0 or "vec_id_a" not in pairs.columns:  # empty loses schema
         return pd.DataFrame(
             {"vec_id_a": pd.Series(dtype="int64"), "vec_id_b": pd.Series(dtype="int64")}
         )
+    pairs = pairs.drop_duplicates().astype({"vec_id_a": "int64", "vec_id_b": "int64"})
     return pairs.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
 
 
@@ -704,9 +811,8 @@ def ann_lsh_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0, probes: int = 
     # probe buckets within Hamming distance 1 (query bucket + bit flips)
     probe_buckets = [qb] + [qb ^ (1 << i) for i in range(b.n_planes)]
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    bucketed = ds.map_batches(LshBucketer, fn_constructor_kwargs={"n_planes": n_planes},
-                              batch_format="pyarrow", zero_copy_batch=True,
-                              concurrency=(1, 4))
+    bucketed = ds.map_batches(LshBucketer(n_planes=n_planes),
+                              batch_format="pyarrow", zero_copy_batch=True)
     cand_ids = bucketed.map_batches(
         lambda t: t.filter(pc.is_in(t.column("bucket"), pa.array(probe_buckets, pa.int64()))),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -724,3 +830,75 @@ def ann_lsh_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0, probes: int = 
     out = pd.DataFrame({"vec_id": ids[order].astype(np.int64)})
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out[["rank", "vec_id"]]
+
+
+# ---------------------------------------------------------------------------
+# dedup cluster resolution (pairs → connected components → keep-winner)
+
+
+def dedup_near_clusters(sf_dir: str, tau: float = 0.4, max_iters: int = 64) -> pd.DataFrame:
+    """Near-duplicate CLUSTER resolution — the operator that turns candidate
+    pairs into an actually-deduplicated corpus (the D1 keep-one-winner
+    semantics of the reference's visited set, dto/indexing/PageIndexer.java:
+    55-63, lifted to near-duplicates): connected components over the
+    ``embedding_near_dup`` pair graph by iterative min-label propagation,
+    cluster id = smallest vec_id in the component (the kept winner).
+
+    Distributed shape: labels live as a Dataset (node, label); each round is
+    ONE hash join (labels ⋈ edges on node=src, Ray's hash-partitioned join)
+    + ONE groupby-min — no driver materialization of the label table.  The
+    label sum is monotone non-increasing, so an unchanged per-round sum (a
+    scalar aggregate) is the convergence test.  Rounds = cluster diameter;
+    near-dup clusters are shallow (dozens of hops only for pathological
+    chains, bounded by ``max_iters``).  Singletons keep label = self.
+
+    Returns (vec_id, cluster_id) for EVERY embedding row; winners are the
+    rows with vec_id == cluster_id.
+    """
+    pairs = embedding_near_dup(sf_dir, tau)
+    labels = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"]).map_batches(
+        lambda t: pa.table({"node": t.column("vec_id"), "label": t.column("vec_id")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    if len(pairs) == 0:
+        out = labels.to_pandas().rename(columns={"node": "vec_id", "label": "cluster_id"})
+        return out.sort_values("vec_id").reset_index(drop=True)
+    # symmetric edge list (a→b and b→a) so min labels flow both directions
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(
+                    np.concatenate([pairs["vec_id_a"], pairs["vec_id_b"]]), pa.int64()
+                ),
+                "dst": pa.array(
+                    np.concatenate([pairs["vec_id_b"], pairs["vec_id_a"]]), pa.int64()
+                ),
+            }
+        )
+    )
+    num_partitions = max(2, _task_cpus() // 2)
+    labels = labels.materialize()
+    prev_sum = labels.sum("label")
+    for _ in range(max_iters):
+        cand = (
+            labels.join(edges, join_type="inner", num_partitions=num_partitions,
+                        on=("node",), right_on=("src",))
+            .map_batches(
+                lambda t: pa.table({"node": t.column("dst"), "label": t.column("label")}),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+        )
+        labels = (
+            labels.union(cand)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    out = labels.to_pandas().rename(columns={"node": "vec_id", "label": "cluster_id"})
+    return out.astype({"vec_id": "int64", "cluster_id": "int64"}).sort_values(
+        "vec_id"
+    ).reset_index(drop=True)

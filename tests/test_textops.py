@@ -146,12 +146,12 @@ def test_media_stages(ray_session, mini_sf):
     assert (frames["frame_id"] % 8 == 0).all()
 
     feats = media_features(mini_sf).to_pandas()
-    assert len(feats) == 40
-    assert all(len(f) == 16 for f in feats["feature"])
-    # determinism: same payload → same feature
-    f3 = feats.set_index("media_id").loc[3, "feature"]
-    f10 = feats.set_index("media_id").loc[10, "feature"]
-    assert np.allclose(list(f3), list(f10))
+    assert len(feats) == 40 * 16  # long format: one row per (media, dim)
+    assert ((feats["value"] >= 0) & (feats["value"] < 1)).all()
+    # determinism: identical payloads (docs 3 and 10) → identical features
+    f3 = feats[feats["media_id"] == 3].sort_values("dim_id")["value"].to_numpy()
+    f10 = feats[feats["media_id"] == 10].sort_values("dim_id")["value"].to_numpy()
+    assert np.array_equal(f3, f10)
 
 
 def test_embedding_near_dup(ray_session, mini_sf):
@@ -168,3 +168,67 @@ def test_embedding_near_dup(ray_session, mini_sf):
     iu = np.triu_indices(len(emb), k=1)
     want = {(int(a), int(b)) for a, b in zip(iu[0], iu[1]) if cos[a, b] >= 0.9}
     assert got == want
+
+
+def test_embedding_near_dup_lsh_path(ray_session, mini_sf):
+    """Forced LSH path: planted collinear pair found; result ⊆ exact pairs."""
+    from rayindex.textops import embedding_near_dup
+
+    exact = embedding_near_dup(mini_sf, tau=0.9, method="exact")
+    lsh = embedding_near_dup(mini_sf, tau=0.9, method="lsh")
+    se = set(zip(exact["vec_id_a"], exact["vec_id_b"]))
+    sl = set(zip(lsh["vec_id_a"], lsh["vec_id_b"]))
+    assert sl <= se  # in-bucket verify is exact → no false positives
+    assert (0, 7) in sl  # collinear pair collides in every band
+
+
+def test_dedup_near_clusters_transitive(ray_session, mini_sf):
+    """Clusters = transitive closure of pairs; winner = min id; singletons
+    map to themselves."""
+    from rayindex.textops import dedup_near_clusters, embedding_near_dup
+
+    tau = 0.3
+    out = dedup_near_clusters(mini_sf, tau=tau)
+    assert len(out) == 60 and (out["cluster_id"] <= out["vec_id"]).all()
+    pairs = embedding_near_dup(mini_sf, tau=tau)
+    # brute-force union-find over the same pairs
+    parent = {i: i for i in range(60)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["vec_id_a"], pairs["vec_id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(60)}
+    got = dict(zip(out["vec_id"], out["cluster_id"]))
+    assert got == want
+
+
+def test_cosine_topk_boundary_ties(ray_session, tmp_path):
+    """Tied scores at the k-th boundary keep the SMALLER vec_id, even when
+    the tie spans a batch's local top-k cut (review regression)."""
+    import pandas as pd
+
+    from rayindex.textops import ann_cosine_topk
+
+    root = tmp_path / "ties"
+    root.mkdir()
+    n, dim = 30, 8
+    q = np.zeros(dim, dtype=np.float32)
+    q[0] = 1.0
+    emb = np.tile(q, (n, 1))  # every vector identical → all scores tie at 1.0
+    etab = pa.table(
+        {
+            "vec_id": pa.array(list(range(n)), pa.int64()),
+            "embedding": pa.array([e.tolist() for e in emb], pa.list_(pa.float32())),
+            "label": pa.array([0] * n, pa.int32()),
+        }
+    )
+    pq.write_table(etab, str(root / "embeddings.parquet"))
+    got = ann_cosine_topk(str(root), k=10)
+    assert got["vec_id"].tolist() == list(range(10))  # smallest ids win ties
