@@ -869,11 +869,10 @@ def build_index(
                 tmp, partition_cols=["bucket"],
             )
         with phase_output(term_df_dir) as tmp:
+            # convenience export only — the query engine resolves global df
+            # from the bucketed term_stats, so no hive layout needed here
             ts = rd.read_parquet(term_stats_dir)
-            _write_parquet(
-                ts.groupby(["bucket", "term"]).aggregate(Sum("df", alias_name="df")),
-                tmp, partition_cols=["bucket"],
-            )
+            _write_parquet(ts.groupby("term").aggregate(Sum("df", alias_name="df")), tmp)
         commit_phase(shard_dir, "stats", key, {"seconds": round(time.monotonic() - t4, 3)})
     metrics["phases"]["stats"] = round(time.monotonic() - t4, 3)
 

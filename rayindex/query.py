@@ -123,6 +123,23 @@ class ChainCursor:
             return e, e.astype(np.uint32), e.astype(np.uint32)
         return tuple(np.concatenate([p[i] for p in parts]) for i in range(3))  # type: ignore
 
+    def remaining(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decode every posting at or after the cursor position (the WAND
+        bulk-bail path scores these vectorized)."""
+        if self._bk < 0 or self._bk >= self.n_blocks:
+            e = np.empty(0, np.uint64)
+            return e, e.astype(np.uint32), e.astype(np.uint32)
+        pd_, pt, pl = [], [], []
+        for k in range(self._bk, self.n_blocks):
+            ri, local = self._owner[k]
+            d, t, l = self.readers[ri].block(local)
+            if k == self._bk and self._bi:
+                d, t, l = d[self._bi:], t[self._bi:], l[self._bi:]
+            pd_.append(d)
+            pt.append(t)
+            pl.append(l)
+        return np.concatenate(pd_), np.concatenate(pt), np.concatenate(pl)
+
 
 def wand_topk(
     entries: list[tuple[float, "ChainCursor"]],
@@ -159,7 +176,46 @@ def wand_topk(
 
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
     order = list(range(len(cursors)))
+    # Degenerate-input escape hatch: on flat-score lists (uniform tf) the
+    # threshold can't rise above a dense term's bound, pruning never fires,
+    # and the doc-at-a-time Python loop degrades to ~40× the vectorized bulk
+    # scorer.  Track the skip rate; if pruning is ineffective after a warm-up,
+    # finish the REMAINDER with exact vectorized scoring.  Correctness: every
+    # doc already passed by all its cursors is either in the heap or was
+    # pruned with a proven bound < θ (θ only grows, so it can never displace
+    # a heap entry); docs at/after the cursors get their FULL score in the
+    # bulk pass, accumulated in the same (df, term) order → float-identical.
+    iters = 0
+    skips = 0
+    _BAIL_AFTER = 512
     while True:
+        iters += 1
+        if iters > _BAIL_AFTER and skips * 2 < iters:
+            doc_parts: list[np.ndarray] = []
+            contrib_parts: list[np.ndarray] = []
+            for idf, cur in cursors:  # entries order == (df, term) order
+                docs, tfs, dls = cur.remaining()
+                if excl is not None and docs.size:
+                    idx = np.searchsorted(excl, docs)
+                    hit = (idx < excl.size) & (excl[np.minimum(idx, excl.size - 1)] == docs)
+                    docs, tfs, dls = docs[~hit], tfs[~hit], dls[~hit]
+                if docs.size:
+                    doc_parts.append(docs)
+                    contrib_parts.append(
+                        contrib_fn(idf, tfs.astype(np.float64), dls.astype(np.float64))
+                    )
+            if doc_parts:
+                uniq = np.unique(np.concatenate(doc_parts))
+                scores = np.zeros(len(uniq), dtype=np.float64)
+                for docs, contrib in zip(doc_parts, contrib_parts):
+                    pos = np.searchsorted(uniq, docs)
+                    scores[pos] += contrib
+                items = heap + [(float(s), -int(d)) for d, s in zip(uniq, scores)]
+            else:
+                items = list(heap)
+            items.sort(reverse=True)  # (score desc, -doc desc ⇔ doc asc)
+            heap = items[:k]
+            break
         live = [i for i in order if cursors[i][1].doc < _DONE]
         if not live:
             break
@@ -183,6 +239,7 @@ def wand_topk(
                 if cur._bk < cur.n_blocks:
                     bm_sum += float(block_ub[i][cur._bk])
             if len(heap) >= k and bm_sum < theta:
+                skips += 1
                 cand_last = min(cursors[i][1].block_last() for i in prefix)
                 beyond = [cursors[i][1].doc for i in by_doc if cursors[i][1].doc > pivot_doc]
                 nxt = (beyond[0] - 1) if beyond else _DONE
@@ -212,6 +269,8 @@ def wand_topk(
         else:
             pre = [i for i in by_doc[:pivot] if cursors[i][1].doc < pivot_doc]
             adv = max(pre, key=lambda i: term_ub[i]) if pre else by_doc[0]
+            if pivot_doc > cursors[adv][1].block_last():
+                skips += 1  # block-crossing jump: pruning is effective
             cursors[adv][1].next_geq(pivot_doc)
     out = sorted(((s, -nd) for s, nd in heap), key=lambda x: (-x[0], x[1]))
     return [(int(d), float(s)) for s, d in out]
