@@ -433,10 +433,16 @@ class QueryEngine:
         return got
 
     def _site_doc_ids(self, site: str) -> np.ndarray:
+        """Site-restricted candidate filter: the site's doc ids, read from the
+        SKINNY doclen table (doc_id, site, doc_len — ~16 B/row vs the full
+        doc store), filtered + cached.  Scale note: for a billion-page site
+        this array is still O(site); the next step on that axis is a per-site
+        bloom sidecar built during P3 (filter candidates by bloom, then
+        exact-verify survivors with a pruned doc-store read)."""
         got = self._site_docs_cache.get(site)
         if got is None:
             tabs = [
-                pads.dataset(os.path.join(d, "docs")).to_table(
+                pads.dataset(os.path.join(d, "doclen")).to_table(
                     columns=["doc_id"], filter=pc.field("site") == site
                 )
                 for d in self.shard_dirs
