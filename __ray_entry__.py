@@ -103,6 +103,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": textops.embedding_near_dup,
         "dedup_near_clusters": textops.dedup_near_clusters,  # pairs → components → winner
         "ann_cosine_topk": textops.ann_cosine_topk,
+        # --- temporal / streaming ops over the events table --------------
+        "events_windowed": __import__("rayindex.events", fromlist=["windowed_counts"]).windowed_counts,
+        "events_sessions": __import__("rayindex.events", fromlist=["sessionize"]).sessionize,
+        "events_asof": __import__("rayindex.events", fromlist=["asof_last_error"]).asof_last_error,
         # --- multimodal (binary payload columns; STUB decode kernels) ----
         "media_meta": __import__("rayindex.multimodal", fromlist=["media_meta"]).media_meta,
         "media_frames": __import__("rayindex.multimodal", fromlist=["media_frames"]).media_frames,
@@ -301,5 +305,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT media_id, CAST(dim_id AS BIGINT) AS dim_id, "
             "CAST(CAST(CAST(md5_number_upper(text || ':' || dim_id) AS DOUBLE) "
             "/ 18446744073709551616.0 AS FLOAT) AS DOUBLE) AS value FROM f"
+        ),
+        "events_windowed": (
+            # exact integer cents (round(value*100)) — no float summation
+            "WITH w AS (SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS window_start, "
+            "event_type, CAST(round(value*100) AS BIGINT) AS cents FROM events) "
+            "SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(cents) AS BIGINT) AS sum_cents FROM w GROUP BY window_start, event_type"
+        ),
+        "events_sessions": (
+            "WITH o AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE "
+            "THEN 1 ELSE 0 END AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) - 1 AS session_idx FROM o) "
+            "SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, "
+            "CAST(count(*) AS BIGINT) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts "
+            "FROM s GROUP BY user_id, session_idx"
+        ),
+        "events_asof": (
+            # deterministic as-of: ties on ts broken by highest event_id
+            "WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click'), "
+            "errors AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type='error') "
+            "SELECT c.event_id, c.user_id, c.ts, "
+            "(SELECT e.value FROM errors e WHERE e.user_id = c.user_id AND e.ts <= c.ts "
+            "ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS last_error_value "
+            "FROM clicks c WHERE EXISTS "
+            "(SELECT 1 FROM errors e WHERE e.user_id = c.user_id AND e.ts <= c.ts)"
         ),
     }

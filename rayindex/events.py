@@ -1,0 +1,160 @@
+"""Temporal / streaming-style operators over the ``events`` table — the
+windowed-aggregate, sessionization and as-of-join family a training-data
+pipeline needs for event logs (the brief's "custom operators Ray Data
+lacks": each is a composition of vectorized ``map_batches`` + one
+``groupby``, with the partitioning assumption documented).
+
+All three partition by a KEY (time window or user): at 100 TB the shuffle
+moves each event once, reducers are bounded by per-key volume (windows are
+bounded by rate × window; per-user history by user activity), and skew is
+limited to pathological single keys (a bot user) — cap or salt those
+upstream if present.
+
+Float discipline for the correctness gate: aggregates avoid float addition
+order entirely — monetary-style ``value`` sums are exact integer cents
+(``round(value*100)``; the fixture's 2-decimal values are never half-cent,
+so banker's-vs-away rounding cannot differ), and the as-of join COPIES a
+stored double rather than computing one.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Max, Min, Sum
+
+US = 1_000_000
+
+
+def windowed_counts(sf_dir: str, window_minutes: int = 5) -> rd.Dataset:
+    """Tumbling-window aggregate: per (window_start, event_type) → event
+    count + exact value sum in cents.
+
+    Shape: vectorized window-key derivation + per-batch partial groupby →
+    one small global groupby (keys = windows × types, tiny vs events)."""
+    w_us = window_minutes * 60 * US
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy()
+        win = (us // w_us) * w_us
+        cents = np.round(t.column("value").to_numpy() * 100.0).astype(np.int64)
+        part = pa.table(
+            {
+                "window_start": pa.array(win, pa.int64()),
+                "event_type": t.column("event_type"),
+                "n": pa.array(np.ones(len(us), np.int64), pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+        return part.group_by(["window_start", "event_type"]).aggregate(
+            [("n", "sum"), ("cents", "sum")]
+        )
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("n_sum", alias_name="n_events"), Sum("cents_sum", alias_name="sum_cents"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": t.column("window_start").cast(pa.timestamp("us")),
+                "event_type": t.column("event_type"),
+                "n_events": t.column("n_events").cast(pa.int64()),
+                "sum_cents": t.column("sum_cents").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _user_sessions(g: pd.DataFrame, gap_us: int) -> pd.DataFrame:
+    """One user's events → session rows.  Deterministic order (ts, event_id);
+    a new session starts when the gap to the previous event is STRICTLY
+    greater than ``gap_us``."""
+    g = g.sort_values(["ts", "event_id"], kind="stable")
+    us = g["ts"].astype("int64").to_numpy()
+    brk = np.ones(len(us), dtype=np.int64)
+    if len(us) > 1:
+        brk[1:] = (np.diff(us) > gap_us).astype(np.int64)
+    sid = np.cumsum(brk) - 1
+    out = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "session_idx": sid, "ts": g["ts"].to_numpy()})
+    aggd = out.groupby(["user_id", "session_idx"], sort=True).agg(
+        n_events=("ts", "size"), start_ts=("ts", "min"), end_ts=("ts", "max")
+    ).reset_index()
+    return aggd
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Sessionization: split each user's event stream at gaps > ``gap``.
+
+    Shape: ONE shuffle keyed by user (``groupby(user_id).map_groups``);
+    within a group everything is vectorized numpy.  Partitioning assumption:
+    sessions never span users, so user is the correct co-location key; group
+    size is bounded by per-user history."""
+    gap_us = gap_minutes * 60 * US
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+    out = (
+        ev.groupby("user_id")
+        .map_groups(lambda g: _user_sessions(g, gap_us), batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.astype({"user_id": "int64", "session_idx": "int64", "n_events": "int64"})
+    return out.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+
+
+def _asof_group(g: pd.DataFrame) -> pd.DataFrame:
+    """One user's events → clicks annotated with the most recent error value
+    at-or-before the click (ties on ts broken by highest event_id, matching
+    the oracle's ORDER BY ts DESC, event_id DESC LIMIT 1)."""
+    clicks = g[g["event_type"] == "click"].sort_values(["ts", "event_id"], kind="stable")
+    errors = g[g["event_type"] == "error"].sort_values(["ts", "event_id"], kind="stable")
+    if len(clicks) == 0 or len(errors) == 0:
+        return pd.DataFrame(
+            {"event_id": pd.Series(dtype="int64"), "user_id": pd.Series(dtype="int64"),
+             "ts": pd.Series(dtype="datetime64[us]"), "last_error_value": pd.Series(dtype="float64")}
+        )
+    e_us = errors["ts"].astype("int64").to_numpy()
+    c_us = clicks["ts"].astype("int64").to_numpy()
+    idx = np.searchsorted(e_us, c_us, side="right") - 1  # last error ts ≤ click ts
+    have = idx >= 0
+    out = pd.DataFrame(
+        {
+            "event_id": clicks["event_id"].to_numpy()[have],
+            "user_id": clicks["user_id"].to_numpy()[have],
+            "ts": clicks["ts"].to_numpy()[have],
+            "last_error_value": errors["value"].to_numpy()[idx[have]],
+        }
+    )
+    return out
+
+
+def asof_last_error(sf_dir: str) -> pd.DataFrame:
+    """As-of join: every click event joined to the user's most recent error
+    value at-or-before it (clicks with no prior error are dropped — keeps
+    the result NULL-free for exact comparison).
+
+    Shape: one shuffle keyed by user, ``searchsorted`` inside the group —
+    the distributed as-of pattern (sort-merge within co-located partitions);
+    no value arithmetic, so doubles compare exactly."""
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    keep = ev.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("event_type"), pa.array(["click", "error"]))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = keep.groupby("user_id").map_groups(_asof_group, batch_format="pandas").to_pandas()
+    if len(out) == 0 or "event_id" not in out.columns:
+        return pd.DataFrame(
+            {"event_id": pd.Series(dtype="int64"), "user_id": pd.Series(dtype="int64"),
+             "ts": pd.Series(dtype="datetime64[us]"), "last_error_value": pd.Series(dtype="float64")}
+        )
+    out = out.astype({"event_id": "int64", "user_id": "int64", "last_error_value": "float64"})
+    return out.sort_values("event_id").reset_index(drop=True)
