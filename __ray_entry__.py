@@ -3,12 +3,14 @@
 ``entry()`` runs the flagship pipeline (documents-seeded pages → checkpointed
 index build → reference-semantics search) on sf0.001.  ``queries()`` exposes
 one entry per implemented operator family from SURVEY.md §2 plus the
-training-data operators (dedup / similarity / text analysis); each
-SQL-expressible entry has a DuckDB mirror in ``oracle_sql()`` with identical
-column names and tokenization semantics.  Engine-level entries (compressed
-segments, WAND) have no SQL equivalent and fall to the rows-only check; their
-exactness is covered by the pytest conformance suite instead
-(`python -m pytest -x -q`).
+training-data operators (dedup / similarity / text analysis / temporal);
+each SQL-expressible entry has a DuckDB mirror in ``oracle_sql()`` with
+identical column names and semantics — including the hash-based dedup family
+(DuckDB ``md5_number_upper`` ≡ the engine's LE64-of-md5 primitive).  Only
+three entries remain rows-only (LSH ANN is approximate by design; the two
+engine top-k entries use a hash-derived doc-id tie-break SQL cannot
+reproduce); their exactness is covered by the pytest conformance suite
+instead (`python -m pytest -x -q`).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing here
 calls ``ray.init()`` / ``ray.shutdown()``.

@@ -188,27 +188,38 @@ def scaling_jobs() -> None:
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         )
 
-    out_n = "/tmp/rayindex_scalejobs/one_node"
-    out_4n = "/tmp/rayindex_scalejobs/four_nodes"
     shutil.rmtree("/tmp/rayindex_scalejobs", ignore_errors=True)
 
-    t0 = time.monotonic()
-    p = job(out_n, 0, n_shards)  # N level: one node builds every shard
-    p.wait()
-    t_n = time.monotonic() - t0
-
-    t0 = time.monotonic()
-    procs = [job(out_4n, s, s + 1) for s in range(n_shards)]  # 4N: one shard/node
-    for p in procs:
+    # Best-of-R per level, ALTERNATED (N, 4N, N, 4N): host co-tenant noise
+    # swings identical builds ±30-50 % (BASELINE.md band) and hits the two
+    # levels asymmetrically when each is sampled once; the faster repetition
+    # of each level reflects the engine, the slower one the host.
+    reps = int(os.environ.get("RAYINDEX_SCALING_REPS", "2"))
+    times_n: list[float] = []
+    times_4n: list[float] = []
+    outs = []
+    for r in range(reps):
+        out_n = f"/tmp/rayindex_scalejobs/one_node_{r}"
+        out_4n = f"/tmp/rayindex_scalejobs/four_nodes_{r}"
+        outs.append((out_n, out_4n))
+        t0 = time.monotonic()
+        p = job(out_n, 0, n_shards)  # N level: one node builds every shard
         p.wait()
-    t_4n = time.monotonic() - t0
+        times_n.append(time.monotonic() - t0)
+        t0 = time.monotonic()
+        procs = [job(out_4n, s, s + 1) for s in range(n_shards)]  # 4N: one shard/node
+        for p in procs:
+            p.wait()
+        times_4n.append(time.monotonic() - t0)
 
     from rayindex.segments import segments_digest
 
-    identical = all(
-        segments_digest(f"{out_n}/shard={s}") == segments_digest(f"{out_4n}/shard={s}")
-        for s in range(n_shards)
-    )
+    digests = [
+        tuple(segments_digest(f"{o}/shard={s}") for s in range(n_shards))
+        for pair in outs for o in pair
+    ]
+    identical = all(d == digests[0] for d in digests)
+    t_n, t_4n = min(times_n), min(times_4n)
     eff = (t_n / t_4n) / 4
     print(
         json.dumps(
@@ -219,6 +230,8 @@ def scaling_jobs() -> None:
                 "model": "node (1 job x 8 cpus vs 4 concurrent jobs x 8 cpus, 4 url-space shards)",
                 "sec_N": round(t_n, 3),
                 "sec_4N": round(t_4n, 3),
+                "sec_N_all": [round(t, 3) for t in times_n],
+                "sec_4N_all": [round(t, 3) for t in times_4n],
                 "docs_per_sec_N": round(n_docs / t_n, 1),
                 "docs_per_sec_4N": round(n_docs / t_4n, 1),
                 "n_docs": n_docs,

@@ -7,10 +7,13 @@ progressive AND intersection (J2/J3, :78-107) → relevance Σtf normalized by
 max (K1, :300-329) → per-result page/site lookups + snippet (J4/J5, F1-F4) →
 sort desc (K4, :186-189).
 
-Here the engine state (ST4) loads once — merged shard stats, the term
-dictionary (global + per-site df), site page counts — and answers queries via
-partition-pruned segment reads (bucket = hash(term) % B replaces the lemma
-B-tree).  Two scorers (SURVEY.md §2.6 K1):
+Here the engine state (ST4) loads the SMALL side eagerly — merged shard
+stats, per-site page counts — while the term dictionary (global + per-site
+df) resolves lazily per term via bucket-pruned reads of the hive-partitioned
+``term_stats`` table with an in-memory cache, so engine init memory is
+independent of vocabulary size.  Queries read postings via partition-pruned
+segment reads (bucket = hash(term) % B replaces the lemma B-tree).  Two
+scorers (SURVEY.md §2.6 K1):
 
 - ``reference``: conjunctive Σtf / max — the rank-identity oracle target;
 - ``bm25``: disjunctive Lucene-idf BM25 (k1=1.2, b=0.75) with **block-max
