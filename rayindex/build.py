@@ -13,7 +13,10 @@ embarrassingly-parallel maps, filter scans, or kilobyte-scale aggregations:
 
   P1 docs      read(url,warc_ts,html) → extract (M1/M2 tasks) → doc_id/site
                → docs/.  Exact url-dedup (D1): a SKINNY aggregate finds dup
-               doc_ids (broadcast as a sorted int64 array); rows with a
+               doc_ids (broadcast as a sorted int64 array, or a ~10-bit/key
+               bloom filter above 10^6 dups — false positives just divert
+               rows to the exact side path, so correctness is unaffected);
+               rows with a
                duplicated doc_id are DROPPED from the streaming path and
                resolved on a small side path — groupby(doc_id) picks exactly
                ONE winner per id by a total (warc_ts, content-hash, url)
@@ -163,6 +166,67 @@ def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
     )
 
 
+# above this many duplicate ids the broadcast membership structure switches
+# from the exact sorted array (8 B/dup) to a bloom filter (~10 bits/dup) —
+# a duplicate-heavy crawl (10 % dup urls at 10^9 pages/shard) would otherwise
+# broadcast gigabytes.  Bloom FALSE POSITIVES are harmless by construction:
+# the main stream and the side path share the same membership test, so a
+# falsely-diverted unique row just flows through the side path's exact
+# per-doc_id winner groupby as a singleton and survives unchanged.
+DUP_BLOOM_THRESHOLD = 1_000_000
+
+
+class _DupMembership:
+    """Broadcastable membership test over duplicated doc_ids: exact sorted
+    array when small, 10-bit/element double-hash bloom when large."""
+
+    K = 7  # hash probes (~1 % fp at 10 bits/element)
+
+    def __init__(self, dup_ids: np.ndarray):
+        self.n = int(dup_ids.size)
+        if self.n <= DUP_BLOOM_THRESHOLD:
+            self.exact: np.ndarray | None = dup_ids
+            self.bits = None
+            self.m = 0
+            return
+        self.exact = None
+        self.m = max(64, self.n * 10)
+        words = (self.m + 63) // 64
+        self.m = words * 64
+        bits = np.zeros(words, dtype=np.uint64)
+        h1, h2 = self._hashes(dup_ids)
+        for i in range(self.K):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(self.m)
+            np.bitwise_or.at(bits, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+        self.bits = bits
+
+    @staticmethod
+    def _hashes(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        x = ids.astype(np.uint64)
+        # splitmix64-style mixes; two independent streams for double hashing
+        h1 = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        h1 = (h1 ^ (h1 >> np.uint64(33))) * np.uint64(0xC4CEB9FE1A85EC53)
+        h1 ^= h1 >> np.uint64(33)
+        h2 = (x + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+        h2 = (h2 ^ (h2 >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h2 ^= h2 >> np.uint64(31)
+        return h1, h2 | np.uint64(1)
+
+    def contains(self, ids: np.ndarray) -> np.ndarray:
+        if self.n == 0:
+            return np.zeros(len(ids), dtype=bool)
+        if self.exact is not None:
+            return _in_sorted(ids, self.exact)
+        h1, h2 = self._hashes(ids)
+        out = np.ones(len(ids), dtype=bool)
+        for i in range(self.K):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(self.m)
+            word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+            out &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        return out
+
+
 def _content_tie(htmls: list) -> list[str]:
     """Full md5 hex of the page payload — the content component of the
     deterministic dup-winner total order (bit-identical copies tie here and
@@ -212,15 +276,15 @@ class _PrepareDocs:
         self.num_shards = num_shards
         self.url_filter = url_filter
         self.exclude_sites = frozenset(exclude_sites or ())
-        # sorted int64 array of duplicated doc_ids; a ray.ObjectRef resolves
+        # _DupMembership over duplicated doc_ids; a ray.ObjectRef resolves
         # lazily (zero-copy from the local object store) on first use
         self._dup_ref = dup_ref
-        self.dups = dup_ref if isinstance(dup_ref, np.ndarray) else None
+        self.dups = dup_ref if isinstance(dup_ref, _DupMembership) else None
 
-    def _get_dups(self) -> np.ndarray:
+    def _get_dups(self) -> "_DupMembership":
         if self.dups is None:
             ref = self._dup_ref
-            self.dups = ray.get(ref) if isinstance(ref, ray.ObjectRef) else np.empty(0, np.int64)
+            self.dups = ray.get(ref) if isinstance(ref, ray.ObjectRef) else _DupMembership(np.empty(0, np.int64))
         return self.dups
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -236,8 +300,8 @@ class _PrepareDocs:
             batch.column("url").to_pandas().to_numpy(), self.shard_index, self.num_shards
         )
         dups = self._get_dups()
-        if dups.size:
-            keep = ~_in_sorted(doc_ids, dups)
+        if dups.n:
+            keep = ~dups.contains(doc_ids)
             batch = batch.filter(pa.array(keep))
             doc_ids = doc_ids[keep]
             if batch.num_rows == 0:
@@ -256,12 +320,12 @@ class _DupCandidates:
         self.num_shards = num_shards
         self.url_filter = url_filter
         self._dup_ref = dup_ref
-        self.dups = dup_ref if isinstance(dup_ref, np.ndarray) else None
+        self.dups = dup_ref if isinstance(dup_ref, _DupMembership) else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.dups is None:
             ref = self._dup_ref
-            self.dups = ray.get(ref) if isinstance(ref, ray.ObjectRef) else np.empty(0, np.int64)
+            self.dups = ray.get(ref) if isinstance(ref, ray.ObjectRef) else _DupMembership(np.empty(0, np.int64))
         if self.url_filter:
             keep = pc.invert(pc.match_substring_regex(batch.column("url"), _URL_REJECT_RE))
             batch = batch.filter(keep)
@@ -271,7 +335,7 @@ class _DupCandidates:
         ids = doc_ids_for_urls(
             batch.column("url").to_pandas().to_numpy(), self.shard_index, self.num_shards
         )
-        mask = _in_sorted(ids, self.dups)
+        mask = self.dups.contains(ids)
         batch = batch.filter(pa.array(mask))
         return pa.table(
             {
@@ -626,7 +690,7 @@ def build_index(
         dup_ids = np.empty(0, np.int64)
         if dedup_urls:
             dup_ids = _detect_dup_ids(pages_path, shard_index, num_shards, url_filter)
-        dup_ref = ray.put(dup_ids)
+        dup_ref = ray.put(_DupMembership(dup_ids))
         with phase_output(docs_dir) as tmp:
             ds = rd.read_parquet(pages_path, columns=["url", "warc_ts", "html"])
             # stateless tasks (cheap, elastic): extraction carries no heavy

@@ -190,7 +190,7 @@ def wand_topk(
     # bulk pass, accumulated in the same (df, term) order → float-identical.
     iters = 0
     skips = 0
-    _BAIL_AFTER = 512
+    _BAIL_AFTER = 128
     while True:
         iters += 1
         if iters > _BAIL_AFTER and skips * 2 < iters:

@@ -119,3 +119,19 @@ def test_multi_shard_equals_single_shard_results(ray_session, fixture_corpus, tm
         s1 = {m1[r["doc_id"]]["url"]: round(r["relevance"], 12) for r in r1["data"]}
         s4 = {m4[r["doc_id"]]["url"]: round(r["relevance"], 12) for r in r4["data"]}
         assert s1 == s4, q
+
+
+def test_dup_membership_bloom_mode(monkeypatch):
+    """Bloom-mode membership: zero false negatives; false positives are
+    harmless by construction (they divert rows to the exact side path)."""
+    import rayindex.build as B
+
+    monkeypatch.setattr(B, "DUP_BLOOM_THRESHOLD", 50)
+    rng = np.random.default_rng(7)
+    dups = np.unique(rng.integers(0, 2**62, 2000).astype(np.int64))
+    m = B._DupMembership(dups)
+    assert m.exact is None  # bloom engaged above the (patched) threshold
+    assert m.contains(dups).all()  # no false negatives, ever
+    probe = rng.integers(0, 2**62, 100_000).astype(np.int64)
+    fp = (m.contains(probe) & ~np.isin(probe, dups)).mean()
+    assert fp < 0.02  # ~1 % design point at 10 bits/key, 7 probes

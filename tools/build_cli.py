@@ -40,6 +40,11 @@ def main() -> int:
     ap.add_argument("--object-store-gb", type=float, default=None,
                     help="local-mode object store size (needed when several "
                          "node-model jobs share one machine)")
+    ap.add_argument("--warmup", action="store_true",
+                    help="spin up workers + shuffle aggregator actors before "
+                         "timing (the standing-cluster analogue: `ray job "
+                         "submit` to a real cluster does not pay runtime "
+                         "startup per job)")
     args = ap.parse_args()
 
     import ray
@@ -67,6 +72,24 @@ def main() -> int:
     if args.shard_range:
         lo, hi = (int(x) for x in args.shard_range.split(":"))
 
+    import time
+
+    if args.warmup:
+        import ray.data as rd
+
+        def _spin(b):
+            import rayindex.build  # noqa: F401  (worker-side import cost)
+
+            t = time.monotonic()
+            while time.monotonic() - t < 0.3:
+                pass
+            return b
+
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        rd.range(ncpu, override_num_blocks=ncpu).map_batches(_spin, batch_size=1).materialize()
+        rd.range(10_000).groupby("id").count().materialize()
+
+    t_build0 = time.monotonic()
     metrics = []
     for s in range(lo, hi):
         m = build_index(
@@ -78,7 +101,11 @@ def main() -> int:
         )
         print(json.dumps(m), flush=True)
         metrics.append(m)
-    print(json.dumps({"done": True, "shards": [m["shard"] for m in metrics]}))
+    print(json.dumps({
+        "done": True,
+        "shards": [m["shard"] for m in metrics],
+        "build_wall_sec": round(time.monotonic() - t_build0, 3),
+    }), flush=True)
     ray.shutdown()
     return 0
 
