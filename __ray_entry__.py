@@ -7,10 +7,10 @@ training-data operators (dedup / similarity / text analysis / temporal);
 each SQL-expressible entry has a DuckDB mirror in ``oracle_sql()`` with
 identical column names and semantics — including the hash-based dedup family
 (DuckDB ``md5_number_upper`` ≡ the engine's LE64-of-md5 primitive).  Only
-three entries remain rows-only (LSH ANN is approximate by design; the two
-engine top-k entries use a hash-derived doc-id tie-break SQL cannot
-reproduce); their exactness is covered by the pytest conformance suite
-instead (`python -m pytest -x -q`).
+four entries remain rows-only (LSH and IVF ANN are approximate by design;
+the two engine top-k entries use a hash-derived doc-id tie-break SQL cannot
+reproduce); their exactness/recall is covered by the pytest conformance
+suite instead (`python -m pytest -x -q`).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing here
 calls ``ray.init()`` / ``ray.shutdown()``.
@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": lambda sf: textops.ngram_jaccard_pairs(sf, n=1),
         "embedding_near_dup": textops.embedding_near_dup,
         "dedup_near_clusters": textops.dedup_near_clusters,  # pairs → components → winner
+        "dedup_corpus": textops.dedup_corpus,  # winners APPLIED via hash join
         "ann_cosine_topk": textops.ann_cosine_topk,
         # --- temporal / streaming ops over the events table --------------
         "events_windowed": __import__("rayindex.events", fromlist=["windowed_counts"]).windowed_counts,
@@ -125,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": textops.simhash,
         # --- rows-only (no SQL equivalent; pytest-verified) --------------
         "ann_lsh_topk": textops.ann_lsh_topk,
+        "ann_ivf_topk": textops.ann_ivf_topk,
         "engine_search_topk": flagship_search,  # full build+query engine
         "engine_wand_topk": wand_search,  # BM25 block-max WAND
     }
@@ -162,6 +164,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM co ORDER BY relevance DESC, doc_id LIMIT 10"
         ),
         "dedup_exact": "SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text",
+        "dedup_corpus": (
+            "SELECT d.doc_id, d.source, d.n_chars FROM documents d "
+            "JOIN (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text) w "
+            "USING (doc_id)"
+        ),
         "site_stats": (
             f"WITH {_TS} SELECT site, CAST(count(DISTINCT doc_id) AS BIGINT) AS pages, "
             "CAST(count(DISTINCT term) AS BIGINT) AS lemmas FROM t GROUP BY site"

@@ -902,3 +902,102 @@ def dedup_near_clusters(sf_dir: str, tau: float = 0.4, max_iters: int = 64) -> p
     return out.astype({"vec_id": "int64", "cluster_id": "int64"}).sort_values(
         "vec_id"
     ).reset_index(drop=True)
+
+
+def dedup_corpus(sf_dir: str, out_dir: str | None = None) -> rd.Dataset:
+    """APPLY exact dedup end-to-end: keep only the min-doc_id winner of each
+    distinct text — the operator that turns the winner set into a
+    deduplicated corpus.
+
+    Shape: winner ids from ``dedup_exact`` (partial-agg → groupby, no
+    materialization) hash-JOINed against the corpus on doc_id (Ray's
+    hash-partitioned join — the winner side is NOT broadcast: at 100 TB the
+    winner set is nearly the whole corpus).  With ``out_dir`` the result
+    streams to partitioned Parquet (resumable sink); otherwise the Dataset
+    is returned for further stages."""
+    winners = dedup_exact(sf_dir).map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    kept = docs.join(
+        winners, join_type="inner", num_partitions=max(2, _task_cpus() // 2),
+        on=("doc_id",),
+    )
+    if out_dir:
+        kept.write_parquet(out_dir, partition_cols=["source"])
+    return kept
+
+
+class _KMeans:
+    """Deterministic seeded Lloyd iterations over a driver-side sample —
+    the IVF coarse quantizer (at 100 TB the sample is a bounded read; the
+    assignment/probe stages below are the distributed part)."""
+
+    def __init__(self, sample: np.ndarray, n_clusters: int, seed: int = 3, iters: int = 10):
+        rng = np.random.default_rng(seed)
+        sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+        idx = rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)
+        self.centroids = sample[np.sort(idx)].copy()
+        for _ in range(iters):
+            assign = np.argmax(sample @ self.centroids.T, axis=1)
+            for c in range(len(self.centroids)):
+                m = assign == c
+                if m.any():
+                    v = sample[m].mean(axis=0)
+                    n = np.linalg.norm(v)
+                    if n > 0:
+                        self.centroids[c] = v / n
+
+
+def ann_ivf_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0,
+                 n_clusters: int | None = None, n_probe: int = 4) -> pd.DataFrame:
+    """IVF-style ANN (the second scale path besides LSH): a seeded k-means
+    coarse quantizer over a bounded sample, distributed assignment of every
+    vector to its nearest centroid, then exact rerank within the ``n_probe``
+    centroids closest to the query.  Approximate — recall vs the exact
+    baseline is asserted in tests."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq_
+
+    n_vecs = pq_.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    if n_clusters is None:
+        n_clusters = max(4, int(np.sqrt(n_vecs)))
+    # bounded deterministic sample: the first rows by vec_id
+    sample_t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"], filter=pc.field("vec_id") < 4096
+    )
+    sample = np.stack(sample_t.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+    km = _KMeans(sample, n_clusters)
+    qtab = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        filter=pc.field("vec_id") == query_vec_id
+    )
+    q = np.array(qtab.column("embedding").to_pylist()[0], dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    probe = np.argsort(-(km.centroids @ q))[:n_probe]
+    probe_set = set(int(c) for c in probe)
+    cent = km.centroids
+
+    def assign(t: pa.Table) -> pa.Table:
+        emb = np.stack(t.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        a = np.argmax(emb @ cent.T, axis=1)
+        keep = np.isin(a, list(probe_set))
+        scores = emb[keep] @ q
+        return pa.table(
+            {
+                "vec_id": pa.array(t.column("vec_id").to_numpy()[keep], pa.int64()),
+                "score": pa.array(scores, pa.float64()),
+            }
+        )
+
+    cand = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if len(cand) == 0:
+        return pd.DataFrame({"rank": pd.Series(dtype="int64"), "vec_id": pd.Series(dtype="int64")})
+    cand = cand.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+    out = pd.DataFrame({"vec_id": cand["vec_id"].astype("int64").to_numpy()})
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["rank", "vec_id"]]

@@ -232,3 +232,35 @@ def test_cosine_topk_boundary_ties(ray_session, tmp_path):
     pq.write_table(etab, str(root / "embeddings.parquet"))
     got = ann_cosine_topk(str(root), k=10)
     assert got["vec_id"].tolist() == list(range(10))  # smallest ids win ties
+
+
+def test_dedup_corpus_applies_winners(ray_session, mini_sf):
+    """The hash-join apply step keeps exactly the min-id winner rows."""
+    from rayindex.textops import dedup_corpus
+
+    kept = dedup_corpus(mini_sf).to_pandas()
+    assert len(kept) == 39  # 40 docs, one exact dup (doc 10 = doc 3) removed
+    ids = set(kept["doc_id"])
+    assert 3 in ids and 10 not in ids
+    assert set(kept.columns) == {"doc_id", "source", "n_chars"}
+
+
+def test_dedup_corpus_writes_partitioned(ray_session, mini_sf, tmp_path):
+    import os
+
+    from rayindex.textops import dedup_corpus
+
+    out = str(tmp_path / "deduped")
+    dedup_corpus(mini_sf, out_dir=out)
+    parts = [d for d in os.listdir(out) if d.startswith("source=")]
+    assert len(parts) == 4  # one resumable partition per source shard
+
+
+def test_ann_ivf_recall(ray_session, mini_sf):
+    from rayindex.textops import ann_cosine_topk, ann_ivf_topk
+
+    exact = set(ann_cosine_topk(mini_sf, k=5)["vec_id"])
+    approx = set(ann_ivf_topk(mini_sf, k=5, n_probe=4)["vec_id"])
+    assert len(exact & approx) >= 2  # recall ≥ 0.4 at fixture scale
+    # the collinear planted neighbor must survive probing
+    assert 0 in approx or 7 in approx
