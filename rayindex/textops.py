@@ -161,28 +161,47 @@ def search_and(sf_dir: str, term_a: str, term_b: str, k: int = 10) -> pd.DataFra
 
 def site_stats(sf_dir: str) -> pd.DataFrame:
     """A3-A5 (statistics endpoint): per-site page count + distinct-lemma
-    count.  Distinct counts don't partial-sum, so distinct pairs are reduced
-    per batch first and finalized in one small groupby each."""
+    count.  ONE tokenize pass: each batch emits its distinct (site, kind,
+    key) rows (kind 'p' keys = doc ids, kind 'l' keys = terms), one global
+    distinct-groupby dedups across batches, and the per-site counts are a
+    tiny driver-side roll-up of the distinct pairs.  (Previously two full
+    tokenize passes + two shuffles.)"""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
     tf = docs.map_batches(TokenizeDocs(with_site=True),
                           batch_format="pyarrow", zero_copy_batch=True)
 
     from ray.data.aggregate import Count as _Count
 
-    def distinct(cols):
-        return (
-            tf.map_batches(
-                lambda t, c=cols: t.group_by(c).aggregate([]),
-                batch_format="pyarrow", zero_copy_batch=True,
-            )
-            .groupby(cols)
-            .aggregate(_Count(alias_name="_n"))
-            .to_pandas()
+    def pairs(t: pa.Table) -> pa.Table:
+        d = t.group_by(["site", "doc_id"]).aggregate([])
+        l = t.group_by(["site", "term"]).aggregate([])
+        return pa.table(
+            {
+                "site": pa.concat_arrays(
+                    [d.column("site").combine_chunks(), l.column("site").combine_chunks()]
+                ),
+                "kind": pa.array(["p"] * d.num_rows + ["l"] * l.num_rows, pa.string()),
+                "key": pa.concat_arrays(
+                    [d.column("doc_id").cast(pa.string()).combine_chunks(),
+                     l.column("term").combine_chunks()]
+                ),
+            }
         )
 
-    pages = distinct(["site", "doc_id"]).groupby("site").size().rename("pages")
-    lemmas = distinct(["site", "term"]).groupby("site").size().rename("lemmas")
-    out = pd.concat([pages, lemmas], axis=1).fillna(0).astype("int64").reset_index()
+    distinct = (
+        tf.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["site", "kind", "key"])
+        .aggregate(_Count(alias_name="_n"))
+        .to_pandas()
+    )
+    counts = distinct.groupby(["site", "kind"]).size().unstack(fill_value=0)
+    out = pd.DataFrame(
+        {
+            "site": counts.index.to_numpy(),
+            "pages": counts["p"].to_numpy() if "p" in counts else 0,
+            "lemmas": counts["l"].to_numpy() if "l" in counts else 0,
+        }
+    ).astype({"pages": "int64", "lemmas": "int64"})
     return out.sort_values("site").reset_index(drop=True)
 
 
@@ -525,18 +544,38 @@ def quality_signals(sf_dir: str) -> rd.Dataset:
     stop = EN_STOPWORDS
 
     def sig(t: pa.Table) -> pa.Table:
+        import itertools
+
         s = t.column("text").to_pandas()
         toks = s.str.lower().str.replace(r"[^a-z0-9\s]", " ", regex=True).str.split()
-        n_tokens = toks.map(len).astype("int64")
-        n_stop = toks.map(lambda ws: sum(w in stop for w in ws)).astype("int64")
-        n_uniq = toks.map(lambda ws: len({w for w in ws if w not in stop})).astype("int64")
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        n = len(s)
+        n_stop = np.zeros(n, dtype=np.int64)
+        n_uniq = np.zeros(n, dtype=np.int64)
+        total = int(lens.sum())
+        if total:
+            # vectorized: factorize the batch's tokens once, stopword-test
+            # only the UNIQUE tokens, then per-doc counts via reduceat /
+            # unique-pair counting (no Python set/lambda per row)
+            flat = np.fromiter(itertools.chain.from_iterable(toks), dtype=object, count=total)
+            codes, uniques = pd.factorize(flat)
+            is_stop = np.isin(np.asarray(uniques, dtype=object), list(stop))
+            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+            stop_occ = is_stop[codes].astype(np.int64)
+            cum = np.concatenate(([0], np.cumsum(lens)))
+            nz = lens > 0
+            n_stop[nz] = np.add.reduceat(stop_occ, cum[:-1][nz])
+            keep = ~is_stop[codes]
+            pair = np.unique(rows[keep] * np.int64(len(uniques)) + codes[keep])
+            urows, ucounts = np.unique(pair // len(uniques), return_counts=True)
+            n_uniq[urows] = ucounts
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
                 "n_chars": pa.array(s.str.len().astype("int64").to_numpy(), pa.int64()),
-                "n_tokens": pa.array(n_tokens.to_numpy(), pa.int64()),
-                "n_stopwords": pa.array(n_stop.to_numpy(), pa.int64()),
-                "n_unique_terms": pa.array(n_uniq.to_numpy(), pa.int64()),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "n_stopwords": pa.array(n_stop, pa.int64()),
+                "n_unique_terms": pa.array(n_uniq, pa.int64()),
             }
         )
 
