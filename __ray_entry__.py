@@ -316,11 +316,13 @@ def oracle_sql() -> dict[str, str]:
             "/ 18446744073709551616.0 AS FLOAT) AS DOUBLE) AS value FROM f"
         ),
         "events_windowed": (
-            # exact integer cents (round(value*100)) — no float summation
-            "WITH w AS (SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS window_start, "
+            # exact integer cents (round(value*100)) — no float summation;
+            # epoch-µs int64 keys — no pandas/DuckDB timestamp-unit skew
+            "WITH w AS (SELECT (epoch_us(ts) // 300000000) * 300000000 AS window_start_us, "
             "event_type, CAST(round(value*100) AS BIGINT) AS cents FROM events) "
-            "SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events, "
-            "CAST(sum(cents) AS BIGINT) AS sum_cents FROM w GROUP BY window_start, event_type"
+            "SELECT CAST(window_start_us AS BIGINT) AS window_start_us, event_type, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(cents) AS BIGINT) AS sum_cents FROM w GROUP BY window_start_us, event_type"
         ),
         "events_sessions": (
             "WITH o AS (SELECT user_id, ts, event_id, "
@@ -330,14 +332,16 @@ def oracle_sql() -> dict[str, str]:
             "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS UNBOUNDED PRECEDING) - 1 AS session_idx FROM o) "
             "SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, "
-            "CAST(count(*) AS BIGINT) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(min(epoch_us(ts)) AS BIGINT) AS start_us, "
+            "CAST(max(epoch_us(ts)) AS BIGINT) AS end_us "
             "FROM s GROUP BY user_id, session_idx"
         ),
         "events_asof": (
             # deterministic as-of: ties on ts broken by highest event_id
             "WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click'), "
             "errors AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type='error') "
-            "SELECT c.event_id, c.user_id, c.ts, "
+            "SELECT c.event_id, c.user_id, CAST(epoch_us(c.ts) AS BIGINT) AS ts_us, "
             "(SELECT e.value FROM errors e WHERE e.user_id = c.user_id AND e.ts <= c.ts "
             "ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS last_error_value "
             "FROM clicks c WHERE EXISTS "

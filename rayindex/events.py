@@ -62,9 +62,11 @@ def windowed_counts(sf_dir: str, window_minutes: int = 5) -> rd.Dataset:
     )
 
     def finish(t: pa.Table) -> pa.Table:
+        # window_start_us stays int64 epoch-µs: value-hash-stable across
+        # pandas/DuckDB timestamp unit differences (ns vs µs)
         return pa.table(
             {
-                "window_start": t.column("window_start").cast(pa.timestamp("us")),
+                "window_start_us": t.column("window_start").cast(pa.int64()),
                 "event_type": t.column("event_type"),
                 "n_events": t.column("n_events").cast(pa.int64()),
                 "sum_cents": t.column("sum_cents").cast(pa.int64()),
@@ -84,9 +86,9 @@ def _user_sessions(g: pd.DataFrame, gap_us: int) -> pd.DataFrame:
     if len(us) > 1:
         brk[1:] = (np.diff(us) > gap_us).astype(np.int64)
     sid = np.cumsum(brk) - 1
-    out = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "session_idx": sid, "ts": g["ts"].to_numpy()})
+    out = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "session_idx": sid, "us": us})
     aggd = out.groupby(["user_id", "session_idx"], sort=True).agg(
-        n_events=("ts", "size"), start_ts=("ts", "min"), end_ts=("ts", "max")
+        n_events=("us", "size"), start_us=("us", "min"), end_us=("us", "max")
     ).reset_index()
     return aggd
 
@@ -105,7 +107,8 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
         .map_groups(lambda g: _user_sessions(g, gap_us), batch_format="pandas")
         .to_pandas()
     )
-    out = out.astype({"user_id": "int64", "session_idx": "int64", "n_events": "int64"})
+    out = out.astype({"user_id": "int64", "session_idx": "int64", "n_events": "int64",
+                      "start_us": "int64", "end_us": "int64"})
     return out.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
 
 
@@ -118,7 +121,7 @@ def _asof_group(g: pd.DataFrame) -> pd.DataFrame:
     if len(clicks) == 0 or len(errors) == 0:
         return pd.DataFrame(
             {"event_id": pd.Series(dtype="int64"), "user_id": pd.Series(dtype="int64"),
-             "ts": pd.Series(dtype="datetime64[us]"), "last_error_value": pd.Series(dtype="float64")}
+             "ts_us": pd.Series(dtype="int64"), "last_error_value": pd.Series(dtype="float64")}
         )
     e_us = errors["ts"].astype("int64").to_numpy()
     c_us = clicks["ts"].astype("int64").to_numpy()
@@ -128,7 +131,7 @@ def _asof_group(g: pd.DataFrame) -> pd.DataFrame:
         {
             "event_id": clicks["event_id"].to_numpy()[have],
             "user_id": clicks["user_id"].to_numpy()[have],
-            "ts": clicks["ts"].to_numpy()[have],
+            "ts_us": c_us[have],
             "last_error_value": errors["value"].to_numpy()[idx[have]],
         }
     )
@@ -154,7 +157,8 @@ def asof_last_error(sf_dir: str) -> pd.DataFrame:
     if len(out) == 0 or "event_id" not in out.columns:
         return pd.DataFrame(
             {"event_id": pd.Series(dtype="int64"), "user_id": pd.Series(dtype="int64"),
-             "ts": pd.Series(dtype="datetime64[us]"), "last_error_value": pd.Series(dtype="float64")}
+             "ts_us": pd.Series(dtype="int64"), "last_error_value": pd.Series(dtype="float64")}
         )
-    out = out.astype({"event_id": "int64", "user_id": "int64", "last_error_value": "float64"})
+    out = out.astype({"event_id": "int64", "user_id": "int64", "ts_us": "int64",
+                      "last_error_value": "float64"})
     return out.sort_values("event_id").reset_index(drop=True)

@@ -45,11 +45,11 @@ def test_windowed_counts(ray_session, events_sf):
     from rayindex.events import windowed_counts
 
     got = windowed_counts(events_sf, window_minutes=5).to_pandas()
-    got = got.sort_values(["window_start", "event_type"]).reset_index(drop=True)
-    w0 = got[(got["window_start"] == pd.Timestamp(0)) & (got["event_type"] == "click")]
+    got = got.sort_values(["window_start_us", "event_type"]).reset_index(drop=True)
+    w0 = got[(got["window_start_us"] == 0) & (got["event_type"] == "click")]
     assert int(w0["n_events"].iloc[0]) == 2  # events at minutes 1, 2
     assert int(w0["sum_cents"].iloc[0]) == 30  # 0.10 + 0.20 in exact cents
-    err0 = got[(got["window_start"] == pd.Timestamp(0)) & (got["event_type"] == "error")]
+    err0 = got[(got["window_start_us"] == 0) & (got["event_type"] == "error")]
     assert int(err0["sum_cents"].iloc[0]) == 125
 
 
