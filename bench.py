@@ -23,6 +23,10 @@ def run_once() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     repeat = int(os.environ.get("RAYINDEX_BENCH_REPEAT", "10"))
+    # "parser" (default, robust per-doc HTML parse) or "fast" (vectorized
+    # regex path, byte-identical on well-formed corpora — tests assert equal
+    # segment digests); surfaced here so both capabilities are measurable
+    extractor = os.environ.get("RAYINDEX_BENCH_EXTRACTOR", "parser")
     # real Common-Crawl pages are tens of KB; the synthetic documents are a
     # few hundred bytes — body_repeat approximates realistic page sizes
     body_repeat = int(os.environ.get("RAYINDEX_BENCH_BODY", "8"))
@@ -78,7 +82,7 @@ def run_once() -> dict:
         out_dir = f"/tmp/rayindex_bench/idx_{os.getpid()}_{run}"
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.monotonic()
-        m = build_index(pages_dir, out_dir, SIMPLE_SPEC, resume=False)
+        m = build_index(pages_dir, out_dir, SIMPLE_SPEC, resume=False, extractor=extractor)
         sec = time.monotonic() - t0
         if build_sec is None or sec < build_sec:
             build_sec, metrics = sec, m
@@ -124,6 +128,7 @@ def run_once() -> dict:
         },
         "sf": sf_dir,
         "num_cpus": ncpus,
+        "extractor": extractor,
         "n_docs": n_docs,
         "body_repeat": body_repeat,
         "docs_per_sec": round(n_docs / build_sec, 1),
@@ -142,6 +147,7 @@ def run_subprocess(ncpus: int) -> dict:
     # the scaling protocol needs a compute-bound build: at the default bench
     # size fixed scheduling overhead dominates and efficiency is meaningless
     env.setdefault("RAYINDEX_BENCH_REPEAT", "100")
+    env.setdefault("RAYINDEX_BENCH_RUNS", "1")  # the CPU model repeats per level itself
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
         env=env, capture_output=True, text=True, check=True,

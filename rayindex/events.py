@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Max, Min, Sum
+from ray.data.aggregate import Sum
 
 US = 1_000_000
 
