@@ -81,7 +81,12 @@ def _user_sessions(g: pd.DataFrame, gap_us: int) -> pd.DataFrame:
     a new session starts when the gap to the previous event is STRICTLY
     greater than ``gap_us``."""
     g = g.sort_values(["ts", "event_id"], kind="stable")
-    us = g["ts"].astype("int64").to_numpy()
+    # explicit-unit cast: astype("int64") on a datetime column is only µs if
+    # the pandas/pyarrow conversion preserved datetime64[us]; an ns coercion
+    # (older pandas, coerce_temporal_nanoseconds) would silently make every
+    # gap comparison off by 1000× — pin the unit like windowed_counts' Arrow
+    # cast(pa.int64()) does
+    us = g["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
     brk = np.ones(len(us), dtype=np.int64)
     if len(us) > 1:
         brk[1:] = (np.diff(us) > gap_us).astype(np.int64)
@@ -123,8 +128,9 @@ def _asof_group(g: pd.DataFrame) -> pd.DataFrame:
             {"event_id": pd.Series(dtype="int64"), "user_id": pd.Series(dtype="int64"),
              "ts_us": pd.Series(dtype="int64"), "last_error_value": pd.Series(dtype="float64")}
         )
-    e_us = errors["ts"].astype("int64").to_numpy()
-    c_us = clicks["ts"].astype("int64").to_numpy()
+    # explicit-unit casts (same 1000×-gap hazard as _user_sessions)
+    e_us = errors["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+    c_us = clicks["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
     idx = np.searchsorted(e_us, c_us, side="right") - 1  # last error ts ≤ click ts
     have = idx >= 0
     out = pd.DataFrame(

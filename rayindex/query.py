@@ -285,6 +285,12 @@ class QueryEngine:
     # per-term dictionary entries cached after their first bucket-pruned read;
     # bounds engine memory independent of vocabulary size (FIFO eviction)
     DICT_CACHE_CAP = 1 << 16
+    # posting readers / decoded-posting caches hold real payloads (blocks /
+    # full arrays), so their caps are much tighter than the dictionary's —
+    # a long-lived engine serving a wide query stream stays bounded
+    READERS_CACHE_CAP = 1 << 12
+    DECODED_CACHE_CAP = 1 << 10
+    SITE_DOCS_CACHE_CAP = 1 << 8
 
     def __init__(self, index_root: str, analyzer_spec: dict, k1: float = 1.2, b: float = 0.75):
         self.analyzer = make_analyzer(analyzer_spec)
@@ -425,6 +431,8 @@ class QueryEngine:
 
             enc = encode_postings(docs, tfs, dls)
             readers = [BlockReader(enc)]
+        if len(self._readers_cache) >= self.READERS_CACHE_CAP:
+            self._readers_cache.pop(next(iter(self._readers_cache)))
         self._readers_cache[term] = readers
         return ChainCursor(readers)
 
@@ -432,6 +440,8 @@ class QueryEngine:
         got = self._decoded_cache.get(term)
         if got is None:
             got = self._cursor(term).decode_all()
+            if len(self._decoded_cache) >= self.DECODED_CACHE_CAP:
+                self._decoded_cache.pop(next(iter(self._decoded_cache)))
             self._decoded_cache[term] = got
         return got
 
@@ -451,6 +461,8 @@ class QueryEngine:
                 for d in self.shard_dirs
             ]
             got = np.sort(np.concatenate([t.column("doc_id").to_numpy() for t in tabs]).astype(np.uint64))
+            if len(self._site_docs_cache) >= self.SITE_DOCS_CACHE_CAP:
+                self._site_docs_cache.pop(next(iter(self._site_docs_cache)))
             self._site_docs_cache[site] = got
         return got
 

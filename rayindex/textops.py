@@ -427,11 +427,6 @@ def simhash(sf_dir: str) -> rd.Dataset:
                             batch_size=1024)
 
 
-# sentinel "gram" marking document presence in the keyed self-join (cannot
-# collide with real grams, which are space-joined lowercase tokens)
-_PRESENCE = "\x01"
-
-
 def ngram_jaccard_pairs(sf_dir: str, n: int = 2) -> pd.DataFrame:
     """n-gram Jaccard between consecutive doc pairs (doc_id, doc_id+1) —
     SQL-mirrorable verification op for the near-dup family.
@@ -440,38 +435,42 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 2) -> pd.DataFrame:
     — the old version did ``to_pandas()`` + a Python loop over the corpus):
     each doc's distinct grams are emitted under pair keys ``k = doc_id``
     (role a, r=1) and ``k = doc_id − 1`` (role b, r=2), plus one presence
-    marker per role; ``groupby(k, gram)`` sums roles (3 ⇔ gram in both
-    docs), and a second tiny ``groupby(k)`` counts union/intersection."""
+    marker per role; ``groupby(k, gram, m)`` sums roles (3 ⇔ gram in both
+    docs), and a second tiny ``groupby(k)`` counts union/intersection.
+    Presence markers carry an explicit ``m=1`` KEY COLUMN (not an in-band
+    sentinel gram value, which a real token could collide with — e.g. a
+    control character surviving whitespace split at n=1)."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def emit(t: pa.Table) -> pa.Table:
-        ks, gs, rs = [], [], []
+        ks, gs, rs, ms = [], [], [], []
         for did, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
             toks = text.lower().split()
             grams = {" ".join(toks[i: i + n]) for i in range(len(toks) - n + 1)}
             for k, r in ((did, 1), (did - 1, 2)):
                 ks.append(k)
-                gs.append(_PRESENCE)
+                gs.append("")
                 rs.append(r * 4)  # presence: 4 / 8 → both present ⇔ sum 12
+                ms.append(1)
                 for g in grams:
                     ks.append(k)
                     gs.append(g)
                     rs.append(r)
+                    ms.append(0)
         return pa.table(
             {"k": pa.array(ks, pa.int64()), "gram": pa.array(gs, pa.string()),
-             "r": pa.array(rs, pa.int64())}
+             "m": pa.array(ms, pa.int64()), "r": pa.array(rs, pa.int64())}
         )
 
     per_gram = (
         docs.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["k", "gram"])
+        .groupby(["k", "gram", "m"])
         .aggregate(Sum("r", alias_name="s"))
     )
 
     def indicators(t: pa.Table) -> pa.Table:
-        is_marker = pc.equal(t.column("gram"), _PRESENCE)
         s = t.column("s").to_numpy()
-        marker = is_marker.to_numpy(zero_copy_only=False)
+        marker = pc.equal(t.column("m"), 1).to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "k": t.column("k"),
@@ -976,7 +975,9 @@ class _KMeans:
 
     def __init__(self, sample: np.ndarray, n_clusters: int, seed: int = 3, iters: int = 10):
         rng = np.random.default_rng(seed)
-        sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+        norms = np.linalg.norm(sample, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0  # zero vectors stay zero instead of NaN-ing out
+        sample = sample / norms
         idx = rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)
         self.centroids = sample[np.sort(idx)].copy()
         for _ in range(iters):
@@ -1000,13 +1001,23 @@ def ann_ivf_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0,
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq_
 
-    n_vecs = pq_.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    pf = pq_.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    n_vecs = pf.metadata.num_rows
     if n_clusters is None:
         n_clusters = max(4, int(np.sqrt(n_vecs)))
-    # bounded deterministic sample: the first rows by vec_id
-    sample_t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
-        columns=["vec_id", "embedding"], filter=pc.field("vec_id") < 4096
-    )
+    # bounded deterministic sample BY ROW POSITION (first row groups up to
+    # 4096 rows) — an id-value predicate like vec_id < 4096 assumes dense
+    # low-numbered ids and yields an EMPTY sample on corpora whose ids start
+    # higher (np.stack([]) crash)
+    _SAMPLE_ROWS = 4096
+    parts, got = [], 0
+    for rg in range(pf.metadata.num_row_groups):
+        t = pf.read_row_group(rg, columns=["embedding"])
+        parts.append(t)
+        got += t.num_rows
+        if got >= _SAMPLE_ROWS:
+            break
+    sample_t = pa.concat_tables(parts).slice(0, _SAMPLE_ROWS)
     sample = np.stack(sample_t.column("embedding").to_pandas().to_numpy()).astype(np.float64)
     km = _KMeans(sample, n_clusters)
     qtab = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
