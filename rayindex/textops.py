@@ -163,14 +163,14 @@ def site_stats(sf_dir: str) -> pd.DataFrame:
     """A3-A5 (statistics endpoint): per-site page count + distinct-lemma
     count.  ONE tokenize pass: each batch emits its distinct (site, kind,
     key) rows (kind 'p' keys = doc ids, kind 'l' keys = terms), one global
-    distinct-groupby dedups across batches, and the per-site counts are a
-    tiny driver-side roll-up of the distinct pairs.  (Previously two full
-    tokenize passes + two shuffles.)"""
+    distinct-groupby dedups across batches, and a SECOND distributed
+    roll-up (partial per-batch count → groupby(site, kind)) reduces that to
+    O(sites) rows before anything reaches the driver.  (Previously the full
+    distinct (site, kind, key) set — O(n_docs + Σ distinct terms) rows —
+    was materialized to driver pandas: a driver OOM at 10^12 docs.)"""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
     tf = docs.map_batches(TokenizeDocs(with_site=True),
                           batch_format="pyarrow", zero_copy_batch=True)
-
-    from ray.data.aggregate import Count as _Count
 
     def pairs(t: pa.Table) -> pa.Table:
         d = t.group_by(["site", "doc_id"]).aggregate([])
@@ -192,9 +192,18 @@ def site_stats(sf_dir: str) -> pd.DataFrame:
         tf.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["site", "kind", "key"])
         .aggregate(_Count(alias_name="_n"))
-        .to_pandas()
     )
-    counts = distinct.groupby(["site", "kind"]).size().unstack(fill_value=0)
+    rollup = (
+        distinct.map_batches(
+            lambda t: t.group_by(["site", "kind"]).aggregate([("_n", "count")]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby(["site", "kind"])
+        .aggregate(Sum("_n_count", alias_name="cnt"))
+        .to_pandas()  # O(sites × 2) rows — the only driver materialization
+    )
+    counts = rollup.pivot_table(index="site", columns="kind", values="cnt",
+                                aggfunc="sum", fill_value=0)
     out = pd.DataFrame(
         {
             "site": counts.index.to_numpy(),
@@ -342,8 +351,16 @@ LSH_BUCKET_CAP = 512
 
 def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     ids = np.sort(g["doc_id"].to_numpy())
+    empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")})
     if len(ids) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": []})
+        return empty
+    if len(ids) > LSH_BUCKET_CAP:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "LSH bucket of %d docs exceeds LSH_BUCKET_CAP=%d; splitting into "
+            "chunks (cross-chunk candidate pairs are dropped)", len(ids), LSH_BUCKET_CAP
+        )
     out_a, out_b = [], []
     for s in range(0, len(ids), LSH_BUCKET_CAP):
         chunk = ids[s: s + LSH_BUCKET_CAP]
@@ -354,20 +371,31 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out_a.append(a[m])
         out_b.append(b[m])
     if not out_a:
-        return pd.DataFrame({"doc_a": [], "doc_b": []})
-    return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)})
+        return empty
+    return pd.DataFrame({"doc_a": np.concatenate(out_a).astype(np.int64),
+                         "doc_b": np.concatenate(out_b).astype(np.int64)})
 
 
 def minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
-    """MinHash+LSH near-duplicate candidate pairs (deduplicated)."""
+    """MinHash+LSH near-duplicate candidate pairs (deduplicated).
+
+    The same pair surfaces from several bands; the dedup is a DISTRIBUTED
+    ``groupby(doc_a, doc_b)`` (the shape the embedding path uses), so the
+    driver only ever receives the final deduplicated pair set — never the
+    per-band candidate multiset (previously a driver-side
+    ``to_pandas().drop_duplicates()`` over all candidates)."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     sigs = docs.map_batches(MinHasher(), batch_format="pyarrow", zero_copy_batch=True)
-    pairs = sigs.groupby(["band", "band_hash"]).map_groups(_bucket_pairs, batch_format="pandas")
-    pdf = pairs.to_pandas()
-    if len(pdf) == 0:
+    pairs = (
+        sigs.groupby(["band", "band_hash"]).map_groups(_bucket_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(_Count(alias_name="_n"))
+    )
+    pdf = pairs.to_pandas()  # already-deduplicated final output, O(pairs)
+    if len(pdf) == 0 or "doc_a" not in pdf.columns:
         return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")})
     return (
-        pdf.drop_duplicates().astype({"doc_a": "int64", "doc_b": "int64"})
+        pdf[["doc_a", "doc_b"]].astype({"doc_a": "int64", "doc_b": "int64"})
         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     )
 
@@ -697,17 +725,26 @@ class BandedLshStage:
     through the shuffle) — the price for never materializing an n×n compare.
     """
 
-    def __init__(self, dim: int = 64, bands: int = 16, planes_per_band: int = 4,
+    def __init__(self, dim: int | None = None, bands: int = 16, planes_per_band: int = 4,
                  seed: int = 7):
-        rng = np.random.default_rng(seed)
+        self.seed = seed
         self.bands = bands
         self.r = planes_per_band
-        self.planes = rng.standard_normal((bands, planes_per_band, dim))
+        # planes are derived lazily from the data's actual width when dim is
+        # not given — deterministic across workers (same seed, same dim)
+        self.planes = (
+            np.random.default_rng(seed).standard_normal((bands, planes_per_band, dim))
+            if dim is not None else None
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy()
         emb_col = batch.column("embedding")
         emb = np.stack(emb_col.to_pandas().to_numpy()).astype(np.float64)
+        if self.planes is None or self.planes.shape[2] != emb.shape[1]:
+            self.planes = np.random.default_rng(self.seed).standard_normal(
+                (self.bands, self.r, emb.shape[1])
+            )
         n = len(ids)
         powers = 1 << np.arange(self.r)
         out_band = np.repeat(np.arange(self.bands, dtype=np.int32), n)
@@ -734,6 +771,14 @@ def _bucket_cosine_pairs(g: pd.DataFrame, tau: float) -> pd.DataFrame:
     (same deterministic recall trade-off as ``_bucket_pairs``)."""
     if len(g) < 2:
         return pd.DataFrame({"vec_id_a": [], "vec_id_b": []})
+    if len(g) > LSH_BUCKET_CAP:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "embedding LSH bucket of %d vectors exceeds LSH_BUCKET_CAP=%d; "
+            "splitting into chunks (cross-chunk pairs are dropped)",
+            len(g), LSH_BUCKET_CAP,
+        )
     g = g.sort_values("vec_id")
     out_a, out_b = [], []
     for s in range(0, len(g), LSH_BUCKET_CAP):
@@ -755,28 +800,46 @@ def _bucket_cosine_pairs(g: pd.DataFrame, tau: float) -> pd.DataFrame:
     )
 
 
-def embedding_near_dup(sf_dir: str, tau: float = 0.4, method: str = "auto") -> pd.DataFrame:
-    """Embedding-cosine near-duplicate pairs (the fifth dedup family member).
+def embedding_near_dup_ds(
+    sf_dir: str, tau: float = 0.4, method: str = "auto"
+) -> tuple[rd.Dataset, bool]:
+    """Embedding-cosine near-duplicate pairs as a DATASET plus an exactness
+    flag — the shape downstream consumers (``dedup_near_clusters``) use so
+    the pair graph never stages through driver memory.
 
     ``auto`` = exact all-pairs below EXACT_PAIR_LIMIT rows (the oracle-equal
     path), banded-LSH bucket pair generation + exact in-bucket verify above
-    (approximate: recall per BandedLshStage docstring; no whole-matrix
-    broadcast anywhere in the plan)."""
+    (approximate: recall per BandedLshStage docstring, and buckets above
+    LSH_BUCKET_CAP drop cross-chunk pairs; no whole-matrix broadcast anywhere
+    in the plan).  The switch to the approximate path is LOGGED and surfaced
+    in the returned flag so callers never mistake approximate edges for
+    exact ones."""
     import pyarrow.parquet as pq_
 
     n = pq_.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
-    if method == "exact" or (method == "auto" and n <= EXACT_PAIR_LIMIT):
+    exact = method == "exact" or (method == "auto" and n <= EXACT_PAIR_LIMIT)
+    if exact:
         t = pq_.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
         all_emb = np.stack(t.column("embedding").to_pandas().to_numpy()).astype(np.float64)
         all_emb = all_emb / np.linalg.norm(all_emb, axis=1, keepdims=True)
         all_ids = t.column("vec_id").to_numpy()
         m_ref, i_ref = ray.put(all_emb), ray.put(all_ids)
         ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        # each unordered pair (a < b) is emitted by exactly ONE batch (the one
+        # holding a), so the exact path needs no dedup stage
         pairs = ds.map_batches(
             CosinePairFinder(m_ref, i_ref, tau),
             batch_format="pyarrow", zero_copy_batch=True, batch_size=1024,
-        ).to_pandas()
+        )
     else:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "embedding_near_dup: %d rows > EXACT_PAIR_LIMIT=%d — switching to "
+            "the APPROXIMATE banded-LSH path (recall per BandedLshStage; "
+            "buckets over %d docs drop cross-chunk pairs)",
+            n, EXACT_PAIR_LIMIT, LSH_BUCKET_CAP,
+        )
         ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
         pairs = (
             ds.map_batches(BandedLshStage(), batch_format="pyarrow", zero_copy_batch=True,
@@ -785,15 +848,30 @@ def embedding_near_dup(sf_dir: str, tau: float = 0.4, method: str = "auto") -> p
             .map_groups(lambda g, t=tau: _bucket_cosine_pairs(g, t), batch_format="pandas")
             .groupby(["vec_id_a", "vec_id_b"])
             .aggregate(_Count(alias_name="_n"))  # distinct: same pair in several bands
-            .to_pandas()
-            .drop(columns=["_n"], errors="ignore")
+            .map_batches(
+                lambda t: t.select(["vec_id_a", "vec_id_b"]),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
         )
+    return pairs, exact
+
+
+def embedding_near_dup(sf_dir: str, tau: float = 0.4, method: str = "auto") -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs (the fifth dedup family member).
+    Driver-facing wrapper over ``embedding_near_dup_ds``: the returned frame
+    is the final deduplicated pair set (O(pairs) rows) and carries
+    ``.attrs["exact"]`` so callers can tell approximate edges apart."""
+    ds, exact = embedding_near_dup_ds(sf_dir, tau, method)
+    pairs = ds.to_pandas()
     if len(pairs) == 0 or "vec_id_a" not in pairs.columns:  # empty loses schema
-        return pd.DataFrame(
+        pairs = pd.DataFrame(
             {"vec_id_a": pd.Series(dtype="int64"), "vec_id_b": pd.Series(dtype="int64")}
         )
-    pairs = pairs.drop_duplicates().astype({"vec_id_a": "int64", "vec_id_b": "int64"})
-    return pairs.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+    else:
+        pairs = pairs.astype({"vec_id_a": "int64", "vec_id_b": "int64"})
+        pairs = pairs.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+    pairs.attrs["exact"] = exact
+    return pairs
 
 
 class LshBucketer:
@@ -882,38 +960,50 @@ def dedup_near_clusters(sf_dir: str, tau: float = 0.4, max_iters: int = 64) -> p
     ``embedding_near_dup`` pair graph by iterative min-label propagation,
     cluster id = smallest vec_id in the component (the kept winner).
 
-    Distributed shape: labels live as a Dataset (node, label); each round is
-    ONE hash join (labels ⋈ edges on node=src, Ray's hash-partitioned join)
-    + ONE groupby-min — no driver materialization of the label table.  The
-    label sum is monotone non-increasing, so an unchanged per-round sum (a
-    scalar aggregate) is the convergence test.  Rounds = cluster diameter;
-    near-dup clusters are shallow (dozens of hops only for pathological
-    chains, bounded by ``max_iters``).  Singletons keep label = self.
+    Distributed shape: the pair graph arrives as a DATASET
+    (``embedding_near_dup_ds`` — never staged through driver pandas), edges
+    are symmetrized by a ``map_batches``, and labels live as a Dataset
+    (node, label); each round is ONE hash join (labels ⋈ edges on node=src,
+    Ray's hash-partitioned join) + ONE groupby-min — no driver
+    materialization anywhere.  The label sum is monotone non-increasing, so
+    an unchanged per-round sum (a scalar aggregate) is the convergence test.
+    Rounds = cluster diameter; near-dup clusters are shallow (dozens of hops
+    only for pathological chains, bounded by ``max_iters``).  Singletons
+    keep label = self.
 
     Returns (vec_id, cluster_id) for EVERY embedding row; winners are the
     rows with vec_id == cluster_id.
     """
-    pairs = embedding_near_dup(sf_dir, tau)
+    pairs_ds, exact = embedding_near_dup_ds(sf_dir, tau)
+    if not exact:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "dedup_near_clusters: building components over APPROXIMATE "
+            "near-dup edges (LSH path) — missed pairs can split clusters"
+        )
     labels = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"]).map_batches(
         lambda t: pa.table({"node": t.column("vec_id"), "label": t.column("vec_id")}),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    if len(pairs) == 0:
-        out = labels.to_pandas().rename(columns={"node": "vec_id", "label": "cluster_id"})
-        return out.sort_values("vec_id").reset_index(drop=True)
-    # symmetric edge list (a→b and b→a) so min labels flow both directions
-    edges = rd.from_arrow(
-        pa.table(
-            {
-                "src": pa.array(
-                    np.concatenate([pairs["vec_id_a"], pairs["vec_id_b"]]), pa.int64()
-                ),
-                "dst": pa.array(
-                    np.concatenate([pairs["vec_id_b"], pairs["vec_id_a"]]), pa.int64()
-                ),
-            }
+    def symmetrize(t: pa.Table) -> pa.Table:
+        # a→b and b→a so min labels flow both directions
+        a = t.column("vec_id_a").cast(pa.int64()).combine_chunks()
+        b = t.column("vec_id_b").cast(pa.int64()).combine_chunks()
+        return pa.table(
+            {"src": pa.concat_arrays([a, b]), "dst": pa.concat_arrays([b, a])}
         )
-    )
+
+    # edges are consumed by every propagation round: execute the pair plan
+    # once and keep the blocks in the (distributed) object store
+    edges = pairs_ds.map_batches(
+        symmetrize, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if edges.count() == 0:
+        out = labels.to_pandas().rename(columns={"node": "vec_id", "label": "cluster_id"})
+        return out.astype({"vec_id": "int64", "cluster_id": "int64"}).sort_values(
+            "vec_id"
+        ).reset_index(drop=True)
     num_partitions = max(2, _task_cpus() // 2)
     labels = labels.materialize()
     prev_sum = labels.sum("label")

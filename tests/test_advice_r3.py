@@ -117,3 +117,35 @@ def test_engine_posting_caches_capped(engine, fixture_corpus, monkeypatch):
     # eviction is invisible to results: re-resolve an evicted term
     d0 = engine._decoded(lemmas[0])
     assert d0[0].size > 0
+
+
+def test_embedding_near_dup_exactness_flag(ray_session, monkeypatch, caplog):
+    """ADVICE: the auto→approximate switch must be visible — flagged on the
+    result and logged — instead of silently changing semantics."""
+    import logging
+
+    from rayindex import textops
+
+    sf = "tests/_mini_sf"  # set below via the mini_sf fixture path helper
+    # reuse the conformance mini corpus written by test_textops' fixture if
+    # present; otherwise generate a tiny one inline
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((30, 16))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(30, dtype=np.int64), pa.int64()),
+        "embedding": pa.array(list(emb), pa.list_(pa.float64())),
+    })
+    pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+    exact = textops.embedding_near_dup(d, tau=0.5)
+    assert exact.attrs["exact"] is True
+    monkeypatch.setattr(textops, "EXACT_PAIR_LIMIT", 1)
+    with caplog.at_level(logging.WARNING, logger="rayindex.textops"):
+        approx = textops.embedding_near_dup(d, tau=0.5)
+    assert approx.attrs["exact"] is False
+    assert any("APPROXIMATE" in r.message for r in caplog.records)
