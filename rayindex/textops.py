@@ -266,6 +266,23 @@ def _md5_le64(strings) -> np.ndarray:
     )
 
 
+def _md5_le64_arrow(arr: pa.Array) -> np.ndarray:
+    """`_md5_le64` over an Arrow string array, hashing straight from the
+    array's utf-8 data buffer (no Python-string materialization or
+    re-encode) — same bytes, same digests."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32, count=len(arr) + 1, offset=arr.offset * 4)
+    mv = memoryview(bufs[2])
+    md5 = hashlib.md5
+    return np.fromiter(
+        (int.from_bytes(md5(mv[off[i]: off[i + 1]]).digest()[:8], "little")
+         for i in range(len(arr))),
+        dtype=np.uint64,
+        count=len(arr),
+    )
+
+
 class MinHasher:
     """MinHash over word 3-shingles; 32 permutations in 8 LSH bands of 4.
 
@@ -298,44 +315,74 @@ class MinHasher:
         return m.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import itertools
+
         n_bands = self.N_PERM // self.BAND
-        doc_ids_in = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pandas().str.lower().str.split()
-        # factorize shingles across the whole batch → md5 per unique only
-        uniq_idx: dict[str, int] = {}
-        doc_rows: list[tuple[int, np.ndarray]] = []
-        for did, toks in zip(doc_ids_in, texts):
-            toks = toks if isinstance(toks, list) else []
-            if len(toks) < self.shingle:
-                continue
-            codes = {
-                uniq_idx.setdefault(" ".join(toks[i: i + self.shingle]), len(uniq_idx))
-                for i in range(len(toks) - self.shingle + 1)
-            }
-            doc_rows.append((did, np.fromiter(codes, dtype=np.int64, count=len(codes))))
-        if not doc_rows:
+        doc_ids_in = batch.column("doc_id").to_numpy()
+        toks = batch.column("text").to_pandas().str.lower().str.split()
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        n_sh = np.maximum(lens - (self.shingle - 1), 0)  # shingles per doc
+        keep = n_sh > 0  # docs shorter than the shingle width emit nothing
+        if not keep.any():
             return pa.table(
                 {"band": pa.array([], pa.int32()), "band_hash": pa.array([], pa.string()),
                  "doc_id": pa.array([], pa.int64())}
             )
-        hv = _md5_le64(list(uniq_idx)) & np.uint64((1 << 61) - 1)
+        # vectorized shingle construction (the old per-doc " ".join loop was
+        # the dominant cost of this stage): flatten every token once, gather
+        # the k consecutive-token columns with Arrow take, join them in C
+        total = int(lens.sum())
+        flat = pa.array(
+            np.fromiter(itertools.chain.from_iterable(toks), dtype=object, count=total),
+            pa.string(),
+        )
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        total_sh = int(n_sh.sum())
+        sh_start = np.cumsum(n_sh) - n_sh  # first shingle index per doc
+        local = np.arange(total_sh, dtype=np.int64) - np.repeat(sh_start, n_sh)
+        pos = np.repeat(starts, n_sh) + local
+        parts = [flat.take(pa.array(pos + j, pa.int64())) for j in range(self.shingle)]
+        shingles = pc.binary_join_element_wise(*parts, " ")
+        # factorize across the whole batch → md5 once per UNIQUE shingle
+        enc = shingles.dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        n_uniq = len(enc.dictionary)
+        hv = _md5_le64_arrow(enc.dictionary) & np.uint64((1 << 61) - 1)
         # (perm, uniq) permuted hashes, computed once per batch
         m_all = (self.a[:, None] * hv[None, :] + self.b[:, None]) % self.p
-        doc_ids, bands, bhashes = [], [], []
+        # per-doc DISTINCT codes via one np.unique over (doc, code) keys —
+        # repetitive documents (boilerplate-heavy web pages) would otherwise
+        # inflate the 32×-wide gather below by their duplication factor
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), n_sh)
+        uk = np.unique(doc_idx * np.int64(n_uniq) + codes)
+        ucodes = uk % n_uniq
+        udoc = uk // n_uniq
+        offsets = np.flatnonzero(np.r_[True, udoc[1:] != udoc[:-1]])
+        # ALL signatures at once: per-doc minima via ONE reduceat over the
+        # doc-contiguous distinct codes (min is order-invariant)
+        sigs = np.minimum.reduceat(m_all[:, ucodes], offsets, axis=1).T  # (docs, perms)
+        # band-hash strings via Arrow C kernels: uint64→decimal cast + '-'
+        # joins (byte-identical to the scalar reference / the SQL string_agg)
+        dec = [pc.cast(pa.array(sigs[:, j].astype(np.uint64)), pa.string())
+               for j in range(self.N_PERM)]
+        band_cols = [
+            pc.binary_join_element_wise(*dec[bnd * self.BAND: (bnd + 1) * self.BAND], "-")
+            for bnd in range(n_bands)
+        ]
         md5 = hashlib.md5
-        for did, codes in doc_rows:
-            sig = m_all[:, codes].min(axis=1)
-            for bnd in range(n_bands):
-                chunk = sig[bnd * self.BAND: (bnd + 1) * self.BAND]
-                h = md5("-".join(str(int(v)) for v in chunk).encode()).hexdigest()[:16]
-                doc_ids.append(did)
-                bands.append(bnd)
-                bhashes.append(h)
+        band_lists = [c.to_pylist() for c in band_cols]
+        # doc-major, band minor — one flat pass over the per-band columns
+        bhashes = [
+            md5(band_lists[bnd][i].encode()).hexdigest()[:16]
+            for i in range(len(sigs))
+            for bnd in range(n_bands)
+        ]
+        dids = doc_ids_in[keep].astype(np.int64)
         return pa.table(
             {
-                "band": pa.array(bands, pa.int32()),
+                "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), len(dids)), pa.int32()),
                 "band_hash": pa.array(bhashes, pa.string()),
-                "doc_id": pa.array(doc_ids, pa.int64()),
+                "doc_id": pa.array(np.repeat(dids, n_bands), pa.int64()),
             }
         )
 
