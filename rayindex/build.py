@@ -156,14 +156,7 @@ def derive_salts(terms: "pd.Series", doc_ids: np.ndarray, heavy: dict) -> np.nda
     return salts
 
 
-def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
-    """Vectorized membership of int64 values in a sorted int64 array."""
-    if sorted_arr.size == 0:
-        return np.zeros(len(values), dtype=bool)
-    idx = np.searchsorted(sorted_arr, values)
-    return (idx < sorted_arr.size) & (
-        sorted_arr[np.minimum(idx, sorted_arr.size - 1)] == values
-    )
+from .membership import BloomFilter, in_sorted as _in_sorted  # noqa: E402
 
 
 # above this many duplicate ids the broadcast membership structure switches
@@ -178,53 +171,25 @@ DUP_BLOOM_THRESHOLD = 1_000_000
 
 class _DupMembership:
     """Broadcastable membership test over duplicated doc_ids: exact sorted
-    array when small, 10-bit/element double-hash bloom when large."""
-
-    K = 7  # hash probes (~1 % fp at 10 bits/element)
+    array when small, 10-bit/element double-hash bloom when large (both from
+    rayindex.membership — the same structures back the U2 purge tombstones)."""
 
     def __init__(self, dup_ids: np.ndarray):
         self.n = int(dup_ids.size)
         if self.n <= DUP_BLOOM_THRESHOLD:
             self.exact: np.ndarray | None = dup_ids
-            self.bits = None
-            self.m = 0
+            self.bloom: BloomFilter | None = None
             return
         self.exact = None
-        self.m = max(64, self.n * 10)
-        words = (self.m + 63) // 64
-        self.m = words * 64
-        bits = np.zeros(words, dtype=np.uint64)
-        h1, h2 = self._hashes(dup_ids)
-        for i in range(self.K):
-            pos = (h1 + np.uint64(i) * h2) % np.uint64(self.m)
-            np.bitwise_or.at(bits, (pos >> np.uint64(6)).astype(np.int64),
-                             np.uint64(1) << (pos & np.uint64(63)))
-        self.bits = bits
-
-    @staticmethod
-    def _hashes(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        x = ids.astype(np.uint64)
-        # splitmix64-style mixes; two independent streams for double hashing
-        h1 = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
-        h1 = (h1 ^ (h1 >> np.uint64(33))) * np.uint64(0xC4CEB9FE1A85EC53)
-        h1 ^= h1 >> np.uint64(33)
-        h2 = (x + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
-        h2 = (h2 ^ (h2 >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        h2 ^= h2 >> np.uint64(31)
-        return h1, h2 | np.uint64(1)
+        self.bloom = BloomFilter(self.n)
+        self.bloom.add(dup_ids)
 
     def contains(self, ids: np.ndarray) -> np.ndarray:
         if self.n == 0:
             return np.zeros(len(ids), dtype=bool)
         if self.exact is not None:
             return _in_sorted(ids, self.exact)
-        h1, h2 = self._hashes(ids)
-        out = np.ones(len(ids), dtype=bool)
-        for i in range(self.K):
-            pos = (h1 + np.uint64(i) * h2) % np.uint64(self.m)
-            word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
-            out &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
-        return out
+        return self.bloom.contains(ids)
 
 
 def _content_tie(htmls: list) -> list[str]:
@@ -572,7 +537,9 @@ def _empty_layouts() -> dict[str, pa.Schema]:
         "doclen": pa.schema(
             [("doc_id", pa.int64()), ("site", pa.string()), ("doc_len", pa.uint32())]
         ),
-        "sites": pa.schema([("site", pa.string()), ("pages", pa.int64())]),
+        "sites": pa.schema(
+            [("site", pa.string()), ("pages", pa.int64()), ("site_tf", pa.int64())]
+        ),
         "segments": MIXED_SCHEMA,
         "term_stats": TERM_STATS_SCHEMA,
         "term_df": pa.schema([("term", pa.string()), ("df", pa.int64())]),
@@ -824,12 +791,20 @@ def build_index(
                     {
                         "site": pa.array(per_site["site"].astype(str), pa.string()),
                         "pages": pa.array(per_site["pages"].astype(np.int64), pa.int64()),
+                        # Σ doc_len per site: lets U2 purge_site read its
+                        # correction terms from O(sites) rows instead of
+                        # scanning doclen/docs
+                        "site_tf": pa.array(per_site["site_tf"].astype(np.int64), pa.int64()),
                     }
                 )
             else:
                 n_docs, total_tf = 0, 0
                 sites_tab = pa.table(
-                    {"site": pa.array([], pa.string()), "pages": pa.array([], pa.int64())}
+                    {
+                        "site": pa.array([], pa.string()),
+                        "pages": pa.array([], pa.int64()),
+                        "site_tf": pa.array([], pa.int64()),
+                    }
                 )
             pq.write_table(sites_tab, os.path.join(tmp, "sites.parquet"))
         stats = {

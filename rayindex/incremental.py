@@ -124,40 +124,93 @@ def load_tombstones(index_dir: str) -> dict:
 
 
 def purge_site(index_dir: str, site: str) -> dict:
-    """U2 soft delete: record the site + exact correction terms.
+    """U2 soft delete, scalable: summary corrections + a Parquet id sidecar.
 
-    Scans the shard doc stores for the site's doc ids and joins doclen for
-    their Σ doc_len (a pruned column scan per shard — distributed-friendly:
-    each shard's docs are independent)."""
+    ``tombstones.json`` now carries only O(1) per purged site — the page
+    count and Σ doc_len corrections, both read from the per-shard ``sites``
+    roll-up table (one pruned row per shard, no doc scan).  The purged doc
+    *ids* go to ``tombstones/site=<digest>/`` as doc_id-sorted Parquet,
+    written by a distributed Ray sort over the shard doc stores (pruned to
+    the one ``doc_id`` column, filtered to the site at the read) — driver
+    memory stays O(1) however large the site.  The query engine loads the
+    sidecar through :class:`rayindex.membership.TombstoneSet`: an exact array
+    for small purges, a bloom + row-group-pruned verification above that, so
+    a 10^6-doc purge holds ~1-8 MB of engine state instead of a GB-scale
+    JSON (reference cascade DELETE: dto/indexing/SiteIndexer.java:108-129).
+    """
+    import hashlib
+
+    import ray.data as rd
+
     from .segments import list_shards
 
     tomb = load_tombstones(index_dir)
     if site in tomb["sites"]:
         return tomb
-    doc_ids: list[int] = []
+    shards = list_shards(index_dir)
+    n_docs = 0
     purged_tf = 0
-    for shard in list_shards(index_dir):
-        docs = pads.dataset(os.path.join(shard, "docs"), format="parquet").to_table(
-            columns=["doc_id"], filter=pc.field("site") == site
+    tf_known = True
+    for shard in shards:
+        st = pads.dataset(os.path.join(shard, "sites"), format="parquet").to_table(
+            filter=pc.field("site") == site
         )
-        ids = docs.column("doc_id").to_numpy()
-        if len(ids) == 0:
+        if st.num_rows == 0:
             continue
-        doc_ids.extend(int(d) for d in ids)
-        dl = pads.dataset(os.path.join(shard, "doclen"), format="parquet").to_table(
-            filter=pc.field("doc_id").isin(ids.tolist())
-        )
-        purged_tf += int(pc.sum(dl.column("doc_len")).as_py() or 0)
-    tomb["sites"][site] = {
-        "n_docs": len(doc_ids),
-        "purged_tf": purged_tf,
-        "doc_ids": sorted(doc_ids),
-    }
+        n_docs += int(pc.sum(st.column("pages")).as_py() or 0)
+        if "site_tf" in st.schema.names:
+            purged_tf += int(pc.sum(st.column("site_tf")).as_py() or 0)
+        else:
+            tf_known = False
+    if not tf_known:
+        # pre-site_tf index layout: one streaming doclen scan (site rides the
+        # doclen rows, so no id join is needed)
+        purged_tf = 0
+        for shard in shards:
+            dl = pads.dataset(os.path.join(shard, "doclen"), format="parquet").to_table(
+                columns=["doc_len"], filter=pc.field("site") == site
+            )
+            purged_tf += int(pc.sum(dl.column("doc_len")).as_py() or 0)
+    entry: dict = {"n_docs": n_docs, "purged_tf": purged_tf}
+    if n_docs > 0:
+        digest = hashlib.md5(site.encode()).hexdigest()[:16]
+        rel = os.path.join("tombstones", f"site={digest}")
+        dest = os.path.join(index_dir, rel)
+        ids = rd.read_parquet(
+            _expand([os.path.join(s, "docs") for s in shards]),
+            columns=["doc_id"],
+            filter=pc.field("site") == site,
+        ).sort("doc_id")
+        os.makedirs(dest, exist_ok=True)
+        ids.write_parquet(dest)
+        entry["dir"] = rel
+    tomb["sites"][site] = entry
     tmp = _tombstones_path(index_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(tomb, f)
     os.replace(tmp, _tombstones_path(index_dir))
     return tomb
+
+
+def tombstone_id_files(index_dir: str, tomb: dict | None = None) -> tuple[list[int], list[str]]:
+    """(inline_ids, parquet_paths) across all purged sites — inline ids come
+    from round-2-format ``tombstones.json`` entries (back-compat), paths from
+    the Parquet sidecars."""
+    tomb = tomb if tomb is not None else load_tombstones(index_dir)
+    inline: list[int] = []
+    paths: list[str] = []
+    for info in tomb["sites"].values():
+        inline.extend(info.get("doc_ids", ()))
+        rel = info.get("dir")
+        if rel:
+            d = os.path.join(index_dir, rel)
+            if os.path.isdir(d):
+                paths.extend(
+                    os.path.join(d, f)
+                    for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")
+                )
+    return inline, paths
 
 
 def compact(

@@ -148,7 +148,7 @@ def wand_topk(
     entries: list[tuple[float, "ChainCursor"]],
     contrib_fn,
     k: int,
-    excluded: np.ndarray | None = None,
+    excluded=None,
 ) -> list[tuple[int, float]]:
     """Block-max WAND top-k over (idf, cursor) entries.
 
@@ -158,6 +158,10 @@ def wand_topk(
     order — a document's score is summed in that order, making float results
     identical to an exhaustive scorer using the same order.  Ties broken
     doc_id ascending; exactly equals the exhaustive top-k.
+
+    ``excluded`` is a sorted uint64 ndarray OR any object with
+    ``contains(ids) -> bool mask`` / ``contains_one(doc) -> bool``
+    (membership.TombstoneSet) — U2 tombstoned docs are skipped unscored.
     """
     cursors = [e for e in entries if e[1].n_blocks]
     if not cursors:
@@ -167,8 +171,16 @@ def wand_topk(
     def is_excluded(doc: int) -> bool:
         if excl is None:
             return False
-        i = int(np.searchsorted(excl, np.uint64(doc)))
-        return i < len(excl) and int(excl[i]) == doc
+        if isinstance(excl, np.ndarray):
+            i = int(np.searchsorted(excl, np.uint64(doc)))
+            return i < len(excl) and int(excl[i]) == doc
+        return excl.contains_one(doc)
+
+    def excluded_mask(docs: np.ndarray) -> np.ndarray:
+        if isinstance(excl, np.ndarray):
+            idx = np.searchsorted(excl, docs)
+            return (idx < excl.size) & (excl[np.minimum(idx, excl.size - 1)] == docs)
+        return excl.contains(docs)
 
     block_ub: list[np.ndarray] = []
     term_ub: list[float] = []
@@ -199,8 +211,7 @@ def wand_topk(
             for idf, cur in cursors:  # entries order == (df, term) order
                 docs, tfs, dls = cur.remaining()
                 if excl is not None and docs.size:
-                    idx = np.searchsorted(excl, docs)
-                    hit = (idx < excl.size) & (excl[np.minimum(idx, excl.size - 1)] == docs)
+                    hit = excluded_mask(docs)
                     docs, tfs, dls = docs[~hit], tfs[~hit], dls[~hit]
                 if docs.size:
                     doc_parts.append(docs)
@@ -291,6 +302,9 @@ class QueryEngine:
     READERS_CACHE_CAP = 1 << 12
     DECODED_CACHE_CAP = 1 << 10
     SITE_DOCS_CACHE_CAP = 1 << 8
+    # purged-id sets at/below this stay an exact in-memory array; above it the
+    # engine holds only a bloom + a bounded verification cache
+    TOMBSTONE_EXACT_CAP = 2_000_000
 
     def __init__(self, index_root: str, analyzer_spec: dict, k1: float = 1.2, b: float = 0.75):
         self.analyzer = make_analyzer(analyzer_spec)
@@ -322,20 +336,27 @@ class QueryEngine:
         self._readers_cache: dict[str, list[BlockReader]] = {}
         self._decoded_cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
-        # U2 soft deletes (tombstones.json): correct the global stats exactly
-        # and exclude the purged docs from every candidate set, so results
-        # equal a physical rebuild without the purged sites.
-        from .incremental import load_tombstones
+        # U2 soft deletes (tombstones.json + Parquet id sidecars): correct the
+        # global stats exactly and exclude the purged docs from every
+        # candidate set, so results equal a physical rebuild without the
+        # purged sites.  The id membership structure is BOUNDED
+        # (membership.TombstoneSet: exact array small, bloom+verify large) —
+        # engine memory no longer scales with the purge size.
+        from .incremental import load_tombstones, tombstone_id_files
+        from .membership import TombstoneSet
 
         tomb = load_tombstones(index_root)
         self.purged_sites = set(tomb["sites"])
-        excluded: list[int] = []
         for site, info in tomb["sites"].items():
             self.n_docs -= int(info["n_docs"])
             self.total_tf -= int(info["purged_tf"])
             self.site_pages.pop(site, None)
-            excluded.extend(info["doc_ids"])
-        self.excluded_docs = np.array(sorted(excluded), dtype=np.uint64)
+        inline, tomb_paths = tombstone_id_files(index_root, tomb)
+        self.tombstones = TombstoneSet(
+            np.array(inline, dtype=np.uint64),
+            tomb_paths,
+            exact_cap=self.TOMBSTONE_EXACT_CAP,
+        )
         self.avgdl = (self.total_tf / self.n_docs) if self.n_docs else 0.0
 
     # -- lazy term dictionary ------------------------------------------------
@@ -387,14 +408,10 @@ class QueryEngine:
         return out[out["df"] > 0].reset_index(drop=True)
 
     def _not_excluded(self, docs: np.ndarray) -> np.ndarray:
-        """Boolean mask of docs NOT tombstoned (sorted-array membership)."""
-        if self.excluded_docs.size == 0:
+        """Boolean mask of docs NOT tombstoned (bounded membership structure)."""
+        if len(self.tombstones) == 0:
             return np.ones(len(docs), dtype=bool)
-        idx = np.searchsorted(self.excluded_docs, docs)
-        hit = (idx < self.excluded_docs.size) & (
-            self.excluded_docs[np.minimum(idx, self.excluded_docs.size - 1)] == docs
-        )
-        return ~hit
+        return ~self.tombstones.contains(docs)
 
     # -- lookups ------------------------------------------------------------
     def _cursor(self, term: str) -> ChainCursor:
@@ -659,4 +676,4 @@ class QueryEngine:
             if df == 0:
                 continue
             entries.append((self._idf(df), self._cursor(t)))
-        return wand_topk(entries, self._contrib, k, excluded=self.excluded_docs)
+        return wand_topk(entries, self._contrib, k, excluded=self.tombstones)

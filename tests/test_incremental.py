@@ -142,6 +142,61 @@ def test_purge_site_equals_rebuild_without_it(ray_session, fixture_corpus, tmp_p
     assert all(d["name"] != "other.example" for d in st["detailed"])
 
 
+def test_purge_bloom_path_identical_and_bounded(
+    ray_session, fixture_corpus, tmp_path, monkeypatch
+):
+    """Round-3 scalable tombstones: with the exact-array cap forced to 0 the
+    engine takes the bloom + Parquet-verify path — results must stay
+    identical to a physical rebuild, tombstones.json must carry NO inline doc
+    ids, and the resident membership state must be a bounded structure."""
+    import json as _json
+
+    pages = fixture_corpus.pages.slice(0, 50)
+    urls = pages.column("url").to_pylist()
+    urls2 = [
+        u.replace("fixture.example", "other.example") if i % 2 else u
+        for i, u in enumerate(urls)
+    ]
+    pages2 = pages.set_column(0, "url", pa.array(urls2, pa.string()))
+    pdir = str(tmp_path / "pages")
+    write_pages(pages2, pdir, 4)
+
+    out_a = str(tmp_path / "idx_purged")
+    build_index(pdir, out_a, fixture_corpus.analyzer_spec, num_buckets=4)
+    purge_site(out_a, "other.example")
+
+    with open(os.path.join(out_a, "tombstones.json")) as f:
+        tomb = _json.load(f)
+    info = tomb["sites"]["other.example"]
+    assert "doc_ids" not in info  # ids live in the Parquet sidecar
+    assert info["n_docs"] == 25
+    assert os.path.isdir(os.path.join(out_a, info["dir"]))
+
+    monkeypatch.setattr(QueryEngine, "TOMBSTONE_EXACT_CAP", 0)
+    eng_a = QueryEngine(out_a, fixture_corpus.analyzer_spec)
+    assert eng_a.tombstones.bloom is not None  # bloom path actually engaged
+
+    out_b = str(tmp_path / "idx_clean")
+    build_index(pdir, out_b, fixture_corpus.analyzer_spec, num_buckets=4,
+                exclude_sites=["other.example"])
+    eng_b = QueryEngine(out_b, fixture_corpus.analyzer_spec)
+
+    assert eng_a.n_docs == eng_b.n_docs
+    assert abs(eng_a.avgdl - eng_b.avgdl) < 1e-9
+    for q in [fixture_corpus.forms[fixture_corpus.lemmas[i]][0] for i in (3, 8, 15)]:
+        got = eng_a.search(q, k=10, with_snippets=False)
+        want = eng_b.search(q, k=10, with_snippets=False)
+        assert _fmt(got["data"]) == _fmt(want["data"]), q
+        wa = eng_a.bm25_wand(q, k=10)
+        wb = eng_b.bm25_wand(q, k=10)
+        assert [(d, round(s, 9)) for d, s in wa] == [(d, round(s, 9)) for d, s in wb], q
+        ea = eng_a.bm25_exhaustive(q, k=10)
+        assert [(d, round(s, 9)) for d, s in ea] == [(d, round(s, 9)) for d, s in wb], q
+    # bounded state: bloom (~10 bits/id) + verdict caches, NOT O(GB) JSON;
+    # at 10^6 purged ids this structure is ~1.25 MB + caches
+    assert eng_a.tombstones.nbytes() < 1 << 20
+
+
 def test_index_page_single(ray_session, fixture_corpus, tmp_path):
     pages = fixture_corpus.pages.slice(0, 20)
     pdir = str(tmp_path / "pages")
