@@ -766,7 +766,13 @@ def build_index(
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
-            _write_parquet(dl, tmp)
+            # (site, doc_id)-sorted: row-group statistics then prune BOTH the
+            # per-site scans (J5 site filter, purge corrections) and the
+            # doc_id point verification behind the query engine's per-site
+            # bloom (membership.BloomVerifiedSet).  The sort is an all-to-all
+            # but over the SKINNY ~16 B/row table, a small fraction of the
+            # postings shuffle that precedes it.
+            _write_parquet(dl.sort(["site", "doc_id"]), tmp)
         with phase_output(sites_dir) as tmp:
             d = rd.read_parquet(doclen_dir, columns=["site", "doc_len"])
             partial = d.map_batches(

@@ -72,48 +72,27 @@ def in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
     )
 
 
-class TombstoneSet:
-    """Bounded-memory membership over purged doc ids (U2 tombstones).
+class BloomVerifiedSet:
+    """Bounded-memory EXACT membership over a large id set.
 
-    Replaces the round-2 design where ``tombstones.json`` carried every purged
-    doc id inline and the engine held them all in one array — a billion-page
-    site purge wrote GBs of JSON (reference analog of the cascade DELETE in
-    dto/indexing/SiteIndexer.java:108-129, which pays the same O(site) cost
-    *inside MySQL*).  Now:
+    - at/below ``exact_cap`` ids: one sorted uint64 array (bit-identical to a
+      plain sorted-array membership test);
+    - above it: a ~10-bit/element :class:`BloomFilter` streamed chunk-by-chunk
+      from ``chunks_fn`` (1.25 MB per 10^6 ids) + **exact verification** of
+      bloom positives through ``verify_fn`` (typically a row-group-pruned
+      Parquet point read), with a bounded cache of verdicts.  False positives
+      therefore cost a pruned read, never correctness.
 
-    - at/below ``exact_cap`` ids: one sorted uint64 array, exact (bit-identical
-      to round 2's behavior);
-    - above it: a ~10-bit/element :class:`BloomFilter` streamed from the
-      tombstone Parquet row groups (1.25 MB per 10^6 ids) + **exact
-      verification** of bloom positives against the Parquet (doc_id-sorted
-      files → row-group statistics prune the lookup), with a bounded cache of
-      verdicts.  False positives therefore cost a pruned point read, never
-      correctness — results stay identical to a physical rebuild.
+    ``chunks_fn()`` must yield uint64 arrays that together cover every member
+    id exactly; ``verify_fn(sorted_unknown)`` must return the sorted subset
+    that are true members.
     """
 
     VERIFY_CACHE_CAP = 1 << 21  # cached verdict ids (~16 MB at the cap)
 
-    def __init__(
-        self,
-        inline_ids: np.ndarray | None = None,
-        parquet_paths: list[str] | None = None,
-        n_total: int | None = None,
-        exact_cap: int = 2_000_000,
-    ):
-        import pyarrow.dataset as pads
-        import pyarrow.parquet as pq
-
-        self._paths = list(parquet_paths or [])
-        inline = (
-            np.asarray(inline_ids, dtype=np.uint64)
-            if inline_ids is not None
-            else np.zeros(0, dtype=np.uint64)
-        )
-        if n_total is None:
-            n_total = int(inline.size) + sum(
-                pq.ParquetFile(p).metadata.num_rows for p in self._paths
-            )
+    def __init__(self, n_total: int, chunks_fn, verify_fn, exact_cap: int):
         self.n = int(n_total)
+        self._verify_fn = verify_fn
         self.exact: np.ndarray | None = None
         self.bloom: BloomFilter | None = None
         self._known_true = np.zeros(0, dtype=np.uint64)
@@ -122,36 +101,22 @@ class TombstoneSet:
             self.exact = np.zeros(0, dtype=np.uint64)
             return
         if self.n <= exact_cap:
-            parts = [inline]
-            for p in self._paths:
-                parts.append(
-                    pads.dataset(p, format="parquet")
-                    .to_table(columns=["doc_id"])
-                    .column("doc_id")
-                    .to_numpy()
-                    .astype(np.uint64)
-                )
-            self.exact = np.sort(np.concatenate(parts))
+            parts = [np.asarray(c, dtype=np.uint64) for c in chunks_fn()]
+            self.exact = (
+                np.sort(np.concatenate(parts)) if parts else np.zeros(0, dtype=np.uint64)
+            )
+            self.n = int(self.exact.size)
             return
-        # streaming bloom build: one row-group-sized chunk in memory at a time
+        # streaming bloom build: one chunk in memory at a time
         self.bloom = BloomFilter(self.n)
-        self.bloom.add(inline)
-        self._known_true = np.sort(inline)
-        for p in self._paths:
-            f = pq.ParquetFile(p)
-            for rg in range(f.metadata.num_row_groups):
-                self.bloom.add(
-                    f.read_row_group(rg, columns=["doc_id"])
-                    .column("doc_id")
-                    .to_numpy()
-                    .astype(np.uint64)
-                )
+        for c in chunks_fn():
+            self.bloom.add(np.asarray(c, dtype=np.uint64))
 
     def __len__(self) -> int:
         return self.n
 
     def nbytes(self) -> int:
-        """Resident engine state (the 'bounded structure' the purge test pins)."""
+        """Resident state (the 'bounded structure' the scale tests pin)."""
         out = self._known_true.nbytes + self._known_false.nbytes
         if self.exact is not None:
             out += self.exact.nbytes
@@ -159,25 +124,23 @@ class TombstoneSet:
             out += self.bloom.nbytes()
         return int(out)
 
+    def _seed_known_true(self, ids: np.ndarray) -> None:
+        """Pre-populate the verdict cache with ids already known to be members
+        (bloom mode only; no-op in exact mode)."""
+        if self.bloom is not None and len(ids):
+            self._known_true = np.union1d(
+                self._known_true, np.asarray(ids, dtype=np.uint64)
+            )
+
     def _verify(self, cand: np.ndarray) -> np.ndarray:
         """Exact verdicts for bloom-positive candidate ids (sorted uint64 in →
         sorted true subset out); consults and feeds the verdict cache."""
-        import pyarrow as pa
-        import pyarrow.compute as pc
-        import pyarrow.dataset as pads
-
         known_t = cand[in_sorted(cand, self._known_true)]
         unknown = cand[
             ~in_sorted(cand, self._known_true) & ~in_sorted(cand, self._known_false)
         ]
         if unknown.size:
-            tab = pads.dataset(self._paths, format="parquet").to_table(
-                columns=["doc_id"],
-                filter=pc.field("doc_id").isin(
-                    pa.array(unknown.astype(np.int64), pa.int64())
-                ),
-            )
-            hits = np.unique(tab.column("doc_id").to_numpy().astype(np.uint64))
+            hits = np.asarray(self._verify_fn(unknown), dtype=np.uint64)
             known_t = np.union1d(known_t, hits)
             if (
                 self._known_true.size + self._known_false.size + unknown.size
@@ -192,7 +155,7 @@ class TombstoneSet:
         return known_t
 
     def contains(self, ids: np.ndarray) -> np.ndarray:
-        """Boolean mask: which of ``ids`` are tombstoned.  Exact always."""
+        """Boolean mask: which of ``ids`` are members.  Exact always."""
         ids = np.asarray(ids, dtype=np.uint64)
         if self.n == 0:
             return np.zeros(len(ids), dtype=bool)
@@ -212,3 +175,97 @@ class TombstoneSet:
             i = int(np.searchsorted(a, np.uint64(doc)))
             return i < a.size and int(a[i]) == int(doc)
         return bool(self.contains(np.array([doc], dtype=np.uint64))[0])
+
+
+def parquet_id_verifier(paths: list[str], column: str = "doc_id", extra_filter=None,
+                        chunk: int = 1 << 16):
+    """A ``verify_fn`` for :class:`BloomVerifiedSet`: pruned Parquet point
+    reads.  When the files are sorted by ``column``, row-group statistics
+    prune the ``isin`` lookup to the touched groups.  ``extra_filter`` (a
+    pyarrow expression) is ANDed in — e.g. ``site == X`` for per-site
+    membership over a site-clustered table."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(
+                os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+            )
+        else:
+            files.append(p)
+
+    def verify(unknown: np.ndarray) -> np.ndarray:
+        out = []
+        dset = pads.dataset(files, format="parquet")
+        for i in range(0, unknown.size, chunk):
+            part = unknown[i : i + chunk]
+            flt = pc.field(column).isin(pa.array(part.astype(np.int64), pa.int64()))
+            if extra_filter is not None:
+                flt = extra_filter & flt
+            tab = dset.to_table(columns=[column], filter=flt)
+            out.append(tab.column(column).to_numpy().astype(np.uint64))
+        return (
+            np.unique(np.concatenate(out)) if out else np.zeros(0, dtype=np.uint64)
+        )
+
+    return verify
+
+
+class TombstoneSet(BloomVerifiedSet):
+    """Bounded-memory membership over purged doc ids (U2 tombstones).
+
+    Replaces the round-2 design where ``tombstones.json`` carried every purged
+    doc id inline and the engine held them all in one array — a billion-page
+    site purge wrote GBs of JSON (reference analog of the cascade DELETE in
+    dto/indexing/SiteIndexer.java:108-129, which pays the same O(site) cost
+    *inside MySQL*).  Ids stream from the doc_id-sorted Parquet sidecar
+    (``purge_site``); verification point-reads it with row-group pruning.
+    Results stay identical to a physical rebuild.
+    """
+
+    def __init__(
+        self,
+        inline_ids: np.ndarray | None = None,
+        parquet_paths: list[str] | None = None,
+        n_total: int | None = None,
+        exact_cap: int = 2_000_000,
+    ):
+        import pyarrow.parquet as pq
+
+        paths = list(parquet_paths or [])
+        inline = (
+            np.asarray(inline_ids, dtype=np.uint64)
+            if inline_ids is not None
+            else np.zeros(0, dtype=np.uint64)
+        )
+        if n_total is None:
+            n_total = int(inline.size) + sum(
+                pq.ParquetFile(p).metadata.num_rows for p in paths
+            )
+
+        def chunks():
+            if inline.size:
+                yield inline
+            for p in paths:
+                f = pq.ParquetFile(p)
+                for rg in range(f.metadata.num_row_groups):
+                    yield (
+                        f.read_row_group(rg, columns=["doc_id"])
+                        .column("doc_id")
+                        .to_numpy()
+                        .astype(np.uint64)
+                    )
+
+        def verify(unknown: np.ndarray) -> np.ndarray:
+            hits = parquet_id_verifier(paths)(unknown) if paths else np.zeros(0, np.uint64)
+            if inline.size:
+                hits = np.union1d(hits, unknown[in_sorted(unknown, np.sort(inline))])
+            return hits
+
+        super().__init__(n_total, chunks, verify, exact_cap)
+        self._seed_known_true(np.sort(inline))

@@ -305,6 +305,8 @@ class QueryEngine:
     # purged-id sets at/below this stay an exact in-memory array; above it the
     # engine holds only a bloom + a bounded verification cache
     TOMBSTONE_EXACT_CAP = 2_000_000
+    # same tiering for per-site candidate filters (J5 site-restricted search)
+    SITE_EXACT_CAP = 2_000_000
 
     def __init__(self, index_root: str, analyzer_spec: dict, k1: float = 1.2, b: float = 0.75):
         self.analyzer = make_analyzer(analyzer_spec)
@@ -332,7 +334,7 @@ class QueryEngine:
         else:
             self.site_pages = {}
         self._site_df_cache: dict[str, dict[str, int]] = {}
-        self._site_docs_cache: dict[str, np.ndarray] = {}
+        self._site_docs_cache: dict[str, "BloomVerifiedSet"] = {}
         self._readers_cache: dict[str, list[BlockReader]] = {}
         self._decoded_cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
@@ -462,22 +464,41 @@ class QueryEngine:
             self._decoded_cache[term] = got
         return got
 
-    def _site_doc_ids(self, site: str) -> np.ndarray:
-        """Site-restricted candidate filter: the site's doc ids, read from the
-        SKINNY doclen table (doc_id, site, doc_len — ~16 B/row vs the full
-        doc store), filtered + cached.  Scale note: for a billion-page site
-        this array is still O(site); the next step on that axis is a per-site
-        bloom sidecar built during P3 (filter candidates by bloom, then
-        exact-verify survivors with a pruned doc-store read)."""
+    def _site_membership(self, site: str) -> "BloomVerifiedSet":
+        """J5 site-restricted candidate filter as a BOUNDED membership
+        structure over the site's doc ids, read from the SKINNY doclen table
+        (doc_id, site, doc_len — ~16 B/row vs the full doc store, and
+        (site, doc_id)-sorted since round 3 so both reads below prune):
+
+        - sites at/below SITE_EXACT_CAP pages: exact sorted array (the round-2
+          behavior);
+        - above: ~10-bit/page bloom streamed from the pruned per-site scan +
+          exact verification of bloom-positive candidates via doc_id
+          point-reads (row-group pruned), so a billion-page site costs the
+          engine ~1.25 GB→~1.25 MB per 10^6 pages of resident state instead
+          of the full 8 B/doc id array.  Exactness is preserved — rank/count
+          identity with the unrestricted structure is pinned by tests.
+        """
         got = self._site_docs_cache.get(site)
         if got is None:
-            tabs = [
-                pads.dataset(os.path.join(d, "doclen")).to_table(
-                    columns=["doc_id"], filter=pc.field("site") == site
-                )
-                for d in self.shard_dirs
-            ]
-            got = np.sort(np.concatenate([t.column("doc_id").to_numpy() for t in tabs]).astype(np.uint64))
+            from .membership import BloomVerifiedSet, parquet_id_verifier
+
+            doclen_dirs = [os.path.join(d, "doclen") for d in self.shard_dirs]
+            n = int(self.site_pages.get(site, 0))
+
+            def chunks():
+                for d in doclen_dirs:
+                    dset = pads.dataset(d, format="parquet")
+                    for b in dset.to_batches(
+                        columns=["doc_id"], filter=pc.field("site") == site
+                    ):
+                        if b.num_rows:
+                            yield b.column("doc_id").to_numpy().astype(np.uint64)
+
+            verify = parquet_id_verifier(
+                doclen_dirs, extra_filter=(pc.field("site") == site)
+            )
+            got = BloomVerifiedSet(n, chunks, verify, exact_cap=self.SITE_EXACT_CAP)
             if len(self._site_docs_cache) >= self.SITE_DOCS_CACHE_CAP:
                 self._site_docs_cache.pop(next(iter(self._site_docs_cache)))
             self._site_docs_cache[site] = got
@@ -557,8 +578,7 @@ class QueryEngine:
             cand = docs if cand is None else cand[np.isin(cand, docs, assume_unique=True)]
         assert cand is not None
         if site is not None:
-            sdocs = self._site_doc_ids(site)
-            cand = cand[np.isin(cand, sdocs, assume_unique=True)]
+            cand = cand[self._site_membership(site).contains(cand)]
         cand = cand[self._not_excluded(cand)]
         if cand.size == 0:
             return {"result": True, "count": 0, "data": []}

@@ -28,6 +28,28 @@ def test_site_restricted_search(engine, oracle_index, fixture_corpus):
         assert _fmt(got["data"]) == _fmt(want), q
 
 
+def test_site_restricted_bloom_path_identical(
+    built_index, oracle_index, fixture_corpus, monkeypatch
+):
+    """Round-3 bounded site membership: forcing the exact-array cap to 0 makes
+    J5 site filtering take the bloom + doc_id-point-verify path — rank, score
+    and count identity with the oracle must hold, and the resident structure
+    must be bloom-sized, not O(site) ids."""
+    from rayindex.query import QueryEngine
+
+    monkeypatch.setattr(QueryEngine, "SITE_EXACT_CAP", 0)
+    eng = QueryEngine(built_index["out_dir"], fixture_corpus.analyzer_spec)
+    site = "fixture.example"
+    for q in fixture_corpus.queries[::5]:
+        want = oracle_search(oracle_index, q["query"], site=site, k=10)
+        got = eng.search(q["query"], site=site, k=10, with_snippets=False)
+        assert _fmt(got["data"]) == _fmt(want), q
+    mem = eng._site_membership(site)
+    assert mem.bloom is not None  # bloom path actually engaged
+    # ~10 bits/page bloom + verdict caches, far below the 8 B/page id array
+    assert mem.nbytes() < 8 * len(mem) + 4096
+
+
 def test_head_term_cut_by_80pct_rule(engine, fixture_corpus):
     head_form = fixture_corpus.forms[fixture_corpus.lemmas[0]][0]
     got = engine.search(head_form, k=10, with_snippets=False)
