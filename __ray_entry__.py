@@ -6,11 +6,12 @@ one entry per implemented operator family from SURVEY.md §2 plus the
 training-data operators (dedup / similarity / text analysis / temporal);
 each SQL-expressible entry has a DuckDB mirror in ``oracle_sql()`` with
 identical column names and semantics — including the hash-based dedup family
-(DuckDB ``md5_number_upper`` ≡ the engine's LE64-of-md5 primitive).  Only
-four entries remain rows-only (LSH and IVF ANN are approximate by design;
-the two engine top-k entries use a hash-derived doc-id tie-break SQL cannot
-reproduce); their exactness/recall is covered by the pytest conformance
-suite instead (`python -m pytest -x -q`).
+(DuckDB ``md5_number_upper`` ≡ the engine's LE64-of-md5 primitive) and, since
+round 3, both engine top-k entries (url tie-break / tie-inclusive threshold
+sets; BM25 floats mirrored op-for-op, ln ≡ math.log ULP-verified).  Only TWO
+entries remain rows-only: LSH and IVF ANN are approximate by design — their
+recall vs the exact scorer is pinned by pytest and recorded per-round in the
+bench JSON (``ann_lsh_recall`` / ``ann_ivf_recall``).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing here
 calls ``ray.init()`` / ``ray.shutdown()``.
@@ -69,6 +70,20 @@ def _flagship_query_terms() -> list[tuple[str, str]]:
     return out
 
 
+def _wand_query_terms() -> list[tuple[str, str]]:
+    """(query, term) pairs for the WAND query set — DISTINCT terms, matching
+    bm25_exhaustive/bm25_wand's set semantics."""
+    from rayindex.analyze import simple_analyzer
+    from rayindex.pipelines import WAND_QUERIES
+
+    an = simple_analyzer()
+    out = []
+    for q in WAND_QUERIES:
+        for t in sorted(set(an.collect_lemmas(q))):
+            out.append((q, t))
+    return out
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver checks rows ≥ 0)."""
     from rayindex.pipelines import flagship_search
@@ -78,7 +93,6 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from rayindex import textops
-    from rayindex.pipelines import flagship_search, wand_search
 
     def frequent_terms(sf_dir: str):
         import pyarrow.parquet as pq
@@ -124,11 +138,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- SQL-checked via md5_number_upper (≡ LE64 of md5 bytes) ------
         "minhash_lsh_pairs": textops.minhash_lsh_pairs,
         "simhash": textops.simhash,
-        # --- rows-only (no SQL equivalent; pytest-verified) --------------
+        # --- engine top-k, SQL-checked since round 3 (url tie-break /
+        # tie-inclusive threshold set; BM25 floats mirrored op-for-op) ------
+        "engine_search_topk": __import__(
+            "rayindex.pipelines", fromlist=["engine_search_topk"]
+        ).engine_search_topk,
+        "engine_wand_topk": __import__(
+            "rayindex.pipelines", fromlist=["engine_wand_topk"]
+        ).engine_wand_topk,
+        # --- rows-only (approximate by design; recall pinned by pytest and
+        # recorded as a bench metric) --------------------------------------
         "ann_lsh_topk": textops.ann_lsh_topk,
         "ann_ivf_topk": textops.ann_ivf_topk,
-        "engine_search_topk": flagship_search,  # full build+query engine
-        "engine_wand_topk": wand_search,  # BM25 block-max WAND
     }
 
 
@@ -228,6 +249,61 @@ def oracle_sql() -> dict[str, str]:
             "co AS (SELECT c.query, c.url, c.score FROM cand c JOIN nk USING (query) WHERE c.c = nk.n_terms) "
             "SELECT query, url, score, "
             "CAST(score AS DOUBLE) / max(score) OVER (PARTITION BY query) AS relevance FROM co"
+        ),
+        "engine_search_topk": (
+            # engine_search_scores + deterministic (score desc, url) top-10;
+            # relevance normalizes by the max over ALL matches (pre-cut)
+            f"WITH {_PTOKS}, "
+            "tf AS (SELECT url, term, count(*) AS tf FROM pt GROUP BY url, term), "
+            "df AS (SELECT term, count(DISTINCT url) AS df FROM pt GROUP BY term), "
+            "q(query, term) AS (VALUES "
+            + ", ".join(f"('{q}', '{t}')" for q, t in _flagship_query_terms())
+            + "), "
+            "kept AS (SELECT q.query, q.term FROM q JOIN df USING (term) "
+            "WHERE 200 * df.df < 159 * (SELECT count(*) FROM documents)), "
+            "nk AS (SELECT query, count(*) AS n_terms FROM kept GROUP BY query), "
+            "hits AS (SELECT k.query, t.url, t.term, t.tf FROM kept k JOIN tf t USING (term)), "
+            "cand AS (SELECT query, url, count(DISTINCT term) AS c, CAST(sum(tf) AS BIGINT) AS score "
+            "FROM hits GROUP BY query, url), "
+            "co AS (SELECT c.query, c.url, c.score FROM cand c JOIN nk USING (query) WHERE c.c = nk.n_terms), "
+            "ranked AS (SELECT query, url, score, "
+            "CAST(score AS DOUBLE) / max(score) OVER (PARTITION BY query) AS relevance, "
+            "row_number() OVER (PARTITION BY query ORDER BY score DESC, url) AS rn FROM co) "
+            "SELECT query, CAST(rn AS BIGINT) AS rank, url, score, relevance "
+            "FROM ranked WHERE rn <= 10"
+        ),
+        "engine_wand_topk": (
+            # BM25 mirrored op-for-op: ln ≡ math.log (ULP-verified), literal
+            # association matches query.QueryEngine._contrib, and the per-doc
+            # sum uses DuckDB's ordered aggregate in the engine's (df, term)
+            # accumulation order — floats are bit-identical, so the
+            # tie-inclusive >= threshold set matches exactly.
+            f"WITH {_PTOKS}, "
+            "tf AS (SELECT url, term, count(*) AS tf FROM pt GROUP BY url, term), "
+            "dl AS (SELECT url, count(*) AS dl FROM pt GROUP BY url), "
+            "nn AS (SELECT count(*) AS n_docs FROM pages), "
+            "av AS (SELECT CAST((SELECT count(*) FROM pt) AS DOUBLE) "
+            "/ CAST((SELECT n_docs FROM nn) AS DOUBLE) AS avgdl), "
+            "q(query, term) AS (VALUES "
+            + ", ".join(f"('{q}', '{t}')" for q, t in _wand_query_terms())
+            + "), "
+            "df AS (SELECT term, count(DISTINCT url) AS df FROM pt GROUP BY term), "
+            "qd AS (SELECT q.query, q.term, df.df FROM q JOIN df USING (term)), "
+            "idf AS (SELECT query, term, df, "
+            "ln(1.0 + (CAST((SELECT n_docs FROM nn) - df AS DOUBLE) + 0.5) "
+            "/ (CAST(df AS DOUBLE) + 0.5)) AS idf FROM qd), "
+            "c AS (SELECT i.query, t.url, i.df, i.term, "
+            "(i.idf * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))) / "
+            "(CAST(t.tf AS DOUBLE) + (1.2 * ((1.0 - 0.75) + "
+            "((0.75 * CAST(d.dl AS DOUBLE)) / (SELECT avgdl FROM av))))) AS contrib "
+            "FROM idf i JOIN tf t USING (term) JOIN dl d ON d.url = t.url), "
+            "scores AS (SELECT query, url, sum(contrib ORDER BY df, term) AS score "
+            "FROM c GROUP BY query, url), "
+            "thr AS (SELECT qq.query, (SELECT s2.score FROM scores s2 WHERE s2.query = qq.query "
+            "ORDER BY s2.score DESC LIMIT 1 OFFSET 9) AS t "
+            "FROM (SELECT DISTINCT query FROM scores) qq) "
+            "SELECT s.query, s.url, s.score FROM scores s JOIN thr ON thr.query = s.query "
+            "WHERE thr.t IS NULL OR s.score >= thr.t"
         ),
         "media_meta": (
             "WITH m AS (SELECT doc_id AS media_id, "

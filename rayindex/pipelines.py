@@ -135,3 +135,65 @@ def wand_search(sf_dir: str, repeat: int = 1, queries: list[str] | None = None) 
         for rank, (doc_id, score) in enumerate(eng.bm25_wand(q, k=10), 1):
             rows.append({"query": q, "rank": rank, "doc_id": doc_id, "score": score})
     return pd.DataFrame(rows, columns=["query", "rank", "doc_id", "score"])
+
+
+def engine_search_topk(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:
+    """Reference-scorer top-10 per query, ORACLE-CHECKABLE: the engine's own
+    result order breaks score ties by doc_id (a url hash SQL cannot
+    reproduce), so this entry re-ranks the engine's FULL match set by
+    (score desc, url asc) — a total order DuckDB replays exactly.  Scores are
+    integer Σtf and relevance is one exact IEEE division of the engine's
+    integers, so the driver's value hash is stable."""
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    rows = []
+    for q in queries or FLAGSHIP_QUERIES:
+        data = eng.search(q, k=None, with_snippets=False)["data"]
+        meta = eng.doc_meta([r["doc_id"] for r in data])
+        items = sorted(
+            ((r, meta[r["doc_id"]]["url"]) for r in data),
+            key=lambda x: (-x[0]["abs"], x[1]),
+        )
+        for rank, (r, url) in enumerate(items[:10], 1):
+            rows.append(
+                {
+                    "query": q,
+                    "rank": rank,
+                    "url": url,
+                    "score": int(r["abs"]),
+                    "relevance": float(r["relevance"]),
+                }
+            )
+    return pd.DataFrame(rows, columns=["query", "rank", "url", "score", "relevance"])
+
+
+def engine_wand_topk(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:
+    """BM25 top-k through the compressed index, ORACLE-CHECKABLE.
+
+    Emits every doc whose score reaches the 10th-highest score (tie-inclusive
+    — a threshold set is order-free, so the doc_id tie-break disappears).
+    Scores are bit-identical to a DuckDB replay because every float op is
+    mirrored exactly: idf = math.log ≡ DuckDB ln (verified ULP-identical,
+    unlike numpy.log), per-term contribution uses the same literal
+    association, and the per-doc sum runs in the engine's (df, term) order
+    via DuckDB's ordered aggregate.  WAND is exercised on the same queries
+    and asserted equal to the exhaustive head (block-max pruning correctness
+    rides along)."""
+    import math
+
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    rows = []
+    for q in queries or WAND_QUERIES:
+        full = eng.bm25_exhaustive(q, k=1 << 62)
+        wand = eng.bm25_wand(q, k=10)
+        if wand != full[: len(wand)]:  # pytest pins this too; fail loudly here
+            raise AssertionError(f"WAND != exhaustive head for {q!r}")
+        if not full:
+            continue
+        thr = full[9][1] if len(full) >= 10 else -math.inf
+        keep = [(d, s) for d, s in full if s >= thr]
+        meta = eng.doc_meta([d for d, _ in keep])
+        for d, s in keep:
+            rows.append({"query": q, "url": meta[d]["url"], "score": float(s)})
+    return pd.DataFrame(rows, columns=["query", "url", "score"])
