@@ -343,6 +343,30 @@ class _FinishDupDocs:
         return _docs_table(page, doc_ids, self.exclude_sites, self.extract)
 
 
+class _SideEffectDocsWriter:
+    """P1→P2 fusion (resume-off builds): persist each extracted docs batch as
+    its own Parquet fragment in the doc-store tmp dir and pass the batch
+    through to the lemmatizer unchanged — the doc store is written OFF the
+    critical path instead of being materialized and re-read between phases.
+    Fragment names are keyed by the batch's min doc_id (batches partition the
+    id space, so names are collision-free), making a retried task overwrite
+    its own fragment (tmp file + atomic rename → idempotent).  Requires the
+    doc store on a filesystem all workers share — true single-node and for
+    the multi-node deployment's shared index store alike."""
+
+    def __init__(self, docs_tmp: str):
+        self.dir = docs_tmp
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            mn = int(pc.min(batch.column("doc_id")).as_py())
+            name = f"docs_{mn & 0xFFFFFFFFFFFFFFFF:016x}_{batch.num_rows}.parquet"
+            tmp = os.path.join(self.dir, f".{name}.{os.getpid()}.tmp")
+            pq.write_table(batch, tmp)
+            os.replace(tmp, os.path.join(self.dir, name))
+        return batch
+
+
 class _AddBucket:
     def __init__(self, num_buckets: int):
         self.num_buckets = num_buckets
@@ -652,58 +676,121 @@ def build_index(
     term_stats_dir = os.path.join(shard_dir, "term_stats")
     term_df_dir = os.path.join(shard_dir, "term_df")
 
-    # ---- P1: docs --------------------------------------------------------
-    if not (resume and phase_done(shard_dir, "docs", key)):
+    def docs_stream(dup_ids: np.ndarray, dup_ref) -> rd.Dataset:
+        """P1 plan: pages → url/shard filters + dedup + extract → DOCS rows.
+        Stateless tasks (cheap, elastic): extraction carries no heavy state,
+        and task scheduling outperforms an actor pool here."""
+        ds = rd.read_parquet(pages_path, columns=["url", "warc_ts", "html"])
+        main = ds.map_batches(
+            _PrepareDocs(shard_index, num_shards, url_filter, dup_ref,
+                         exclude_sites, extractor),
+            batch_format="pyarrow",
+            batch_size=extract_batch_size,
+            zero_copy_batch=True,
+        )
+        if dup_ids.size:
+            # exact D1 winner selection: shuffle ONLY the duplicated rows
+            # (groupby doc_id → one deterministic winner per id — result
+            # independent of batch partitioning)
+            side = (
+                rd.read_parquet(pages_path, columns=["url", "warc_ts", "html"])
+                .map_batches(
+                    _DupCandidates(shard_index, num_shards, url_filter, dup_ref),
+                    batch_format="pyarrow",
+                    batch_size=extract_batch_size,
+                    zero_copy_batch=True,
+                )
+                .groupby("doc_id")
+                .map_groups(_pick_dup_winner, batch_format="pandas")
+                .map_batches(
+                    _FinishDupDocs(exclude_sites, extractor),
+                    batch_format="pyarrow",
+                    batch_size=extract_batch_size,
+                    zero_copy_batch=True,
+                )
+            )
+            main = main.union(side)
+        return main
+
+    def lemma_stage(docs: rd.Dataset) -> rd.Dataset:
+        """P2 plan: docs rows → exploded postings with term-hash buckets.
+        ST1: a heavy analyzer (closed lemma dictionary) runs as an actor pool
+        so the dictionary loads once per actor; a tiny stateless analyzer
+        runs as plain tasks (pool scheduling tax outweighs state amortization
+        when there is no state)."""
+        heavy_state = len(analyzer_spec.get("lemma_map", {})) > 0
+        if heavy_state:
+            postings = docs.map_batches(
+                LemmatizeStage,
+                fn_constructor_kwargs={"analyzer_spec": spec_ref, "text_col": "text"},
+                batch_format="pyarrow",
+                batch_size=lemma_batch_size,
+                zero_copy_batch=True,
+                concurrency=lemma_concurrency,
+            )
+        else:
+            postings = docs.map_batches(
+                LemmatizeStage(analyzer_spec, "text"),
+                batch_format="pyarrow",
+                batch_size=lemma_batch_size,
+                zero_copy_batch=True,
+            )
+        return postings.map_batches(
+            _AddBucket(num_buckets), batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def _pin_empty_docs(tmp: str) -> None:
+        # zero-row SHARD: replace Ray's schema-less empty output with a
+        # schema-pinned empty table so every reader stays typed
+        for root, _dirs, names in os.walk(tmp):
+            for f in names:
+                os.unlink(os.path.join(root, f))
+        pq.write_table(DOCS_SCHEMA.empty_table(), os.path.join(tmp, "empty.parquet"))
+
+    # ---- P1 (+P2 when fused) ---------------------------------------------
+    # A resume-off build streams extract output STRAIGHT into the lemmatizer:
+    # one pass over the pages, with the doc store written as a task-level
+    # side effect instead of a materialize-then-re-read barrier between the
+    # phases.  Resumable builds keep the two-phase shape (the docs
+    # materialization IS the checkpoint being resumed from).
+    fused = not resume
+    if fused:
+        dup_ids = np.empty(0, np.int64)
+        if dedup_urls:
+            dup_ids = _detect_dup_ids(pages_path, shard_index, num_shards, url_filter)
+        dup_ref = ray.put(_DupMembership(dup_ids))
+        with phase_output(docs_dir) as dtmp, phase_output(postings_dir) as ptmp:
+            stream = docs_stream(dup_ids, dup_ref).map_batches(
+                _SideEffectDocsWriter(dtmp), batch_format="pyarrow", zero_copy_batch=True
+            )
+            # map-side shuffle write: one directory per term-hash bucket, so
+            # the encode phase can run as independent per-bucket work units
+            _write_parquet(lemma_stage(stream), ptmp, partition_cols=["bucket"])
+            if _dir_rows(dtmp) == 0:
+                _pin_empty_docs(dtmp)
+        commit_phase(
+            shard_dir, "docs", key,
+            {"seconds": round(time.monotonic() - t_start, 3), "dup_urls": int(dup_ids.size),
+             "fused_with_postings": True},
+        )
+        commit_phase(shard_dir, "postings", key,
+                     {"seconds": 0.0, "fused_with_docs": True})
+        metrics["phases"]["docs"] = round(time.monotonic() - t_start, 3)
+        metrics["phases"]["postings"] = 0.0
+    elif not (resume and phase_done(shard_dir, "docs", key)):
         dup_ids = np.empty(0, np.int64)
         if dedup_urls:
             dup_ids = _detect_dup_ids(pages_path, shard_index, num_shards, url_filter)
         dup_ref = ray.put(_DupMembership(dup_ids))
         with phase_output(docs_dir) as tmp:
-            ds = rd.read_parquet(pages_path, columns=["url", "warc_ts", "html"])
-            # stateless tasks (cheap, elastic): extraction carries no heavy
-            # state, and task scheduling outperforms an actor pool here
-            main = ds.map_batches(
-                _PrepareDocs(shard_index, num_shards, url_filter, dup_ref,
-                             exclude_sites, extractor),
-                batch_format="pyarrow",
-                batch_size=extract_batch_size,
-                zero_copy_batch=True,
-            )
-            if dup_ids.size:
-                # exact D1 winner selection: shuffle ONLY the duplicated rows
-                # (groupby doc_id → one deterministic winner per id — result
-                # independent of batch partitioning)
-                side = (
-                    rd.read_parquet(pages_path, columns=["url", "warc_ts", "html"])
-                    .map_batches(
-                        _DupCandidates(shard_index, num_shards, url_filter, dup_ref),
-                        batch_format="pyarrow",
-                        batch_size=extract_batch_size,
-                        zero_copy_batch=True,
-                    )
-                    .groupby("doc_id")
-                    .map_groups(_pick_dup_winner, batch_format="pandas")
-                    .map_batches(
-                        _FinishDupDocs(exclude_sites, extractor),
-                        batch_format="pyarrow",
-                        batch_size=extract_batch_size,
-                        zero_copy_batch=True,
-                    )
-                )
-                main = main.union(side)
-            _write_parquet(main, tmp)
+            _write_parquet(docs_stream(dup_ids, dup_ref), tmp)
             if _dir_rows(tmp) == 0:
-                # zero-row SHARD: replace Ray's schema-less empty output with
-                # a schema-pinned empty table so every reader stays typed
-                for root, _dirs, names in os.walk(tmp):
-                    for f in names:
-                        os.unlink(os.path.join(root, f))
-                pq.write_table(DOCS_SCHEMA.empty_table(), os.path.join(tmp, "empty.parquet"))
+                _pin_empty_docs(tmp)
         commit_phase(
             shard_dir, "docs", key,
             {"seconds": round(time.monotonic() - t_start, 3), "dup_urls": int(dup_ids.size)},
         )
-    metrics["phases"]["docs"] = round(time.monotonic() - t_start, 3)
+    metrics["phases"].setdefault("docs", round(time.monotonic() - t_start, 3))
 
     if _dir_rows(docs_dir) == 0:
         # the whole shard drained (sharding / url_filter / exclude_sites):
@@ -715,40 +802,14 @@ def build_index(
         metrics["total_seconds"] = round(time.monotonic() - t_start, 3)
         return metrics
 
-    # ---- P2: postings ----------------------------------------------------
+    # ---- P2: postings (standalone when not fused) ------------------------
     t1 = time.monotonic()
-    if not (resume and phase_done(shard_dir, "postings", key)):
+    if not fused and not (resume and phase_done(shard_dir, "postings", key)):
         with phase_output(postings_dir) as tmp:
             docs = rd.read_parquet(docs_dir, columns=["doc_id", "site", "text"])
-            # ST1: a heavy analyzer (closed lemma dictionary) runs as an
-            # actor pool so the dictionary loads once per actor; a tiny
-            # stateless analyzer runs as plain tasks (pool scheduling tax
-            # outweighs state amortization when there is no state)
-            heavy_state = len(analyzer_spec.get("lemma_map", {})) > 0
-            if heavy_state:
-                postings = docs.map_batches(
-                    LemmatizeStage,
-                    fn_constructor_kwargs={"analyzer_spec": spec_ref, "text_col": "text"},
-                    batch_format="pyarrow",
-                    batch_size=lemma_batch_size,
-                    zero_copy_batch=True,
-                    concurrency=lemma_concurrency,
-                )
-            else:
-                postings = docs.map_batches(
-                    LemmatizeStage(analyzer_spec, "text"),
-                    batch_format="pyarrow",
-                    batch_size=lemma_batch_size,
-                    zero_copy_batch=True,
-                )
-            postings = postings.map_batches(
-                _AddBucket(num_buckets), batch_format="pyarrow", zero_copy_batch=True
-            )
-            # map-side shuffle write: one directory per term-hash bucket, so
-            # the encode phase can run as independent per-bucket work units
-            _write_parquet(postings, tmp, partition_cols=["bucket"])
+            _write_parquet(lemma_stage(docs), tmp, partition_cols=["bucket"])
         commit_phase(shard_dir, "postings", key, {"seconds": round(time.monotonic() - t1, 3)})
-    metrics["phases"]["postings"] = round(time.monotonic() - t1, 3)
+    metrics["phases"].setdefault("postings", round(time.monotonic() - t1, 3))
 
     # ---- P3: shuffle-free stats (ONE scan + ONE tiny groupby) ------------
     # The doclen table (one row per doc, carrying site) is extracted by a

@@ -186,3 +186,40 @@ def test_empty_corpus_builds_and_queries(ray_session, tmp_path):
     assert eng.search("anything", k=5)["count"] == 0
     assert eng.bm25_topk("anything", k=5) == []
     assert eng.statistics()["statistics"]["total"]["pages"] == 0
+
+
+def test_fused_build_equals_two_phase(ray_session, fixture_corpus, tmp_path):
+    """resume=False fuses P1→P2 (extract streams into the lemmatizer; doc
+    store written as a task side effect) — segments, doc store and stats must
+    be identical to the checkpointed two-phase build, and the fused index
+    must resume cleanly afterwards."""
+    import json
+
+    from rayindex.build import build_index
+    from rayindex.fixtures import write_pages
+    from rayindex.segments import segments_digest
+
+    pages = fixture_corpus.pages.slice(0, 60)
+    pdir = str(tmp_path / "pages")
+    write_pages(pages, pdir, 4)
+    a, b = str(tmp_path / "fused"), str(tmp_path / "classic")
+    m1 = build_index(pdir, a, fixture_corpus.analyzer_spec, num_buckets=4, resume=False)
+    m2 = build_index(pdir, b, fixture_corpus.analyzer_spec, num_buckets=4, resume=True)
+    assert m1["phases"]["postings"] == 0.0  # fused into the docs wall
+    assert m2["phases"]["postings"] > 0.0
+    assert segments_digest(f"{a}/shard=0") == segments_digest(f"{b}/shard=0")
+    ta = pads.dataset(f"{a}/shard=0/docs").to_table().sort_by("doc_id")
+    tb = pads.dataset(f"{b}/shard=0/docs").to_table().sort_by("doc_id")
+    assert ta.equals(tb)
+    with open(f"{a}/shard=0/stats.json") as f:
+        sa = json.load(f)
+    with open(f"{b}/shard=0/stats.json") as f:
+        sb = json.load(f)
+    assert sa == sb
+    # the fused build committed valid phase manifests: a resume build on top
+    # of it is a no-op (no phase re-runs)
+    import os
+
+    mtime = os.path.getmtime(f"{a}/shard=0/segments")
+    build_index(pdir, a, fixture_corpus.analyzer_spec, num_buckets=4, resume=True)
+    assert os.path.getmtime(f"{a}/shard=0/segments") == mtime
