@@ -242,18 +242,30 @@ def scaling_jobs() -> None:
     # swings identical builds ±30-50 % (BASELINE.md band) and hits the two
     # levels asymmetrically when each is sampled once; the faster repetition
     # of each level reflects the engine, the slower one the host.
+    # Three views are reported so cross-round comparisons stay honest (round-2
+    # review ask): best-of-reps on BUILD-ONLY walls (the recorded capability
+    # metric), MEDIAN-of-reps on the same walls, and best-of-reps on full
+    # Popen walls (the round-1 protocol's accounting, incl. Ray startup).
+    import statistics
+
     reps = int(os.environ.get("RAYINDEX_SCALING_REPS", "2"))
     times_n: list[float] = []
     times_4n: list[float] = []
+    popen_n: list[float] = []
+    popen_4n: list[float] = []
     outs = []
     for r in range(reps):
         out_n = f"/tmp/rayindex_scalejobs/one_node_{r}"
         out_4n = f"/tmp/rayindex_scalejobs/four_nodes_{r}"
         outs.append((out_n, out_4n))
+        t0 = time.monotonic()
         p = job(out_n, 0, n_shards)  # N level: one node builds every shard
         times_n.append(build_wall(p))
+        popen_n.append(time.monotonic() - t0)
+        t0 = time.monotonic()
         procs = [job(out_4n, s, s + 1) for s in range(n_shards)]  # 4N: one shard/node
         times_4n.append(max(build_wall(p) for p in procs))
+        popen_4n.append(time.monotonic() - t0)
 
     from rayindex.segments import segments_digest
 
@@ -264,6 +276,8 @@ def scaling_jobs() -> None:
     identical = all(d == digests[0] for d in digests)
     t_n, t_4n = min(times_n), min(times_4n)
     eff = (t_n / t_4n) / 4
+    eff_median = (statistics.median(times_n) / statistics.median(times_4n)) / 4
+    eff_popen = (min(popen_n) / min(popen_4n)) / 4
     print(
         json.dumps(
             {
@@ -274,10 +288,14 @@ def scaling_jobs() -> None:
                     f"node (1 job x {cpus_per_job} cpus vs {n_shards} concurrent jobs x "
                     f"{cpus_per_job} cpus, {n_shards} url-space shards, best-of-{reps} per level)"
                 ),
+                "value_median": round(eff_median, 3),
+                "value_popen_wall": round(eff_popen, 3),
                 "sec_N": round(t_n, 3),
                 "sec_4N": round(t_4n, 3),
                 "sec_N_all": [round(t, 3) for t in times_n],
                 "sec_4N_all": [round(t, 3) for t in times_4n],
+                "sec_N_popen_all": [round(t, 3) for t in popen_n],
+                "sec_4N_popen_all": [round(t, 3) for t in popen_4n],
                 "docs_per_sec_N": round(n_docs / t_n, 1),
                 "docs_per_sec_4N": round(n_docs / t_4n, 1),
                 "n_docs": n_docs,
