@@ -84,6 +84,27 @@ def _wand_query_terms() -> list[tuple[str, str]]:
     return out
 
 
+def _phrase_query_terms() -> list[tuple[str, str]]:
+    from rayindex.analyze import simple_analyzer
+    from rayindex.pipelines import PHRASE_QUERIES
+
+    an = simple_analyzer()
+    out = []
+    for q in PHRASE_QUERIES:
+        for t in an.collect_lemmas(q):
+            out.append((q, t))
+    return out
+
+
+def _phrase_query_phrases() -> list[tuple[str, str]]:
+    """(query, normalized-surface-phrase) pairs — stopwords KEPT, matching
+    QueryEngine._norm_text."""
+    from rayindex.pipelines import PHRASE_QUERIES
+    from rayindex.query import QueryEngine
+
+    return [(q, QueryEngine._norm_text(q)) for q in PHRASE_QUERIES]
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver checks rows ≥ 0)."""
     from rayindex.pipelines import flagship_search
@@ -146,6 +167,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engine_wand_topk": __import__(
             "rayindex.pipelines", fromlist=["engine_wand_topk"]
         ).engine_wand_topk,
+        # --- round-3 engine extensions (all SQL-checked) ------------------
+        "engine_search_or": __import__(
+            "rayindex.pipelines", fromlist=["engine_search_or_scores"]
+        ).engine_search_or_scores,
+        "engine_prefix_terms": __import__(
+            "rayindex.pipelines", fromlist=["engine_prefix_terms"]
+        ).engine_prefix_terms,
+        "engine_phrase_topk": __import__(
+            "rayindex.pipelines", fromlist=["engine_phrase_topk"]
+        ).engine_phrase_topk,
+        # --- round-3 corpus curation staples (all SQL-checked) ------------
+        "sample_hash": textops.sample_hash,
+        "redact_regex": textops.redact_regex,
+        "bigram_counts": textops.bigram_counts,
         # --- rows-only (approximate by design; recall pinned by pytest and
         # recorded as a bench metric) --------------------------------------
         "ann_lsh_topk": textops.ann_lsh_topk,
@@ -304,6 +339,77 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT DISTINCT query FROM scores) qq) "
             "SELECT s.query, s.url, s.score FROM scores s JOIN thr ON thr.query = s.query "
             "WHERE thr.t IS NULL OR s.score >= thr.t"
+        ),
+        "engine_search_or": (
+            # disjunctive: same CTEs as engine_search_scores, minus the
+            # conjunctive c = n_terms filter
+            f"WITH {_PTOKS}, "
+            "tf AS (SELECT url, term, count(*) AS tf FROM pt GROUP BY url, term), "
+            "df AS (SELECT term, count(DISTINCT url) AS df FROM pt GROUP BY term), "
+            "q(query, term) AS (VALUES "
+            + ", ".join(f"('{q}', '{t}')" for q, t in _flagship_query_terms())
+            + "), "
+            "kept AS (SELECT q.query, q.term FROM q JOIN df USING (term) "
+            "WHERE 200 * df.df < 159 * (SELECT count(*) FROM documents)), "
+            "hits AS (SELECT k.query, t.url, t.tf FROM kept k JOIN tf t USING (term)), "
+            "cand AS (SELECT query, url, CAST(sum(tf) AS BIGINT) AS score "
+            "FROM hits GROUP BY query, url) "
+            "SELECT query, url, score, "
+            "CAST(score AS DOUBLE) / max(score) OVER (PARTITION BY query) AS relevance FROM cand"
+        ),
+        "engine_prefix_terms": (
+            f"WITH {_PTOKS} SELECT term, CAST(count(DISTINCT url) AS BIGINT) AS df "
+            "FROM pt WHERE term LIKE 'st%' GROUP BY term"
+        ),
+        "engine_phrase_topk": (
+            # conjunctive candidates + exact-adjacency verification on the
+            # squeeze-normalized page text, then (score desc, url) top-10
+            f"WITH {_PTOKS}, "
+            "norm AS (SELECT url, ' ' || trim(regexp_replace(regexp_replace("
+            "lower(full_text), '[^a-z0-9]', ' ', 'g'), ' +', ' ', 'g')) || ' ' AS ntext FROM pages), "
+            "tf AS (SELECT url, term, count(*) AS tf FROM pt GROUP BY url, term), "
+            "df AS (SELECT term, count(DISTINCT url) AS df FROM pt GROUP BY term), "
+            "q(query, term) AS (VALUES "
+            + ", ".join(f"('{q}', '{t}')" for q, t in _phrase_query_terms())
+            + "), "
+            "qp(query, phrase) AS (VALUES "
+            + ", ".join(f"('{q}', '{p}')" for q, p in _phrase_query_phrases())
+            + "), "
+            "kept AS (SELECT q.query, q.term FROM q JOIN df USING (term) "
+            "WHERE 200 * df.df < 159 * (SELECT count(*) FROM documents)), "
+            "nk AS (SELECT query, count(*) AS n_terms FROM kept GROUP BY query), "
+            "hits AS (SELECT k.query, t.url, t.term, t.tf FROM kept k JOIN tf t USING (term)), "
+            "cand AS (SELECT query, url, count(DISTINCT term) AS c, CAST(sum(tf) AS BIGINT) AS score "
+            "FROM hits GROUP BY query, url), "
+            "co AS (SELECT c.query, c.url, c.score FROM cand c JOIN nk USING (query) WHERE c.c = nk.n_terms), "
+            "ver AS (SELECT co.query, co.url, co.score FROM co "
+            "JOIN qp USING (query) JOIN norm USING (url) "
+            "WHERE position(' ' || qp.phrase || ' ' IN norm.ntext) > 0), "
+            "ranked AS (SELECT query, url, score, "
+            "CAST(score AS DOUBLE) / max(score) OVER (PARTITION BY query) AS relevance, "
+            "row_number() OVER (PARTITION BY query ORDER BY score DESC, url) AS rn FROM ver) "
+            "SELECT query, CAST(rn AS BIGINT) AS rank, url, score, relevance "
+            "FROM ranked WHERE rn <= 10"
+        ),
+        "sample_hash": (
+            "SELECT doc_id, source, n_chars FROM documents "
+            "WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < 10"
+        ),
+        "redact_regex": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_hits, "
+            "CAST(length(regexp_replace(text, '[0-9]+', '<num>', 'g')) AS BIGINT) AS n_chars_redacted, "
+            "md5(regexp_replace(text, '[0-9]+', '<num>', 'g')) AS redacted_fp "
+            "FROM documents"
+        ),
+        "bigram_counts": (
+            "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim("
+            "regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g')), ' +'), x -> x <> '') AS l "
+            "FROM documents), "
+            "bg AS (SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bigram "
+            "FROM toks WHERE len(l) >= 2) "
+            "SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg "
+            "GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50"
         ),
         "media_meta": (
             "WITH m AS (SELECT doc_id AS media_id, "

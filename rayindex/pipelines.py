@@ -34,6 +34,19 @@ WAND_QUERIES = [
     "42 sort",
 ]
 
+# phrase queries: bigrams that occur adjacently in the documents vocabulary
+# (so verification has real positives) + one conjunctive-match-but-never-
+# adjacent pair to exercise the all-filtered path
+PHRASE_QUERIES = [
+    "table hash",
+    "customer join",
+    "slow query",
+    "hash table",
+]
+
+# dictionary prefix for the autocomplete-style scan entry
+PREFIX_QUERY = "st"
+
 
 def _sf_name(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir))
@@ -160,6 +173,67 @@ def engine_search_topk(sf_dir: str, queries: list[str] | None = None) -> pd.Data
                     "query": q,
                     "rank": rank,
                     "url": url,
+                    "score": int(r["abs"]),
+                    "relevance": float(r["relevance"]),
+                }
+            )
+    return pd.DataFrame(rows, columns=["query", "rank", "url", "score", "relevance"])
+
+
+def engine_search_or_scores(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:
+    """Disjunctive reference scorer end-to-end through the compressed index,
+    ORACLE-CHECKABLE: same shape as :func:`engine_search_scores` but the
+    candidate set is the UNION of kept-term postings and score counts only
+    the terms a document matches (QueryEngine.search_or)."""
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    rows = []
+    for q in queries or FLAGSHIP_QUERIES:
+        res = eng.search_or(q, k=None)
+        ids = [r["doc_id"] for r in res["data"]]
+        meta = eng.doc_meta(ids)
+        for r in res["data"]:
+            rows.append(
+                {
+                    "query": q,
+                    "url": meta[r["doc_id"]]["url"],
+                    "score": int(r["abs"]),
+                    "relevance": float(r["relevance"]),
+                }
+            )
+    return pd.DataFrame(rows, columns=["query", "url", "score", "relevance"])
+
+
+def engine_prefix_terms(sf_dir: str, prefix: str | None = None) -> pd.DataFrame:
+    """Dictionary prefix scan through the built index, ORACLE-CHECKABLE:
+    (term, df) for every indexed term starting with ``prefix`` — the
+    autocomplete/vocabulary-exploration path, reading only the term_stats
+    sidecar with the term range pushed down."""
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    return eng.prefix_terms(prefix or PREFIX_QUERY)
+
+
+def engine_phrase_topk(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:
+    """Phrase search end-to-end, ORACLE-CHECKABLE: conjunctive candidates
+    from the postings, exact-adjacency verification against the doc store's
+    normalized text, then the deterministic (score desc, url) top-10 the SQL
+    oracle replays (QueryEngine.search_phrase rank order uses the doc_id
+    hash tie-break; this entry re-ranks by url like engine_search_topk)."""
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    rows = []
+    for q in queries or PHRASE_QUERIES:
+        data = eng.search_phrase(q, k=None)["data"]
+        if not data:
+            continue
+        items = sorted(data, key=lambda r: (-r["abs"], r["url"]))
+        for rank, r in enumerate(items[:10], 1):
+            rows.append(
+                {
+                    "query": q,
+                    "rank": rank,
+                    "url": r["url"],
                     "score": int(r["abs"]),
                     "relevance": float(r["relevance"]),
                 }

@@ -43,6 +43,13 @@ from .snippets import NO_MATCH_SNIPPET, create_snippet
 
 _DONE = 1 << 65  # > any uint64 docid
 
+import re as _re
+
+# Unicode-aware "not a word character": keeps letters of ANY script plus
+# digits (the fixture corpus is Cyrillic); on ASCII text this is exactly
+# [^a-z0-9]+ after lower(), which is what the DuckDB phrase oracle uses.
+_NON_ALNUM_RE = _re.compile(r"[\W_]+", _re.UNICODE)
+
 
 class ChainCursor:
     """WAND cursor over a term's ordered sub-lists (salt/shard concatenation).
@@ -609,6 +616,116 @@ class QueryEngine:
                 )
             data.append(row)
         return {"result": True, "count": int(cand.size), "data": data}
+
+    # -- engine extensions (beyond the reference's AND-only scorer) ---------
+    def search_or(self, query: str, site: str | None = None, k: int | None = 10) -> dict:
+        """Disjunctive variant of the reference scorer (engine extension —
+        the reference is AND-only, SearchingServiceImpl.java:78-107): the
+        candidate set is the UNION of the kept terms' postings, score is Σtf
+        over the terms a document actually matches, relevance = score / max.
+        K3 cutoff, K4 (relevance desc, doc_id) tie-break and the purge /
+        tombstone discipline are identical to :meth:`search`."""
+        if site is not None and site in self.purged_sites:
+            return {"result": True, "count": 0, "data": []}
+        kept = self._query_terms(query, site)
+        if not kept:
+            return {"result": True, "count": 0, "data": []}
+        parts = [self._decoded(t)[:2] for t, _df in kept]
+        cand = np.unique(np.concatenate([docs for docs, _tfs in parts]))
+        if site is not None:
+            cand = cand[self._site_membership(site).contains(cand)]
+        cand = cand[self._not_excluded(cand)]
+        if cand.size == 0:
+            return {"result": True, "count": 0, "data": []}
+        abs_rel = np.zeros(cand.size, dtype=np.float64)
+        for docs, tfs in parts:
+            idx = np.searchsorted(cand, docs)
+            idx_c = np.minimum(idx, cand.size - 1)
+            hit = cand[idx_c] == docs
+            np.add.at(abs_rel, idx_c[hit], tfs[hit])
+        rel = abs_rel / abs_rel.max()
+        order = np.lexsort((cand, -rel))
+        if k:
+            order = order[:k]
+        data = [
+            {"doc_id": int(cand[i]), "relevance": float(rel[i]), "abs": float(abs_rel[i])}
+            for i in order
+        ]
+        return {"result": True, "count": int(cand.size), "data": data}
+
+    def prefix_terms(self, prefix: str) -> pd.DataFrame:
+        """Dictionary prefix scan → (term, df), purge-corrected (engine
+        extension: autocomplete / vocabulary exploration).
+
+        Reads ONLY the skinny ``term_stats`` sidecar — never postings — with
+        the term range ``[prefix, next(prefix))`` pushed down to parquet
+        row-group statistics.  Buckets are term-HASH partitioned, so a prefix
+        cannot prune buckets; the scale story is that each bucket visit is a
+        pruned columnar scan of the dictionary (~tens of B/term), not the
+        index."""
+        if not prefix:
+            return self.term_df_table()
+        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        filt = (pc.field("term") >= prefix) & (pc.field("term") < hi)
+        parts = []
+        for d in self.shard_dirs:
+            t = pads.dataset(os.path.join(d, "term_stats"), format="parquet").to_table(
+                columns=["site", "term", "df"], filter=filt
+            )
+            if t.num_rows:
+                parts.append(t.to_pandas())
+        if not parts:
+            return pd.DataFrame({"term": pd.Series(dtype=str), "df": pd.Series(dtype="int64")})
+        ts = pd.concat(parts)
+        if self.purged_sites:
+            ts = ts[~ts["site"].isin(self.purged_sites)]
+        out = ts.groupby("term", sort=True)["df"].sum().astype("int64").reset_index()
+        return out[out["df"] > 0].reset_index(drop=True)
+
+    @staticmethod
+    def _norm_text(s: str) -> str:
+        """lower → non-alnum→space → squeeze: the oracle-mirrorable surface
+        form used for phrase adjacency (matches the 'simple' analyzer's token
+        stream including stopwords)."""
+        return " ".join(_NON_ALNUM_RE.sub(" ", s.lower()).split())
+
+    def search_phrase(self, query: str, site: str | None = None, k: int | None = 10) -> dict:
+        """Phrase search (engine extension): conjunctive candidates from the
+        postings (:meth:`search` semantics), then exact-adjacency
+        verification of the normalized query against the normalized document
+        text from the doc store.
+
+        The verify step is a doc_id-pruned doc-store read over the candidate
+        set only — at cluster scale the same step is a ``map_batches`` over
+        the doc store with the candidate set broadcast as a bloom, so no
+        positional postings are required (positions would triple index size
+        for one query family).  Scores stay Σtf of the KEPT terms; relevance
+        renormalizes over the verified set."""
+        phrase = self._norm_text(query)
+        res = self.search(query, site=site, k=None, with_snippets=False)
+        if not res["data"] or " " not in phrase:
+            # 0/1-word phrases degenerate to plain conjunctive search
+            if k:
+                res["data"] = res["data"][:k]
+            return res
+        meta = self.doc_meta([r["doc_id"] for r in res["data"]])
+        needle = f" {phrase} "
+        verified = [
+            r for r in res["data"]
+            if needle in f" {self._norm_text(meta[r['doc_id']]['text'])} "
+        ]
+        if not verified:
+            return {"result": True, "count": 0, "data": []}
+        mx = max(r["abs"] for r in verified)
+        for r in verified:
+            r["relevance"] = r["abs"] / mx
+            r["url"] = meta[r["doc_id"]]["url"]
+        verified.sort(key=lambda r: (-r["relevance"], r["doc_id"]))
+        return {
+            "result": True,
+            "count": len(verified),
+            "data": verified[:k] if k else verified,
+        }
 
     # -- BM25 ----------------------------------------------------------------
     def _idf(self, df: int) -> float:

@@ -1188,3 +1188,108 @@ def ann_ivf_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0,
     out = pd.DataFrame({"vec_id": cand["vec_id"].astype("int64").to_numpy()})
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out[["rank", "vec_id"]]
+
+
+# ---------------------------------------------------------------------------
+# corpus curation staples (round 3): deterministic sampling, regex redaction,
+# n-gram statistics — each a pure vectorized map_batches (+ one small-keyed
+# groupby for bigrams), all DuckDB-oracle-mirrorable
+
+
+def sample_hash(sf_dir: str, rate_pct: int = 10) -> rd.Dataset:
+    """Deterministic hash sampling: keep a document iff
+    ``md5_le64(str(doc_id)) % 100 < rate_pct``.
+
+    The staple way to cut a reproducible x% slice of a 100 TB corpus: no
+    shuffle, no RNG state, identical output for any partitioning — a pure
+    streaming filter (DuckDB mirror: ``md5_number_upper(CAST(doc_id AS
+    VARCHAR)) % 100``)."""
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pandas().astype(str)
+        h = _md5_le64(list(ids)) % np.uint64(100)
+        return t.filter(pa.array(h < rate_pct))
+
+    return docs.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def redact_regex(
+    sf_dir: str, pattern: str = "[0-9]+", repl: str = "<num>"
+) -> rd.Dataset:
+    """Regex redaction (the PII-scrub seam): replace every ``pattern`` match
+    with ``repl``; emit (doc_id, n_hits, n_chars_redacted, redacted_fp).
+
+    Both the count and the rewrite run as Arrow C++ RE2 kernels
+    (``count_substring_regex`` / ``replace_substring_regex``) — zero Python
+    in the hot path except the md5 fingerprint, which matches the
+    fingerprint-family convention.  DuckDB mirrors with
+    ``regexp_extract_all`` + ``regexp_replace(..., 'g')`` (same RE2
+    semantics)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        n_hits = pc.count_substring_regex(text, pattern)
+        red = pc.replace_substring_regex(text, pattern, repl)
+        fp = _md5_series(red.to_pandas())
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_hits": pc.cast(n_hits, pa.int64()),
+                "n_chars_redacted": pc.cast(pc.utf8_length(red), pa.int64()),
+                "redacted_fp": pa.array(fp.to_numpy(), pa.string()),
+            }
+        )
+
+    return docs.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SURFACE_NON_ALNUM = re.compile(r"[^a-z0-9]+")
+
+
+def bigram_counts(sf_dir: str, k: int = 50) -> rd.Dataset:
+    """Top-k corpus bigrams over the SURFACE token stream (lower →
+    non-alnum→space → split; stopwords kept) — the n-gram LM statistic a
+    training-data pipeline computes corpus-wide.
+
+    Per batch, bigram formation is a single vectorized ``str.cat`` over the
+    flattened token stream with cross-document pairs masked out, followed by
+    a per-batch partial count; the global ``groupby(bigram).sum`` shuffles
+    only the pre-aggregated (bigram, n) table (vocabulary-bounded, not
+    corpus-bounded) and the final (n desc, bigram) sort ranks that same
+    small table."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = (
+            t.column("text")
+            .to_pandas()
+            .str.lower()
+            .str.replace(_SURFACE_NON_ALNUM, " ", regex=True)
+            .str.split()
+        )
+        lens = toks.str.len().to_numpy()
+        if lens.sum() == 0:
+            return pa.table({"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        flat = np.concatenate([v for v in toks.to_numpy() if len(v)])
+        # position of each doc's last token → not a bigram start
+        ends = np.cumsum(lens[lens > 0]) - 1
+        starts = np.ones(len(flat), dtype=bool)
+        starts[ends] = False
+        left = pd.Series(flat[:-1], dtype=object)
+        right = pd.Series(flat[1:], dtype=object)
+        bg = left.str.cat(right, sep=" ").to_numpy()[starts[:-1]]
+        tab = pa.table({"bigram": pa.array(bg, pa.string())})
+        return tab.group_by("bigram").aggregate([("bigram", "count")]).rename_columns(
+            ["bigram", "n"]
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
