@@ -198,3 +198,58 @@ def test_bigram_counts_vs_duckdb(ray_session, curation_sf):
     ).fetchdf()
     assert got["bigram"].tolist() == want["bigram"].tolist()
     assert got["n"].tolist() == want["n"].tolist()
+
+
+def test_round3_ops_on_sharded_index(ray_session, tmp_path):
+    """search_or / prefix_terms / search_phrase through a 2-shard build:
+    shard-merged postings and dictionaries must agree with brute force."""
+    from rayindex.build import build_all
+    from rayindex.fixtures import gen_fixture, write_pages
+    from rayindex.analyze import make_analyzer
+    from rayindex.oracle import build_oracle_index
+    from rayindex.query import QueryEngine
+
+    fx = gen_fixture(n_pages=300, n_lemmas=120, seed=7)
+    pdir = str(tmp_path / "pages")
+    write_pages(fx.pages, pdir, 8)
+    out = str(tmp_path / "idx")
+    build_all(pdir, out, fx.analyzer_spec, num_shards=2, num_buckets=4)
+    eng = QueryEngine(out, fx.analyzer_spec)
+    oidx = build_oracle_index(
+        fx.pages.to_pylist(), make_analyzer(fx.analyzer_spec), num_shards=2
+    )
+    for q in fx.queries[::6]:
+        if q["site"] is not None:
+            continue
+        got = eng.search_or(q["query"], k=None)["data"]
+        want = _oracle_search_or(oidx, q["query"], k=None)
+        assert [(r["doc_id"], r["abs"]) for r in got] == [
+            (r["doc_id"], r["abs"]) for r in want
+        ], q["query"]
+    full = eng.term_df_table()
+    for prefix in [full["term"].iloc[0][:2], "zz-none"]:
+        got = eng.prefix_terms(prefix)
+        want = full[full["term"].str.startswith(prefix)].reset_index(drop=True)
+        assert got["term"].tolist() == want["term"].tolist()
+        assert got["df"].tolist() == want["df"].tolist()
+    # phrase over the sharded index: verified set matches brute force
+    texts = fx.pages.column("text").to_pylist()
+    phrase = None
+    for x in texts[:50]:
+        toks = _norm(x).split()
+        for i in range(len(toks) - 1):
+            p = f"{toks[i]} {toks[i + 1]}"
+            if len(eng._query_terms(p, None)) == 2:
+                phrase = p
+                break
+        if phrase:
+            break
+    assert phrase
+    needle = f" {phrase} "
+    res = eng.search_phrase(phrase, k=None)
+    want_ids = sorted(
+        d for d, t in oidx.doc_text.items() if needle in f" {_norm(t)} "
+        and d in {r["doc_id"] for r in eng.search(phrase, k=None, with_snippets=False)["data"]}
+    )
+    assert sorted(r["doc_id"] for r in res["data"]) == want_ids
+    assert want_ids
