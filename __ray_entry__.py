@@ -56,6 +56,16 @@ _PTOKS = (
     f"pt AS (SELECT url, term FROM ptoks WHERE term <> '' AND term NOT IN {_STOP_SQL})"
 )
 
+# source-filtered variant of _PAGES/_PTOKS (site-restricted entry): same page
+# reconstruction over ONE site's documents, plus the site page count
+def _ptoks_for_source(source: str) -> str:
+    pages = _PAGES.replace("FROM documents)", f"FROM documents WHERE source = '{source}')")
+    return (
+        f"{pages}, ptoks AS (SELECT url, unnest(string_split_regex(trim(regexp_replace("
+        "lower(full_text), '[^a-z0-9]', ' ', 'g')), ' +')) AS term FROM pages), "
+        f"pt AS (SELECT url, term FROM ptoks WHERE term <> '' AND term NOT IN {_STOP_SQL})"
+    )
+
 # the flagship query set, tokenized with the same analyzer at import time so
 # the SQL oracle sees the identical per-query term sets
 def _flagship_query_terms() -> list[tuple[str, str]]:
@@ -177,6 +187,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engine_phrase_topk": __import__(
             "rayindex.pipelines", fromlist=["engine_phrase_topk"]
         ).engine_phrase_topk,
+        "engine_search_site": __import__(
+            "rayindex.pipelines", fromlist=["engine_search_site"]
+        ).engine_search_site,
+        "engine_facet_sites": __import__(
+            "rayindex.pipelines", fromlist=["engine_facet_sites"]
+        ).engine_facet_sites,
         # --- round-3 corpus curation staples (all SQL-checked) ------------
         "sample_hash": textops.sample_hash,
         "redact_regex": textops.redact_regex,
@@ -390,6 +406,45 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY query ORDER BY score DESC, url) AS rn FROM ver) "
             "SELECT query, CAST(rn AS BIGINT) AS rank, url, score, relevance "
             "FROM ranked WHERE rn <= 10"
+        ),
+        "engine_search_site": (
+            # per-site cutoff: kept iff round(100*site_df/site_pages) < 80,
+            # i.e. 200*df < 159*site_pages (same half-up trick as global)
+            f"WITH {_ptoks_for_source('src0')}, "
+            "np AS (SELECT count(*) AS n FROM pages), "
+            "tf AS (SELECT url, term, count(*) AS tf FROM pt GROUP BY url, term), "
+            "df AS (SELECT term, count(DISTINCT url) AS df FROM pt GROUP BY term), "
+            "q(query, term) AS (VALUES "
+            + ", ".join(f"('{q}', '{t}')" for q, t in _flagship_query_terms())
+            + "), "
+            "kept AS (SELECT q.query, q.term FROM q JOIN df USING (term) "
+            "WHERE 200 * df.df < 159 * (SELECT n FROM np)), "
+            "nk AS (SELECT query, count(*) AS n_terms FROM kept GROUP BY query), "
+            "hits AS (SELECT k.query, t.url, t.term, t.tf FROM kept k JOIN tf t USING (term)), "
+            "cand AS (SELECT query, url, count(DISTINCT term) AS c, CAST(sum(tf) AS BIGINT) AS score "
+            "FROM hits GROUP BY query, url), "
+            "co AS (SELECT c.query, c.url, c.score FROM cand c JOIN nk USING (query) WHERE c.c = nk.n_terms) "
+            "SELECT query, url, score, "
+            "CAST(score AS DOUBLE) / max(score) OVER (PARTITION BY query) AS relevance FROM co"
+        ),
+        "engine_facet_sites": (
+            f"WITH {_PTOKS}, "
+            "smap AS (SELECT 'https://' || source || '.bench.example/d/' || "
+            "lpad(CAST(doc_id AS VARCHAR), 8, '0') || '/0' AS url, "
+            "source || '.bench.example' AS site FROM documents), "
+            "tf AS (SELECT url, term, count(*) AS tf FROM pt GROUP BY url, term), "
+            "df AS (SELECT term, count(DISTINCT url) AS df FROM pt GROUP BY term), "
+            "q(query, term) AS (VALUES "
+            + ", ".join(f"('{q}', '{t}')" for q, t in _flagship_query_terms())
+            + "), "
+            "kept AS (SELECT q.query, q.term FROM q JOIN df USING (term) "
+            "WHERE 200 * df.df < 159 * (SELECT count(*) FROM documents)), "
+            "nk AS (SELECT query, count(*) AS n_terms FROM kept GROUP BY query), "
+            "hits AS (SELECT k.query, t.url, t.term, t.tf FROM kept k JOIN tf t USING (term)), "
+            "cand AS (SELECT query, url, count(DISTINCT term) AS c FROM hits GROUP BY query, url), "
+            "co AS (SELECT c.query, c.url FROM cand c JOIN nk USING (query) WHERE c.c = nk.n_terms) "
+            "SELECT co.query, s.site, CAST(count(*) AS BIGINT) AS n "
+            "FROM co JOIN smap s USING (url) GROUP BY co.query, s.site"
         ),
         "sample_hash": (
             "SELECT doc_id, source, n_chars FROM documents "

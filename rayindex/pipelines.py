@@ -47,6 +47,10 @@ PHRASE_QUERIES = [
 # dictionary prefix for the autocomplete-style scan entry
 PREFIX_QUERY = "st"
 
+# the site (documents `source`) the site-restricted entry pins; the driver's
+# documents tables use source names src0..srcN at every sf
+RESTRICT_SOURCE = "src0"
+
 
 def _sf_name(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir))
@@ -239,6 +243,47 @@ def engine_phrase_topk(sf_dir: str, queries: list[str] | None = None) -> pd.Data
                 }
             )
     return pd.DataFrame(rows, columns=["query", "rank", "url", "score", "relevance"])
+
+
+def engine_search_site(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:
+    """Site-restricted reference search end-to-end, ORACLE-CHECKABLE: the
+    J5/J6 path (per-site df cutoff, bloom-verified site membership) pinned
+    against SQL for the first time — (query, url, score, relevance) for
+    matches on the RESTRICT_SOURCE site only.  The cutoff uses the SITE's
+    page count and per-site df, which the oracle replays on the
+    source-filtered pages."""
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    site = f"{RESTRICT_SOURCE}.bench.example"
+    rows = []
+    for q in queries or FLAGSHIP_QUERIES:
+        res = eng.search(q, site=site, k=None, with_snippets=False)
+        ids = [r["doc_id"] for r in res["data"]]
+        meta = eng.doc_meta(ids)
+        for r in res["data"]:
+            rows.append(
+                {
+                    "query": q,
+                    "url": meta[r["doc_id"]]["url"],
+                    "score": int(r["abs"]),
+                    "relevance": float(r["relevance"]),
+                }
+            )
+    return pd.DataFrame(rows, columns=["query", "url", "score", "relevance"])
+
+
+def engine_facet_sites(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:
+    """Per-site match-count facets for each flagship query, ORACLE-CHECKABLE:
+    (query, site, n) over the conjunctive candidate set, sites resolved via
+    the skinny doclen table (QueryEngine.facet_sites)."""
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    rows = []
+    for q in queries or FLAGSHIP_QUERIES:
+        f = eng.facet_sites(q)
+        for site, n in zip(f["site"], f["n"]):
+            rows.append({"query": q, "site": site, "n": int(n)})
+    return pd.DataFrame(rows, columns=["query", "site", "n"])
 
 
 def engine_wand_topk(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:

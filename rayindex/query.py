@@ -682,6 +682,33 @@ class QueryEngine:
         out = ts.groupby("term", sort=True)["df"].sum().astype("int64").reset_index()
         return out[out["df"] > 0].reset_index(drop=True)
 
+    def facet_sites(self, query: str, k: int | None = None) -> pd.DataFrame:
+        """Per-site match counts for a conjunctive query (engine extension —
+        the faceting every search UI bolts onto statistics): (site, n) for
+        the query's full candidate set.
+
+        Sites are resolved through the SKINNY doclen table (doc_id, site,
+        doc_len) with a doc_id membership filter pushed into the scan — the
+        doc store (with its text payload) is never touched.  At cluster
+        scale the same lookup is a map_batches over doclen with the
+        candidate set broadcast."""
+        res = self.search(query, k=None, with_snippets=False)
+        ids = [int(r["doc_id"]) for r in res["data"]]
+        if not ids:
+            return pd.DataFrame({"site": pd.Series(dtype=str), "n": pd.Series(dtype="int64")})
+        want = pc.field("doc_id").isin(ids)
+        counts: dict[str, int] = {}
+        for d in self.shard_dirs:
+            t = pads.dataset(os.path.join(d, "doclen"), format="parquet").to_table(
+                columns=["site"], filter=want
+            )
+            for s in t.column("site").to_pylist():
+                counts[s] = counts.get(s, 0) + 1
+        out = pd.DataFrame(
+            {"site": list(counts.keys()), "n": np.array(list(counts.values()), dtype=np.int64)}
+        ).sort_values("site").reset_index(drop=True)
+        return out.head(k) if k else out
+
     @staticmethod
     def _norm_text(s: str) -> str:
         """lower → non-alnum→space → squeeze: the oracle-mirrorable surface

@@ -253,3 +253,20 @@ def test_round3_ops_on_sharded_index(ray_session, tmp_path):
     )
     assert sorted(r["doc_id"] for r in res["data"]) == want_ids
     assert want_ids
+
+
+def test_facet_sites_matches_bruteforce(engine, oracle_index, fixture_corpus):
+    from rayindex.oracle import oracle_search
+
+    checked = 0
+    for q in fixture_corpus.queries[::5]:
+        if q["site"] is not None:
+            continue
+        got = engine.facet_sites(q["query"])
+        want_rows = oracle_search(oracle_index, q["query"], k=None)
+        from collections import Counter
+
+        want = Counter(oracle_index.doc_site[r["doc_id"]] for r in want_rows)
+        assert dict(zip(got["site"], got["n"])) == dict(want), q["query"]
+        checked += 1
+    assert checked
