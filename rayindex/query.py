@@ -702,8 +702,9 @@ class QueryEngine:
             t = pads.dataset(os.path.join(d, "doclen"), format="parquet").to_table(
                 columns=["site"], filter=want
             )
-            for s in t.column("site").to_pylist():
-                counts[s] = counts.get(s, 0) + 1
+            for sv in t.column("site").combine_chunks().value_counts():
+                s = sv["values"].as_py()
+                counts[s] = counts.get(s, 0) + sv["counts"].as_py()
         out = pd.DataFrame(
             {"site": list(counts.keys()), "n": np.array(list(counts.values()), dtype=np.int64)}
         ).sort_values("site").reset_index(drop=True)
