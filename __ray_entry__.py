@@ -187,6 +187,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engine_phrase_topk": __import__(
             "rayindex.pipelines", fromlist=["engine_phrase_topk"]
         ).engine_phrase_topk,
+        "engine_export_postings": __import__(
+            "rayindex.pipelines", fromlist=["engine_export_postings"]
+        ).engine_export_postings,
         "engine_search_site": __import__(
             "rayindex.pipelines", fromlist=["engine_search_site"]
         ).engine_search_site,
@@ -406,6 +409,10 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY query ORDER BY score DESC, url) AS rn FROM ver) "
             "SELECT query, CAST(rn AS BIGINT) AS rank, url, score, relevance "
             "FROM ranked WHERE rn <= 10"
+        ),
+        "engine_export_postings": (
+            f"WITH {_PTOKS} SELECT url, term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM pt GROUP BY url, term"
         ),
         "engine_search_site": (
             # per-site cutoff: kept iff round(100*site_df/site_pages) < 80,

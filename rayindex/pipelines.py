@@ -286,6 +286,18 @@ def engine_facet_sites(sf_dir: str, queries: list[str] | None = None) -> pd.Data
     return pd.DataFrame(rows, columns=["query", "site", "n"])
 
 
+def engine_export_postings(sf_dir: str):
+    """Index→dataset export end-to-end, ORACLE-CHECKABLE: decode every
+    compressed segment back to exploded (url, term, tf) rows
+    (segments.export_postings) — a dataset-level round-trip proof of the
+    codec + salting + sharding path (the oracle recomputes the same table
+    from the raw pages)."""
+    from .segments import export_postings
+
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    return export_postings(index_dir)
+
+
 def engine_wand_topk(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:
     """BM25 top-k through the compressed index, ORACLE-CHECKABLE.
 

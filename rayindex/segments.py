@@ -273,3 +273,69 @@ class SegmentReader:
             return []
         rows = rows.sort_by("salt")
         return [BlockReader(row_to_encoded(r)) for r in rows.to_pylist()]
+
+
+# ---------------------------------------------------------------------------
+# index → dataset export (round 3)
+
+
+def export_postings(index_root: str) -> "ray.data.Dataset":
+    """Decode the compressed segments back into an exploded ``(url, term,
+    tf)`` dataset — the index→training-features export (per-document term
+    vectors for downstream corpus statistics, TF-IDF features, distillation
+    sets) and a dataset-level round-trip check of the whole codec path.
+
+    Distributed shape: one ``read_parquet`` over every shard's segment
+    files ('seg' rows only — the colocated partial-df rows are filtered at
+    the scan) → a ``map_batches`` decode stage (each input row is ONE term
+    sub-list; the blob decode is vectorized numpy, so per-row Python is per
+    posting LIST, never per posting) → a hash JOIN with the doc store's
+    skinny (doc_id, url) projection to resolve urls.  No stage materializes
+    the exploded table; the join shuffles it hash-partitioned by doc_id.
+    """
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from .codec import decode_postings
+
+    seg_dirs, docs_dirs = [], []
+    for d in list_shards(index_root):
+        s = os.path.join(d, "segments")
+        if os.path.isdir(s):
+            seg_dirs.append(s)
+        docs_dirs.append(os.path.join(d, "docs"))
+
+    def decode(t: pa.Table) -> pa.Table:
+        if "kind" in t.schema.names:
+            t = t.filter(pc.equal(t.column("kind"), "seg"))
+        doc_parts, tf_parts, term_parts = [], [], []
+        for row in t.to_pylist():
+            docs, tfs, _dls = decode_postings(row_to_encoded(row))
+            doc_parts.append(docs.astype(np.int64))
+            tf_parts.append(tfs.astype(np.int64))
+            term_parts.append(np.repeat(row["term"], len(docs)))
+        if not doc_parts:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "term": pa.array([], pa.string()),
+                 "tf": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(doc_parts), pa.int64()),
+                "term": pa.array(np.concatenate(term_parts), pa.string()),
+                "tf": pa.array(np.concatenate(tf_parts), pa.int64()),
+            }
+        )
+
+    exploded = rd.read_parquet(seg_dirs).map_batches(
+        decode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    urls = rd.read_parquet(docs_dirs, columns=["doc_id", "url"])
+    try:
+        ncpu = int(__import__("ray").cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        ncpu = 8
+    joined = exploded.join(
+        urls, join_type="inner", num_partitions=max(2, ncpu // 2), on=("doc_id",)
+    )
+    return joined.select_columns(["url", "term", "tf"])

@@ -270,3 +270,28 @@ def test_facet_sites_matches_bruteforce(engine, oracle_index, fixture_corpus):
         assert dict(zip(got["site"], got["n"])) == dict(want), q["query"]
         checked += 1
     assert checked
+
+
+def test_export_postings_roundtrip(engine, built_index, oracle_index):
+    """export_postings over the built index reproduces the oracle's exploded
+    (url, term, tf) postings exactly — dataset-level codec round-trip."""
+    from rayindex.segments import export_postings
+
+    got = (
+        export_postings(built_index["out_dir"])
+        .to_pandas()
+        .sort_values(["url", "term"])
+        .reset_index(drop=True)
+    )
+    rows = [
+        {"url": oracle_index.doc_url[d], "term": t, "tf": tf}
+        for t, posts in oracle_index.postings.items()
+        for d, tf in posts.items()
+    ]
+    import pandas as pd
+
+    want = pd.DataFrame(rows).sort_values(["url", "term"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert got["url"].tolist() == want["url"].tolist()
+    assert got["term"].tolist() == want["term"].tolist()
+    assert got["tf"].tolist() == want["tf"].tolist()
