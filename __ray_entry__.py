@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).engine_facet_sites,
         # --- round-3 corpus curation staples (all SQL-checked) ------------
         "sample_hash": textops.sample_hash,
+        "tfidf": textops.tfidf,
         "redact_regex": textops.redact_regex,
         "bigram_counts": textops.bigram_counts,
         # --- rows-only (approximate by design; recall pinned by pytest and
@@ -456,6 +457,17 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash": (
             "SELECT doc_id, source, n_chars FROM documents "
             "WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < 10"
+        ),
+        "tfidf": (
+            # ln ≡ math.log (ULP-verified); weight = one IEEE multiply of the
+            # integer tf by idf — floats hash-match exactly
+            f"WITH {_T}, tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM t GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term) "
+            "SELECT tf.doc_id, tf.term, tf.tf, "
+            "CAST(tf.tf AS DOUBLE) * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) "
+            "/ CAST(df.df AS DOUBLE)) AS tfidf "
+            "FROM tf JOIN df USING (term)"
         ),
         "redact_regex": (
             "SELECT doc_id, "

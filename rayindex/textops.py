@@ -1311,3 +1311,47 @@ def bigram_counts(sf_dir: str, k: int = 50) -> rd.Dataset:
         .aggregate(Sum("n", alias_name="n"))
     )
     return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
+def tfidf(sf_dir: str) -> rd.Dataset:
+    """Per-(doc, term) TF-IDF weights over the documents table — the
+    feature-weighting step of a classical training-data / retrieval
+    pipeline: ``weight = tf * ln(n_docs / df)``.
+
+    Distributed shape: the exploded (doc_id, term, tf) stream hash-JOINs the
+    vocabulary-sized (term, df) table on term (df side produced by the usual
+    partial-agg → groupby; nothing is broadcast or materialized).  Floats
+    are oracle-exact: idf uses ``math.log`` per distinct df (ULP-identical
+    to DuckDB ``ln``, unlike ``numpy.log``) and the weight is one IEEE
+    multiply of an integer tf by that idf."""
+    import math
+
+    import pyarrow.parquet as pq_
+
+    n_docs = pq_.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    tf = doc_tf(sf_dir)
+    df = term_df(sf_dir)
+
+    def add_idf(t: pa.Table) -> pa.Table:
+        dfs = t.column("df").to_numpy()
+        idf = np.array([math.log(n_docs / d) for d in dfs], dtype=np.float64)
+        return t.append_column("idf", pa.array(idf, pa.float64()))
+
+    df_idf = df.map_batches(add_idf, batch_format="pyarrow", zero_copy_batch=True)
+    joined = tf.join(
+        df_idf, join_type="inner", num_partitions=max(2, _task_cpus() // 2),
+        on=("term",),
+    )
+
+    def weight(t: pa.Table) -> pa.Table:
+        w = t.column("tf").to_numpy().astype(np.float64) * t.column("idf").to_numpy()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "term": t.column("term"),
+                "tf": t.column("tf"),
+                "tfidf": pa.array(w, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(weight, batch_format="pyarrow", zero_copy_batch=True)

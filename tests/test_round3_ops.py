@@ -295,3 +295,26 @@ def test_export_postings_roundtrip(engine, built_index, oracle_index):
     assert got["url"].tolist() == want["url"].tolist()
     assert got["term"].tolist() == want["term"].tolist()
     assert got["tf"].tolist() == want["tf"].tolist()
+
+
+def test_tfidf_vs_duckdb(ray_session, curation_sf):
+    import duckdb
+
+    from rayindex.textops import tfidf
+
+    got = tfidf(curation_sf).to_pandas().sort_values(["doc_id", "term"]).reset_index(drop=True)
+    want = duckdb.sql(
+        "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(regexp_replace("
+        f"lower(text), '[^a-z0-9]', ' ', 'g')), ' +')) AS term FROM read_parquet('{curation_sf}/documents.parquet')), "
+        "t AS (SELECT doc_id, term FROM toks WHERE term <> '' AND term NOT IN "
+        "('a','an','the','and','of','in','to','is','on','at','by','for','with')), "
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term) "
+        "SELECT tf.doc_id, tf.term, tf.tf, CAST(tf.tf AS DOUBLE) * "
+        f"ln(CAST((SELECT count(*) FROM read_parquet('{curation_sf}/documents.parquet')) AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf "
+        "FROM tf JOIN df USING (term) ORDER BY doc_id, term"
+    ).fetchdf()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["term"].tolist() == want["term"].tolist()
+    # bit-exact float mirror (math.log per distinct df == DuckDB ln)
+    assert got["tfidf"].tolist() == want["tfidf"].tolist()
