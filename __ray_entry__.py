@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 corpus curation staples (all SQL-checked) ------------
         "sample_hash": textops.sample_hash,
         "tfidf": textops.tfidf,
+        "curate_corpus": textops.curate_corpus,
         "redact_regex": textops.redact_regex,
         "bigram_counts": textops.bigram_counts,
         # --- rows-only (approximate by design; recall pinned by pytest and
@@ -457,6 +458,14 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash": (
             "SELECT doc_id, source, n_chars FROM documents "
             "WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < 10"
+        ),
+        "curate_corpus": (
+            # dedup winners ∧ length gate ∧ md5 sample — the composed pipeline
+            "SELECT d.doc_id, d.source, d.n_chars FROM documents d "
+            "JOIN (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text) w "
+            "USING (doc_id) "
+            "WHERE d.n_chars >= 50 "
+            "AND md5_number_upper(CAST(d.doc_id AS VARCHAR)) % 100 < 50"
         ),
         "tfidf": (
             # ln ≡ math.log (ULP-verified); weight = one IEEE multiply of the

@@ -1355,3 +1355,42 @@ def tfidf(sf_dir: str) -> rd.Dataset:
         )
 
     return joined.map_batches(weight, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def curate_corpus(sf_dir: str, min_chars: int = 50, rate_pct: int = 50,
+                  out_dir: str | None = None) -> rd.Dataset:
+    """The composed curation pipeline a 100 TB pretraining corpus runs:
+    exact-dedup winners → quality gate → deterministic hash sample, as ONE
+    streaming dataset graph (no stage materializes; the only shuffles are
+    dedup's vocab-bounded groupby and the winner hash join).
+
+    Stages (each individually SQL-checked by its own entry):
+      1. keep the min-doc_id winner of every distinct text (dedup_exact),
+      2. drop documents shorter than ``min_chars`` chars (quality gate —
+         pushed into the scan as a row filter, so losers never leave
+         storage),
+      3. keep a reproducible ``rate_pct`` % slice by the md5-LE64 rule
+         (sample_hash).
+    """
+    winners = dedup_exact(sf_dir).map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+        filter=(pc.field("n_chars") >= min_chars),
+    )
+
+    def keep_sampled(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pandas().astype(str)
+        h = _md5_le64(list(ids)) % np.uint64(100)
+        return t.filter(pa.array(h < rate_pct))
+
+    sampled = docs.map_batches(keep_sampled, batch_format="pyarrow", zero_copy_batch=True)
+    kept = sampled.join(
+        winners, join_type="inner", num_partitions=max(2, _task_cpus() // 2),
+        on=("doc_id",),
+    ).select_columns(["doc_id", "source", "n_chars"])
+    if out_dir:
+        kept.write_parquet(out_dir, partition_cols=["source"])
+    return kept

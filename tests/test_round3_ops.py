@@ -318,3 +318,25 @@ def test_tfidf_vs_duckdb(ray_session, curation_sf):
     assert got["term"].tolist() == want["term"].tolist()
     # bit-exact float mirror (math.log per distinct df == DuckDB ln)
     assert got["tfidf"].tolist() == want["tfidf"].tolist()
+
+
+def test_curate_corpus_composition(ray_session, curation_sf, tmp_path):
+    """dedup winners ∧ length gate ∧ md5 sample, plus the partitioned sink."""
+    import duckdb
+
+    from rayindex.textops import curate_corpus
+
+    out = str(tmp_path / "curated")
+    got = curate_corpus(curation_sf, min_chars=30, rate_pct=60, out_dir=out).to_pandas()
+    want = duckdb.sql(
+        f"SELECT d.doc_id, d.source, d.n_chars FROM read_parquet('{curation_sf}/documents.parquet') d "
+        f"JOIN (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM read_parquet('{curation_sf}/documents.parquet') GROUP BY text) w "
+        "USING (doc_id) WHERE d.n_chars >= 30 "
+        "AND md5_number_upper(CAST(d.doc_id AS VARCHAR)) % 100 < 60"
+    ).fetchdf()
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+    # partitioned sink wrote one dir per source with the same rows
+    import pyarrow.dataset as pads
+
+    sunk = pads.dataset(out, format="parquet", partitioning="hive").to_table()
+    assert sorted(sunk.column("doc_id").to_pylist()) == sorted(got["doc_id"])
