@@ -297,6 +297,7 @@ def export_postings(index_root: str) -> "ray.data.Dataset":
     import pyarrow.compute as pc
 
     from .codec import decode_postings
+    from .incremental import load_tombstones
 
     seg_dirs, docs_dirs = [], []
     for d in list_shards(index_root):
@@ -304,6 +305,12 @@ def export_postings(index_root: str) -> "ray.data.Dataset":
         if os.path.isdir(s):
             seg_dirs.append(s)
         docs_dirs.append(os.path.join(d, "docs"))
+
+    # U2 purge consistency: every tombstone the engine honors is site-scoped
+    # (purge_site is the only writer), so excluding purged SITES on the
+    # doc-store join side drops exactly the tombstoned doc ids — the export
+    # equals a physical rebuild without the purged sites, like query results
+    purged = set(load_tombstones(index_root)["sites"])
 
     def decode(t: pa.Table) -> pa.Table:
         if "kind" in t.schema.names:
@@ -330,7 +337,10 @@ def export_postings(index_root: str) -> "ray.data.Dataset":
     exploded = rd.read_parquet(seg_dirs).map_batches(
         decode, batch_format="pyarrow", zero_copy_batch=True
     )
-    urls = rd.read_parquet(docs_dirs, columns=["doc_id", "url"])
+    url_filter = None
+    if purged:
+        url_filter = ~pc.field("site").isin(sorted(purged))
+    urls = rd.read_parquet(docs_dirs, columns=["doc_id", "url"], filter=url_filter)
     try:
         ncpu = int(__import__("ray").cluster_resources().get("CPU", 8))
     except Exception:  # noqa: BLE001

@@ -340,3 +340,39 @@ def test_curate_corpus_composition(ray_session, curation_sf, tmp_path):
 
     sunk = pads.dataset(out, format="parquet", partitioning="hive").to_table()
     assert sorted(sunk.column("doc_id").to_pylist()) == sorted(got["doc_id"])
+
+
+def test_export_postings_honors_purge(ray_session, fixture_corpus, tmp_path):
+    """export after purge_site ≡ export of a physical rebuild without the
+    purged site (U2 consistency extends to the export operator)."""
+    import pyarrow as pa
+
+    from rayindex.build import build_index
+    from rayindex.fixtures import write_pages
+    from rayindex.incremental import purge_site
+    from rayindex.segments import export_postings
+
+    pages = fixture_corpus.pages.slice(0, 50)
+    urls = pages.column("url").to_pylist()
+    urls2 = [
+        u.replace("fixture.example", "other.example") if i % 2 else u
+        for i, u in enumerate(urls)
+    ]
+    pages2 = pages.set_column(0, "url", pa.array(urls2, pa.string()))
+    pdir = str(tmp_path / "pages")
+    write_pages(pages2, pdir, 4)
+
+    out_a = str(tmp_path / "idx_purged")
+    build_index(pdir, out_a, fixture_corpus.analyzer_spec, num_buckets=4)
+    purge_site(out_a, "other.example")
+    out_b = str(tmp_path / "idx_clean")
+    build_index(pdir, out_b, fixture_corpus.analyzer_spec, num_buckets=4,
+                exclude_sites=["other.example"])
+
+    key = ["url", "term"]
+    got = export_postings(out_a).to_pandas().sort_values(key).reset_index(drop=True)
+    want = export_postings(out_b).to_pandas().sort_values(key).reset_index(drop=True)
+    assert got["url"].tolist() == want["url"].tolist()
+    assert got["term"].tolist() == want["term"].tolist()
+    assert got["tf"].tolist() == want["tf"].tolist()
+    assert not any(u.startswith("https://other.example") for u in got["url"])
