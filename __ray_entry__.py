@@ -94,6 +94,22 @@ def _wand_query_terms() -> list[tuple[str, str]]:
     return out
 
 
+def _not_query_terms() -> tuple[list[tuple[str, str]], list[tuple[str, str]]]:
+    """((query, positive term), (query, exclusion term)) pairs for the
+    boolean-NOT entry — exclusion lemmas bypass the 80 % cutoff."""
+    from rayindex.analyze import simple_analyzer
+    from rayindex.pipelines import NOT_QUERIES
+
+    an = simple_analyzer()
+    pos, neg = [], []
+    for q, ex in NOT_QUERIES:
+        for t in an.collect_lemmas(q):
+            pos.append((q, t))
+        for t in an.collect_lemmas(ex):
+            neg.append((q, t))
+    return pos, neg
+
+
 def _phrase_query_terms() -> list[tuple[str, str]]:
     from rayindex.analyze import simple_analyzer
     from rayindex.pipelines import PHRASE_QUERIES
@@ -187,6 +203,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engine_phrase_topk": __import__(
             "rayindex.pipelines", fromlist=["engine_phrase_topk"]
         ).engine_phrase_topk,
+        "engine_search_not": __import__(
+            "rayindex.pipelines", fromlist=["engine_search_not"]
+        ).engine_search_not,
         "engine_export_postings": __import__(
             "rayindex.pipelines", fromlist=["engine_export_postings"]
         ).engine_export_postings,
@@ -411,6 +430,29 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY query ORDER BY score DESC, url) AS rn FROM ver) "
             "SELECT query, CAST(rn AS BIGINT) AS rank, url, score, relevance "
             "FROM ranked WHERE rn <= 10"
+        ),
+        "engine_search_not": (
+            f"WITH {_PTOKS}, "
+            "tf AS (SELECT url, term, count(*) AS tf FROM pt GROUP BY url, term), "
+            "df AS (SELECT term, count(DISTINCT url) AS df FROM pt GROUP BY term), "
+            "q(query, term) AS (VALUES "
+            + ", ".join(f"('{q}', '{t}')" for q, t in _not_query_terms()[0])
+            + "), "
+            "exq(query, term) AS (VALUES "
+            + ", ".join(f"('{q}', '{t}')" for q, t in _not_query_terms()[1])
+            + "), "
+            "kept AS (SELECT q.query, q.term FROM q JOIN df USING (term) "
+            "WHERE 200 * df.df < 159 * (SELECT count(*) FROM documents)), "
+            "nk AS (SELECT query, count(*) AS n_terms FROM kept GROUP BY query), "
+            "hits AS (SELECT k.query, t.url, t.term, t.tf FROM kept k JOIN tf t USING (term)), "
+            "cand AS (SELECT query, url, count(DISTINCT term) AS c, CAST(sum(tf) AS BIGINT) AS score "
+            "FROM hits GROUP BY query, url), "
+            "co AS (SELECT c.query, c.url, c.score FROM cand c JOIN nk USING (query) WHERE c.c = nk.n_terms), "
+            "exdocs AS (SELECT DISTINCT e.query, t.url FROM exq e JOIN tf t USING (term)), "
+            "surv AS (SELECT co.query, co.url, co.score FROM co "
+            "LEFT JOIN exdocs x ON x.query = co.query AND x.url = co.url WHERE x.url IS NULL) "
+            "SELECT query, url, score, "
+            "CAST(score AS DOUBLE) / max(score) OVER (PARTITION BY query) AS relevance FROM surv"
         ),
         "engine_export_postings": (
             f"WITH {_PTOKS} SELECT url, term, CAST(count(*) AS BIGINT) AS tf "

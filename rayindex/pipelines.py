@@ -47,6 +47,14 @@ PHRASE_QUERIES = [
 # dictionary prefix for the autocomplete-style scan entry
 PREFIX_QUERY = "st"
 
+# (positive query, excluded word) pairs for the boolean-NOT entry
+NOT_QUERIES = [
+    ("slow query", "table"),
+    ("vector stream", "merge"),
+    ("table spark", "row"),
+    ("customer join order", "xyzzynotaword"),  # unknown exclusion → no-op
+]
+
 # the site (documents `source`) the site-restricted entry pins; the driver's
 # documents tables use source names src0..srcN at every sf
 RESTRICT_SOURCE = "src0"
@@ -284,6 +292,30 @@ def engine_facet_sites(sf_dir: str, queries: list[str] | None = None) -> pd.Data
         for site, n in zip(f["site"], f["n"]):
             rows.append({"query": q, "site": site, "n": int(n)})
     return pd.DataFrame(rows, columns=["query", "site", "n"])
+
+
+def engine_search_not(sf_dir: str, queries: list[tuple[str, str]] | None = None) -> pd.DataFrame:
+    """Boolean-NOT search end-to-end, ORACLE-CHECKABLE: conjunctive matches
+    of the positive query minus documents containing any lemma of the
+    excluded word (QueryEngine.search_not), relevance renormalized over the
+    surviving set."""
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    rows = []
+    for q, ex in queries or NOT_QUERIES:
+        res = eng.search_not(q, ex, k=None)
+        ids = [r["doc_id"] for r in res["data"]]
+        meta = eng.doc_meta(ids)
+        for r in res["data"]:
+            rows.append(
+                {
+                    "query": q,
+                    "url": meta[r["doc_id"]]["url"],
+                    "score": int(r["abs"]),
+                    "relevance": float(r["relevance"]),
+                }
+            )
+    return pd.DataFrame(rows, columns=["query", "url", "score", "relevance"])
 
 
 def engine_export_postings(sf_dir: str):

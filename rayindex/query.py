@@ -682,6 +682,41 @@ class QueryEngine:
         out = ts.groupby("term", sort=True)["df"].sum().astype("int64").reset_index()
         return out[out["df"] > 0].reset_index(drop=True)
 
+    def search_not(self, query: str, exclude: str, site: str | None = None,
+                   k: int | None = 10) -> dict:
+        """Conjunctive search MINUS documents matching any lemma of
+        ``exclude`` (engine extension — completes the AND/OR/NOT boolean
+        family).  Exclusion lemmas are NOT subject to the 80 % cutoff (a
+        user excluding a frequent word means it); unknown exclusion words
+        exclude nothing.  Scores stay Σtf of the positive kept terms;
+        relevance renormalizes over the post-exclusion set; K4 tie-break
+        unchanged."""
+        res = self.search(query, site=site, k=None, with_snippets=False)
+        if not res["data"]:
+            return res
+        ex_terms = list(self.analyzer.collect_lemmas(exclude).keys())
+        if ex_terms:
+            cand = np.array([r["doc_id"] for r in res["data"]], dtype=np.int64)
+            drop = np.zeros(cand.size, dtype=bool)
+            for t in ex_terms:
+                if self.term_global_df(t) == 0:
+                    continue
+                docs, _tfs, _dls = self._decoded(t)
+                idx = np.searchsorted(docs, cand)
+                idx_c = np.minimum(idx, max(docs.size - 1, 0))
+                if docs.size:
+                    drop |= docs[idx_c] == cand
+            data = [r for r, d in zip(res["data"], drop) if not d]
+        else:
+            data = res["data"]
+        if not data:
+            return {"result": True, "count": 0, "data": []}
+        mx = max(r["abs"] for r in data)
+        for r in data:
+            r["relevance"] = r["abs"] / mx
+        data.sort(key=lambda r: (-r["relevance"], r["doc_id"]))
+        return {"result": True, "count": len(data), "data": data[:k] if k else data}
+
     def facet_sites(self, query: str, k: int | None = None) -> pd.DataFrame:
         """Per-site match counts for a conjunctive query (engine extension —
         the faceting every search UI bolts onto statistics): (site, n) for

@@ -376,3 +376,29 @@ def test_export_postings_honors_purge(ray_session, fixture_corpus, tmp_path):
     assert got["term"].tolist() == want["term"].tolist()
     assert got["tf"].tolist() == want["tf"].tolist()
     assert not any(u.startswith("https://other.example") for u in got["url"])
+
+
+def test_search_not_excludes_exactly(engine, oracle_index, fixture_corpus):
+    qs = [q for q in fixture_corpus.queries if q["site"] is None][:6]
+    # excluded word: a mid-frequency lemma's surface form
+    ex_lemma = fixture_corpus.lemmas[20]
+    ex_form = fixture_corpus.forms[ex_lemma][0]
+    checked = 0
+    for q in qs:
+        base = engine.search(q["query"], k=None, with_snippets=False)["data"]
+        got = engine.search_not(q["query"], ex_form, k=None)["data"]
+        ex_docs = set(oracle_index.postings.get(ex_lemma, {}))
+        want_ids = sorted(r["doc_id"] for r in base if r["doc_id"] not in ex_docs)
+        assert sorted(r["doc_id"] for r in got) == want_ids, q["query"]
+        if got:
+            assert max(r["relevance"] for r in got) == 1.0
+        if len(want_ids) != len(base):
+            checked += 1
+    assert checked, "exclusion never fired — pick a more frequent lemma"
+
+
+def test_search_not_unknown_exclusion_is_noop(engine, fixture_corpus):
+    q = next(q for q in fixture_corpus.queries if q["site"] is None)
+    base = engine.search(q["query"], k=None, with_snippets=False)["data"]
+    got = engine.search_not(q["query"], "zzzunknownword", k=None)["data"]
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in base]
