@@ -20,6 +20,12 @@ scorers (SURVEY.md §2.6 K1):
   WAND** top-k over (max_tf, min_dl) block metadata, plus an exhaustive
   scorer kept for A/B equality testing.  Both evaluate a document's terms in
   (df, term)-ascending order so float summation is order-deterministic.
+
+Engine extensions beyond the reference (round 3, each SQL-oracle-checked):
+``search_or`` (disjunctive Σtf/max), ``search_not`` (AND-NOT exclusion),
+``search_phrase`` (conjunctive + doc-store adjacency verification),
+``prefix_terms`` (dictionary prefix scan) and ``facet_sites`` (per-site
+match counts via the skinny doclen table).
 """
 
 from __future__ import annotations
