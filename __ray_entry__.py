@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash": textops.sample_hash,
         "tfidf": textops.tfidf,
         "curate_corpus": textops.curate_corpus,
+        "top_terms_per_site": textops.top_terms_per_site,
         "redact_regex": textops.redact_regex,
         "bigram_counts": textops.bigram_counts,
         # --- rows-only (approximate by design; recall pinned by pytest and
@@ -500,6 +501,13 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash": (
             "SELECT doc_id, source, n_chars FROM documents "
             "WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < 10"
+        ),
+        "top_terms_per_site": (
+            f"WITH {_TS}, std AS (SELECT site, term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+            "FROM t GROUP BY site, term), "
+            "r AS (SELECT site, term, df, row_number() OVER "
+            "(PARTITION BY site ORDER BY df DESC, term) AS rank FROM std) "
+            "SELECT site, CAST(rank AS BIGINT) AS rank, term, df FROM r WHERE rank <= 5"
         ),
         "curate_corpus": (
             # dedup winners ∧ length gate ∧ md5 sample — the composed pipeline

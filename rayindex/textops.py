@@ -1394,3 +1394,23 @@ def curate_corpus(sf_dir: str, min_chars: int = 50, rate_pct: int = 50,
     if out_dir:
         kept.write_parquet(out_dir, partition_cols=["source"])
     return kept
+
+
+def top_terms_per_site(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """Grouped top-k: the ``k`` highest-df terms per site (df desc, term asc
+    ties) — the per-group ranking shape (top documents per domain, top
+    n-grams per language, ...) every corpus report needs.
+
+    Shape: the (site, term, df) aggregate (vocabulary × sites bounded, NOT
+    corpus bounded) is built by the usual partial→global groupby, then ONE
+    ``groupby(site).map_groups`` ranks within each site — the group bodies
+    are vectorized pandas sorts over vocabulary-sized frames."""
+    std = site_term_df(sf_dir)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["df", "term"], ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["site", "rank", "term", "df"]]
+
+    return std.groupby("site").map_groups(topk, batch_format="pandas")

@@ -402,3 +402,29 @@ def test_search_not_unknown_exclusion_is_noop(engine, fixture_corpus):
     base = engine.search(q["query"], k=None, with_snippets=False)["data"]
     got = engine.search_not(q["query"], "zzzunknownword", k=None)["data"]
     assert [r["doc_id"] for r in got] == [r["doc_id"] for r in base]
+
+
+def test_top_terms_per_site_vs_duckdb(ray_session, curation_sf):
+    import duckdb
+
+    from rayindex.textops import top_terms_per_site
+
+    got = (
+        top_terms_per_site(curation_sf, k=3)
+        .to_pandas()
+        .sort_values(["site", "rank"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        "WITH toks AS (SELECT doc_id, source AS site, unnest(string_split_regex(trim("
+        f"regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g')), ' +')) AS term FROM read_parquet('{curation_sf}/documents.parquet')), "
+        "t AS (SELECT doc_id, site, term FROM toks WHERE term <> '' AND term NOT IN "
+        "('a','an','the','and','of','in','to','is','on','at','by','for','with')), "
+        "std AS (SELECT site, term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY site, term), "
+        "r AS (SELECT site, term, df, row_number() OVER (PARTITION BY site ORDER BY df DESC, term) AS rank FROM std) "
+        "SELECT site, CAST(rank AS BIGINT) AS rank, term, df FROM r WHERE rank <= 3 ORDER BY site, rank"
+    ).fetchdf()
+    assert got["site"].tolist() == want["site"].tolist()
+    assert got["term"].tolist() == want["term"].tolist()
+    assert got["df"].tolist() == want["df"].tolist()
+    assert got["rank"].tolist() == want["rank"].tolist()
