@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     stop = _STOP_SQL
     ta, tb = _SEARCH_TERMS
+    from rayindex.pipelines import RESTRICT_SOURCE as _restrict_src
     # DuckDB md5_number_upper(s) == int.from_bytes(md5(s)[:8], 'little') —
     # the hash primitive of the whole dedup family (textops._md5_le64), which
     # is what makes minhash/simhash/media oracles exactly expressible.
@@ -462,7 +463,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_search_site": (
             # per-site cutoff: kept iff round(100*site_df/site_pages) < 80,
             # i.e. 200*df < 159*site_pages (same half-up trick as global)
-            f"WITH {_ptoks_for_source('src0')}, "
+            f"WITH {_ptoks_for_source(_restrict_src)}, "
             "np AS (SELECT count(*) AS n FROM pages), "
             "tf AS (SELECT url, term, count(*) AS tf FROM pt GROUP BY url, term), "
             "df AS (SELECT term, count(DISTINCT url) AS df FROM pt GROUP BY term), "
