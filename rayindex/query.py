@@ -702,7 +702,9 @@ class QueryEngine:
             return res
         ex_terms = list(self.analyzer.collect_lemmas(exclude).keys())
         if ex_terms:
-            cand = np.array([r["doc_id"] for r in res["data"]], dtype=np.int64)
+            # uint64 to match decoded postings: an int64/uint64 mix promotes
+            # to float64 and doc ids above 2^53 would compare lossily.
+            cand = np.array([r["doc_id"] for r in res["data"]], dtype=np.uint64)
             drop = np.zeros(cand.size, dtype=bool)
             for t in ex_terms:
                 if self.term_global_df(t) == 0:
