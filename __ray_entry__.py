@@ -175,6 +175,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_meta": __import__("rayindex.multimodal", fromlist=["media_meta"]).media_meta,
         "media_frames": __import__("rayindex.multimodal", fromlist=["media_frames"]).media_frames,
         "media_features": __import__("rayindex.multimodal", fromlist=["media_features"]).media_features,
+        # --- multimodal with REAL decoders (BMP / WAV / Y4M headers parsed
+        # from the payload bytes; pixel/sample content closed-form so the
+        # decode step itself is what the oracle checks) --------------------
+        "media_image_stats": __import__(
+            "rayindex.multimodal", fromlist=["media_image_stats"]
+        ).media_image_stats,
+        "media_audio_stats": __import__(
+            "rayindex.multimodal", fromlist=["media_audio_stats"]
+        ).media_audio_stats,
+        "media_video_frames": __import__(
+            "rayindex.multimodal", fromlist=["media_video_frames"]
+        ).media_video_frames,
         # --- flagship END-TO-END through the built index (SQL-checked) ---
         "engine_search_scores": __import__(
             "rayindex.pipelines", fromlist=["engine_search_scores"]
@@ -557,6 +569,39 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN kind='audio' THEN n*4 ELSE 0 END AS BIGINT) AS n_samples, "
             "CAST(CASE WHEN kind='video' THEN greatest(1, n // 64) ELSE 0 END AS BIGINT) AS n_frames "
             "FROM m"
+        ),
+        # REAL-decoder media stats: the Ray side parses actual BMP/WAV/Y4M
+        # bytes (rayindex.media_codecs); the oracle replays the closed-form
+        # pixel/sample content (x+y+c+id etc.) the fixture generator encodes,
+        # so any decode error (offset, padding, chunk walk, frame marker)
+        # breaks the hash.
+        "media_image_stats": (
+            "WITH m AS (SELECT doc_id AS media_id, 16 + doc_id % 17 AS w, "
+            "16 + doc_id % 11 AS h FROM documents WHERE doc_id % 3 = 0), "
+            "px AS (SELECT media_id, w, h, unnest(range(w)) AS x FROM m), "
+            "pxy AS (SELECT media_id, w, h, x, unnest(range(h)) AS y FROM px) "
+            "SELECT media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, "
+            "CAST(3 AS BIGINT) AS channels, "
+            "CAST(SUM((x + y + media_id) % 256 + (x + y + 1 + media_id) % 256 "
+            "+ (x + y + 2 + media_id) % 256) AS BIGINT) AS pixel_sum "
+            "FROM pxy GROUP BY 1, 2, 3, 4"
+        ),
+        "media_audio_stats": (
+            "WITH m AS (SELECT doc_id AS media_id, 8000 * (1 + doc_id % 3) AS rate, "
+            "256 + doc_id % 181 AS n FROM documents WHERE doc_id % 3 = 1), "
+            "s AS (SELECT media_id, rate, n, unnest(range(n)) AS i FROM m) "
+            "SELECT media_id, CAST(rate AS BIGINT) AS sample_rate, "
+            "CAST(n AS BIGINT) AS n_samples, "
+            "CAST(SUM((7 * i + media_id) % 65536 - 32768) AS BIGINT) AS sample_sum "
+            "FROM s GROUP BY 1, 2, 3"
+        ),
+        "media_video_frames": (
+            "WITH m AS (SELECT doc_id AS media_id, 8 + doc_id % 9 AS w, "
+            "8 + doc_id % 7 AS h, 4 + doc_id % 29 AS nf FROM documents WHERE doc_id % 3 = 2), "
+            "f AS (SELECT media_id, w, h, unnest(range(0, nf, 4)) AS frame_id FROM m) "
+            "SELECT media_id, CAST(frame_id AS BIGINT) AS frame_id, "
+            "CAST(3 * w * h * ((31 * frame_id + media_id) % 256) AS BIGINT) AS frame_sum "
+            "FROM f"
         ),
         "embedding_near_dup": (
             "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b FROM embeddings a "

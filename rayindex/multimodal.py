@@ -189,6 +189,168 @@ class FeatureStage:
         )
 
 
+# -- REAL codecs (round 3): BMP / WAV / Y4M, numpy-only ----------------------
+
+
+def synth_media_real(sf_dir: str) -> rd.Dataset:
+    """Deterministic media table whose payloads are VALID files in standard
+    uncompressed formats (BMP image / WAV audio / Y4M video — see
+    media_codecs): kind round-robins on doc_id like :func:`synth_media`, and
+    every pixel/sample is a closed-form function of doc_id so the decode
+    aggregates below are SQL-oracle-checkable."""
+    from . import media_codecs as mc
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    def mk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        kinds, payloads = [], []
+        for d in ids:
+            k = _KINDS[d % 3]
+            kinds.append(k)
+            if k == "image":
+                payloads.append(mc.encode_bmp(mc.gen_image(d)))
+            elif k == "audio":
+                payloads.append(mc.encode_wav(mc.gen_audio(d), mc.audio_params(d)[0]))
+            else:
+                payloads.append(mc.encode_y4m(mc.gen_video(d)))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "meta": pa.array(
+                    [json.dumps({"source": s, "codec": "real"}, sort_keys=True) for s in srcs],
+                    pa.string(),
+                ),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+    return docs.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class ImageStatsStage:
+    """REAL decode: BMP header parse + pixel-array read (media_codecs), then
+    per-image integer stats.  Actor-pool shaped like a model stage: construct
+    once, decode per batch; payloads stay opaque binary until here."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .media_codecs import decode_bmp
+
+        ids, ws, hs, sums = [], [], [], []
+        for mid, kind, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if kind != "image":
+                continue
+            arr = decode_bmp(payload)
+            ids.append(mid)
+            hs.append(arr.shape[0])
+            ws.append(arr.shape[1])
+            sums.append(int(arr.sum(dtype=np.int64)))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "channels": pa.array([3] * len(ids), pa.int64()),
+                "pixel_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+
+class AudioStatsStage:
+    """REAL decode: RIFF chunk walk + PCM frame read, then integer stats."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .media_codecs import decode_wav
+
+        ids, rates, ns, sums = [], [], [], []
+        for mid, kind, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if kind != "audio":
+                continue
+            rate, samples = decode_wav(payload)
+            ids.append(mid)
+            rates.append(rate)
+            ns.append(samples.size)
+            sums.append(int(samples.sum(dtype=np.int64)))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "sample_rate": pa.array(rates, pa.int64()),
+                "n_samples": pa.array(ns, pa.int64()),
+                "sample_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+
+class VideoFrameStatsStage:
+    """REAL decode: Y4M header parse + FRAME iteration; emits one row per
+    every-Nth sampled frame (flat_map-shaped) with the frame's byte sum."""
+
+    def __init__(self, every_n: int = 4):
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .media_codecs import decode_y4m
+
+        ids, fids, sums = [], [], []
+        for mid, kind, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if kind != "video":
+                continue
+            _w, _h, frames = decode_y4m(payload)
+            for f in range(0, frames.shape[0], self.every_n):
+                ids.append(mid)
+                fids.append(f)
+                sums.append(int(frames[f].sum(dtype=np.int64)))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_id": pa.array(fids, pa.int64()),
+                "frame_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+
+def media_image_stats(sf_dir: str) -> rd.Dataset:
+    """Real-BMP decode pipeline: (media_id, width, height, channels,
+    pixel_sum) per image payload."""
+    return synth_media_real(sf_dir).map_batches(
+        ImageStatsStage, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=auto_concurrency(), batch_size=256,
+    )
+
+
+def media_audio_stats(sf_dir: str) -> rd.Dataset:
+    """Real-WAV decode pipeline: (media_id, sample_rate, n_samples,
+    sample_sum) per audio payload."""
+    return synth_media_real(sf_dir).map_batches(
+        AudioStatsStage, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=auto_concurrency(), batch_size=256,
+    )
+
+
+def media_video_frames(sf_dir: str) -> rd.Dataset:
+    """Real-Y4M decode pipeline: every-4th-frame (media_id, frame_id,
+    frame_sum) per video payload."""
+    return synth_media_real(sf_dir).map_batches(
+        VideoFrameStatsStage, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=auto_concurrency(), batch_size=256,
+    )
+
+
 def media_meta(sf_dir: str) -> rd.Dataset:
     """Decode-metadata pipeline (SQL-mirrorable: the stub is a deterministic
     function of octet_length + first byte)."""
