@@ -238,6 +238,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # recorded as a bench metric) --------------------------------------
         "ann_lsh_topk": textops.ann_lsh_topk,
         "ann_ivf_topk": textops.ann_ivf_topk,
+        # --- rows-only (iterative algorithm — not SQL-expressible; golden
+        # merges + brute-force equivalence pinned by tests/test_bpe.py) ----
+        "bpe_tokens": __import__("rayindex.bpe", fromlist=["bpe_tokens"]).bpe_tokens,
     }
 
 
