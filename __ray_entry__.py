@@ -171,6 +171,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": __import__("rayindex.events", fromlist=["windowed_counts"]).windowed_counts,
         "events_sessions": __import__("rayindex.events", fromlist=["sessionize"]).sessionize,
         "events_asof": __import__("rayindex.events", fromlist=["asof_last_error"]).asof_last_error,
+        "events_hopping": __import__("rayindex.events", fromlist=["hopping_counts"]).hopping_counts,
+        "events_range_join": __import__(
+            "rayindex.events", fromlist=["range_join_errors"]
+        ).range_join_errors,
+        # --- distributed statistics: exact quantiles + mergeable KMV sketch
+        "doclen_quantiles": textops.doclen_quantiles,
+        "kmv_distinct_terms": textops.kmv_distinct_terms,
         # --- multimodal (binary payload columns; STUB decode kernels) ----
         "media_meta": __import__("rayindex.multimodal", fromlist=["media_meta"]).media_meta,
         "media_frames": __import__("rayindex.multimodal", fromlist=["media_frames"]).media_frames,
@@ -678,6 +685,46 @@ def oracle_sql() -> dict[str, str]:
             "SELECT media_id, CAST(dim_id AS BIGINT) AS dim_id, "
             "CAST(CAST(CAST(md5_number_upper(text || ':' || dim_id) AS DOUBLE) "
             "/ 18446744073709551616.0 AS FLOAT) AS DOUBLE) AS value FROM f"
+        ),
+        "events_hopping": (
+            # size 10 min / hop 5 min → each event lands in 2 windows
+            "WITH e AS (SELECT epoch_us(ts) AS us, event_type, "
+            "CAST(round(value*100) AS BIGINT) AS cents FROM events), "
+            "x AS (SELECT ((us // 300000000) - k.k) * 300000000 AS w, event_type, cents "
+            "FROM e CROSS JOIN (SELECT unnest(range(2)) AS k) k) "
+            "SELECT CAST(w AS BIGINT) AS window_start_us, event_type, "
+            "CAST(count(*) AS BIGINT) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents "
+            "FROM x GROUP BY 1, 2"
+        ),
+        "events_range_join": (
+            "SELECT a.event_id, b.event_id AS error_id FROM events a JOIN events b "
+            "ON a.user_id = b.user_id AND b.event_type = 'error' "
+            "AND epoch_us(a.ts) >= epoch_us(b.ts) "
+            "AND epoch_us(a.ts) < epoch_us(b.ts) + 3600000000 "
+            "AND a.event_id <> b.event_id"
+        ),
+        "doclen_quantiles": (
+            "SELECT source AS site, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS q25, "
+            "CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS q50, "
+            "CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS q75, "
+            "CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS q95 "
+            "FROM documents GROUP BY source"
+        ),
+        "kmv_distinct_terms": (
+            # deterministic KMV sketch: K=64 smallest distinct 61-bit token
+            # hashes per site; estimate (K-1)*2^61/kth, exact below K
+            "WITH toks AS (SELECT source, unnest(list_filter(string_split_regex(trim("
+            "regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g')), ' +'), x -> x <> '')) AS tok "
+            "FROM documents), "
+            "h AS (SELECT DISTINCT source, "
+            "CAST(md5_number_upper(tok) & CAST(2305843009213693951 AS UBIGINT) AS BIGINT) AS hv "
+            "FROM toks), "
+            "r AS (SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn, "
+            "count(*) OVER (PARTITION BY source) AS cnt FROM h) "
+            "SELECT source AS site, CAST(CASE WHEN max(cnt) < 64 THEN max(cnt) "
+            "ELSE CAST(63 AS HUGEINT) * 2305843009213693952 // max(CASE WHEN rn = 64 THEN hv END) "
+            "END AS BIGINT) AS n_distinct_est FROM r GROUP BY source"
         ),
         "events_windowed": (
             # exact integer cents (round(value*100)) — no float summation;

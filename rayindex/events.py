@@ -168,3 +168,110 @@ def asof_last_error(sf_dir: str) -> pd.DataFrame:
     out = out.astype({"event_id": "int64", "user_id": "int64", "ts_us": "int64",
                       "last_error_value": "float64"})
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def hopping_counts(sf_dir: str, size_minutes: int = 10, hop_minutes: int = 5) -> rd.Dataset:
+    """Hopping-window aggregate (engine extension — the overlapping-window
+    sibling of :func:`windowed_counts`): per (window_start, event_type) →
+    event count + exact cents sum, where windows of ``size`` start every
+    ``hop`` and each event lands in ``size // hop`` of them.
+
+    Shape: the window fan-out is vectorized per batch (one tile per hop
+    offset — the explode happens map-side, BEFORE the shuffle, so the wide
+    step still moves each (window, type) partial exactly once); then the
+    same partial → global groupby as the tumbling path.  ``size`` must be a
+    multiple of ``hop``."""
+    if size_minutes % hop_minutes:
+        raise ValueError("size must be a multiple of hop")
+    hop_us = hop_minutes * 60 * US
+    n_win = size_minutes // hop_minutes
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy()
+        base = us // hop_us
+        cents = np.round(t.column("value").to_numpy() * 100.0).astype(np.int64)
+        types = t.column("event_type")
+        wins = np.concatenate([(base - k) * hop_us for k in range(n_win)])
+        part = pa.table(
+            {
+                "window_start": pa.array(wins, pa.int64()),
+                "event_type": pa.concat_arrays([types.combine_chunks()] * n_win),
+                "n": pa.array(np.ones(len(wins), np.int64), pa.int64()),
+                "cents": pa.array(np.tile(cents, n_win), pa.int64()),
+            }
+        )
+        return part.group_by(["window_start", "event_type"]).aggregate(
+            [("n", "sum"), ("cents", "sum")]
+        )
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("n_sum", alias_name="n_events"), Sum("cents_sum", alias_name="sum_cents"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start_us": t.column("window_start").cast(pa.int64()),
+                "event_type": t.column("event_type"),
+                "n_events": t.column("n_events").cast(pa.int64()),
+                "sum_cents": t.column("sum_cents").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def range_join_errors(sf_dir: str, window_minutes: int = 60) -> rd.Dataset:
+    """Range join (engine extension — the interval sibling of the as-of
+    join): every event paired with each SAME-USER ``error`` event whose
+    window ``[error_ts, error_ts + W)`` contains it (excluding the error row
+    itself) → (event_id, error_id).
+
+    Shape: the standard distributed range join — an EQUI-key hash join on
+    the user (``Dataset.join``) followed by a vectorized range filter; each
+    side shuffles once, and per-user output is bounded by events × errors of
+    that user (skewed single users would be salted upstream)."""
+    w_us = window_minutes * 60 * US
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+            }
+        )
+
+    left = ev.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True)
+    errs = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    ).filter(expr="event_type == 'error'")
+
+    def err_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "error_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "err_us": t.column("ts").cast(pa.int64()),
+            }
+        )
+
+    right = errs.map_batches(err_us, batch_format="pyarrow", zero_copy_batch=True)
+    joined = left.join(right, join_type="inner", num_partitions=16, on=("user_id",))
+
+    def in_window(t: pa.Table) -> pa.Table:
+        ts = t.column("ts_us").to_numpy()
+        err = t.column("err_us").to_numpy()
+        keep = (
+            (ts >= err)
+            & (ts < err + w_us)
+            & (t.column("event_id").to_numpy() != t.column("error_id").to_numpy())
+        )
+        out = t.filter(pa.array(keep))
+        return pa.table({"event_id": out.column("event_id"), "error_id": out.column("error_id")})
+
+    return joined.map_batches(in_window, batch_format="pyarrow", zero_copy_batch=True)

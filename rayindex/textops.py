@@ -1414,3 +1414,95 @@ def top_terms_per_site(sf_dir: str, k: int = 5) -> rd.Dataset:
         return g[["site", "rank", "term", "df"]]
 
     return std.groupby("site").map_groups(topk, batch_format="pandas")
+
+
+def doclen_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)) -> pd.DataFrame:
+    """Exact per-site length quantiles (ANSI ``percentile_disc`` semantics:
+    the value at index ``ceil(q·n) − 1`` of the sorted group — pinned against
+    DuckDB's ``quantile_disc``): (site, n_docs, q25, q50, q75, q95) over
+    ``n_chars``.
+
+    Shape: one site-keyed shuffle, vectorized selection inside each group
+    (groups = sites, so the group count is tiny).  At cluster scale with
+    billion-doc sites this becomes sort-by-(site, value) + per-site rank
+    selection — exactness preserved; a KLL sketch is the approximate lever if
+    even that is too wide."""
+    import math
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+
+    def quant(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["n_chars"].to_numpy())
+        n = v.size
+        row = {"site": g["source"].iloc[0], "n_docs": np.int64(n)}
+        for q in qs:
+            row[f"q{int(q * 100)}"] = np.int64(v[max(0, math.ceil(q * n) - 1)])
+        return pd.DataFrame([row])
+
+    out = docs.groupby("source").map_groups(quant, batch_format="pandas").to_pandas()
+    return out.sort_values("site").reset_index(drop=True)
+
+
+# KMV (k-minimum-values) distinct sketch: hashes masked to 61 bits so every
+# value stays int64-safe in Ray aggregates AND exactly mirrorable in DuckDB
+# (md5_number_upper & mask).
+KMV_K = 64
+_KMV_MASK = (1 << 61) - 1
+
+
+def kmv_distinct_terms(sf_dir: str) -> pd.DataFrame:
+    """Approximate per-site distinct-token count via a K-minimum-values
+    sketch (Bar-Yossef et al. 2002): keep the K smallest distinct 61-bit
+    token hashes per site; estimate = (K−1)·2^61 / kth_min, exact count when
+    fewer than K distinct hashes exist.
+
+    The sketch is MERGEABLE — per-batch partials emit each batch's K
+    smallest per site, the global merge unions and re-cuts — so the shuffle
+    moves O(sites × K) rows regardless of corpus size.  Deterministic
+    (md5-based, no seeds), hence SQL-oracle-checkable EXACTLY despite being
+    an approximation of the true distinct count."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = (
+            t.column("text")
+            .to_pandas()
+            .str.lower()
+            .str.replace(_SURFACE_NON_ALNUM, " ", regex=True)
+            .str.split()
+        )
+        sites_out, hv_out = [], []
+        lens = toks.str.len().to_numpy()
+        if lens.sum():
+            flat = np.concatenate([v for v in toks.to_numpy() if len(v)])
+            site_per_tok = np.repeat(t.column("source").to_numpy(zero_copy_only=False), lens)
+            for s in np.unique(site_per_tok):
+                words = np.unique(flat[site_per_tok == s])
+                hv = np.unique(_md5_le64(list(words)) & np.uint64(_KMV_MASK))
+                hv = hv[: KMV_K]  # np.unique is sorted → first K are smallest
+                sites_out.append(np.full(hv.size, s))
+                hv_out.append(hv.astype(np.int64))
+        if not sites_out:
+            return pa.table({"site": pa.array([], pa.string()), "hv": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "site": pa.array(np.concatenate(sites_out), pa.string()),
+                "hv": pa.array(np.concatenate(hv_out), pa.int64()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        hv = np.unique(g["hv"].to_numpy())
+        if hv.size < KMV_K:
+            est = int(hv.size)
+        else:
+            est = (KMV_K - 1) * (1 << 61) // int(hv[KMV_K - 1])
+        return pd.DataFrame([{"site": g["site"].iloc[0], "n_distinct_est": np.int64(est)}])
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("site")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("site").reset_index(drop=True)
