@@ -30,6 +30,11 @@ _TOKS = (
     "lower(text), '[^a-z0-9]', ' ', 'g')), ' +')) AS term FROM documents)"
 )
 _T = f"{_TOKS}, t AS (SELECT doc_id, term FROM toks WHERE term <> '' AND term NOT IN {_STOP_SQL})"
+# token-LIST form of the same surface stream (for n-gram window SQL)
+_TOKL = (
+    "tokl AS (SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace("
+    "lower(text), '[^a-z0-9]', ' ', 'g')), ' +'), x -> x <> '') AS l FROM documents)"
+)
 _TOKS_SITE = (
     "toks AS (SELECT doc_id, source AS site, unnest(string_split_regex(trim(regexp_replace("
     "lower(text), '[^a-z0-9]', ' ', 'g')), ' +')) AS term FROM documents)"
@@ -241,6 +246,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_per_site": textops.top_terms_per_site,
         "redact_regex": textops.redact_regex,
         "bigram_counts": textops.bigram_counts,
+        # --- round-3 second wave: repetition / decontamination / stratified
+        # sampling / collocations (all SQL-checked) ------------------------
+        "repetition_signals": textops.repetition_signals,
+        "decontaminate": textops.decontaminate,
+        "stratified_sample": textops.stratified_sample,
+        "pmi_bigrams": lambda sf: textops.pmi_bigrams(sf, k=20, min_n=2),
         # --- rows-only (approximate by design; recall pinned by pytest and
         # recorded as a bench metric) --------------------------------------
         "ann_lsh_topk": textops.ann_lsh_topk,
@@ -566,6 +577,48 @@ def oracle_sql() -> dict[str, str]:
             "FROM toks WHERE len(l) >= 2) "
             "SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg "
             "GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50"
+        ),
+        "repetition_signals": (
+            f"WITH {_TOKL}, "
+            "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bigram FROM tokl WHERE len(l) >= 2), "
+            "bgc AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY doc_id, bigram), "
+            "top AS (SELECT doc_id, bigram AS top_bigram, CAST(n AS BIGINT) AS top_bigram_n FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bigram) AS r FROM bgc) WHERE r = 1), "
+            "nbg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams FROM bg GROUP BY doc_id), "
+            "tg AS (SELECT doc_id, unnest(list_transform(range(1, len(l)-1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS trigram FROM tokl WHERE len(l) >= 3), "
+            "tga AS (SELECT doc_id, CAST(count(*) - count(DISTINCT trigram) AS BIGINT) AS dup_trigram_n FROM tg GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(n.n_bigrams, 0) AS n_bigrams, COALESCE(t.top_bigram, '') AS top_bigram, "
+            "COALESCE(t.top_bigram_n, 0) AS top_bigram_n, COALESCE(g.dup_trigram_n, 0) AS dup_trigram_n "
+            "FROM documents d LEFT JOIN nbg n USING (doc_id) LEFT JOIN top t USING (doc_id) LEFT JOIN tga g USING (doc_id)"
+        ),
+        "decontaminate": (
+            f"WITH {_TOKL}, "
+            "g AS (SELECT doc_id, unnest(list_transform(range(1, len(l)-3), "
+            "i -> l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4])) AS g5 FROM tokl WHERE len(l) >= 5), "
+            "bench AS (SELECT DISTINCT g5 FROM g WHERE doc_id % 97 = 0), "
+            "hits AS (SELECT doc_id, CAST(count(DISTINCT g5) AS BIGINT) AS n_overlap FROM g JOIN bench USING (g5) GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(h.n_overlap, 0) AS n_overlap, "
+            "CAST(COALESCE(h.n_overlap, 0) > 0 AS BIGINT) AS contaminated "
+            "FROM documents d LEFT JOIN hits h USING (doc_id)"
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, lang, source FROM documents "
+            "WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < "
+            "CASE lang WHEN 'en' THEN 20 ELSE 50 END"
+        ),
+        "pmi_bigrams": (
+            f"WITH {_TOKL}, "
+            "uni AS (SELECT unnest(l) AS w FROM tokl), "
+            "unic AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY w), "
+            "n1 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni), "
+            "bg AS (SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bigram FROM tokl WHERE len(l) >= 2), "
+            "bgc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY bigram), "
+            "n2 AS (SELECT CAST(sum(n) AS BIGINT) AS v FROM bgc), "
+            "top AS (SELECT bigram, n FROM bgc WHERE n >= 2 ORDER BY n DESC, bigram LIMIT 20) "
+            "SELECT t.bigram, t.n, ln((CAST(t.n AS DOUBLE) * (SELECT v FROM n1) * (SELECT v FROM n1)) / "
+            "(CAST((SELECT v FROM n2) AS DOUBLE) * a.n * b.n)) AS pmi "
+            "FROM top t JOIN unic a ON a.w = string_split(t.bigram, ' ')[1] "
+            "JOIN unic b ON b.w = string_split(t.bigram, ' ')[2]"
         ),
         "media_meta": (
             "WITH m AS (SELECT doc_id AS media_id, "

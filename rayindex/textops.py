@@ -1506,3 +1506,295 @@ def kmv_distinct_terms(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("site").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals, decontamination, stratified sampling, PMI
+
+
+def _surface_tokens(text_col: pa.ChunkedArray | pa.Array) -> pd.Series:
+    """The shared SURFACE token stream (lower → non-alnum→space → split) used
+    by bigram_counts / kmv_distinct_terms — one tokenization, many ops."""
+    return (
+        text_col.to_pandas()
+        .str.lower()
+        .str.replace(_SURFACE_NON_ALNUM, " ", regex=True)
+        .str.split()
+    )
+
+
+def repetition_signals(sf_dir: str) -> rd.Dataset:
+    """Repetition-based quality signals in the Gopher / C4 filter family
+    (Rae et al. 2021 §A1.1): per document, the most frequent bigram and its
+    count (top-n-gram dominance) and the number of DUPLICATE trigram
+    occurrences (occurrences − distinct).  High values mean boilerplate /
+    machine-generated repetition; a 100 TB curation pass thresholds on them.
+
+    Fully vectorized per batch: one flattened token stream, bigrams/trigrams
+    formed by masked ``str.cat`` over shifted views (cross-document pairs
+    masked out), per-doc tops via ONE sort + drop_duplicates — no Python
+    loop over rows.  Embarrassingly parallel (no shuffle)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def sig(t: pa.Table) -> pa.Table:
+        toks = _surface_tokens(t.column("text"))
+        n = len(toks)
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        n_bigrams = np.maximum(lens - 1, 0)
+        top_bg = np.full(n, "", dtype=object)
+        top_n = np.zeros(n, dtype=np.int64)
+        dup_tri = np.zeros(n, dtype=np.int64)
+        if int(lens.sum()) >= 2:
+            flat = np.concatenate([v for v in toks.to_numpy() if len(v)])
+            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+            same = rows[:-1] == rows[1:]  # successor in the same doc
+            if same.any():
+                left = pd.Series(flat[:-1], dtype=object)
+                bg = left.str.cat(pd.Series(flat[1:], dtype=object), sep=" ").to_numpy()[same]
+                brows = rows[:-1][same]
+                cnt = (
+                    pd.DataFrame({"row": brows, "bigram": bg})
+                    .groupby(["row", "bigram"], sort=False)
+                    .size()
+                    .reset_index(name="c")
+                    .sort_values(["row", "c", "bigram"], ascending=[True, False, True], kind="stable")
+                    .drop_duplicates("row")
+                )
+                top_bg[cnt["row"].to_numpy()] = cnt["bigram"].to_numpy()
+                top_n[cnt["row"].to_numpy()] = cnt["c"].to_numpy(dtype=np.int64)
+            same3 = same[:-1] & same[1:]
+            if same3.any():
+                tri = (
+                    pd.Series(flat[:-2], dtype=object)
+                    .str.cat(pd.Series(flat[1:-1], dtype=object), sep=" ")
+                    .str.cat(pd.Series(flat[2:], dtype=object), sep=" ")
+                ).to_numpy()[same3]
+                agg = (
+                    pd.DataFrame({"row": rows[:-2][same3], "tri": tri})
+                    .groupby("row")["tri"]
+                    .agg(["size", "nunique"])
+                )
+                dup_tri[agg.index.to_numpy()] = (agg["size"] - agg["nunique"]).to_numpy(
+                    dtype=np.int64
+                )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_bigrams": pa.array(n_bigrams, pa.int64()),
+                "top_bigram": pa.array(top_bg, pa.string()),
+                "top_bigram_n": pa.array(top_n, pa.int64()),
+                "dup_trigram_n": pa.array(dup_tri, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _row_ngrams(t: pa.Table, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_id per gram, word-n-gram string) over the surface token stream —
+    cross-document windows masked out. Returns empty arrays when no row has
+    ``n`` tokens."""
+    toks = _surface_tokens(t.column("text"))
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    if int(lens.sum()) < n:
+        return np.array([], dtype=np.uint64), np.array([], dtype=object)
+    flat = np.concatenate([v for v in toks.to_numpy() if len(v)])
+    ids = np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False), lens)
+    rows = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+    m = len(flat) - (n - 1)
+    if m <= 0:
+        return np.array([], dtype=np.uint64), np.array([], dtype=object)
+    same = rows[: m] == rows[n - 1 :]
+    if not same.any():
+        return np.array([], dtype=np.uint64), np.array([], dtype=object)
+    g = pd.Series(flat[:m], dtype=object)
+    for i in range(1, n):
+        g = g.str.cat(pd.Series(flat[i : m + i], dtype=object), sep=" ")
+    return ids[:m][same], g.to_numpy()[same]
+
+
+def decontaminate(sf_dir: str, n: int = 5, bench_mod: int = 97) -> rd.Dataset:
+    """Test-set decontamination (GPT-3 §C / PaLM-style): flag every document
+    that shares ANY word ``n``-gram with a benchmark set.  Documents with
+    ``doc_id % bench_mod == 0`` stand in for the held-out eval set here.
+
+    Scale shape: eval sets are tiny by nature (thousands of docs vs 10^12),
+    so their distinct n-grams are collected with a distributed dedup and
+    broadcast ONCE via ``ray.put``; the corpus side is a pure streaming
+    ``map_batches`` membership scan — no shuffle touches the 100 TB table.
+    Emits (doc_id, n_overlap = distinct shared n-grams, contaminated 0/1);
+    benchmark members flag themselves by construction."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % bench_mod == 0))
+        if sub.num_rows == 0:
+            return pa.table({"gram": pa.array([], pa.string())})
+        _, grams = _row_ngrams(sub, n)
+        return pa.table({"gram": pa.array(np.unique(grams), pa.string())})
+
+    bench = (
+        docs.map_batches(bench_grams, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gram")
+        .count()
+        .select_columns(["gram"])
+        .to_pandas()["gram"]
+        .to_numpy()
+    )
+    bench_ref = ray.put(np.sort(bench.astype(object)))
+
+    lo, hi = auto_concurrency()
+    return docs.map_batches(
+        _ContaminationScan,
+        fn_constructor_args=(bench_ref, n),
+        concurrency=(lo, hi),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+class _ContaminationScan:
+    """Actor-pool membership scan: the broadcast benchmark n-gram array is
+    fetched from the object store ONCE per actor (zero-copy plasma read),
+    not per batch."""
+
+    def __init__(self, ref, n: int):
+        self.bench = ray.get(ref)
+        self.n = n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids_all = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n_overlap = np.zeros(len(ids_all), dtype=np.int64)
+        gids, grams = _row_ngrams(t, self.n)
+        if len(grams):
+            pairs = pd.DataFrame({"id": gids, "g": grams}).drop_duplicates()
+            hit = pairs[np.isin(pairs["g"].to_numpy(), self.bench)]
+            if len(hit):
+                cnt = hit.groupby("id").size()
+                pos = pd.Index(ids_all).get_indexer(cnt.index)
+                n_overlap[pos] = cnt.to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_overlap": pa.array(n_overlap, pa.int64()),
+                "contaminated": pa.array((n_overlap > 0).astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def stratified_sample(sf_dir: str, rates: dict[str, int] | None = None,
+                      default_pct: int = 50) -> rd.Dataset:
+    """Per-stratum deterministic hash sampling — the language-rebalancing
+    step of a multilingual corpus (downsample the dominant language, keep
+    the rest): keep a doc iff ``md5_le64(str(doc_id)) % 100 <
+    rate(lang)``.  Same md5-LE64 rule as ``sample_hash`` → reproducible for
+    any partitioning, pure streaming filter, no shuffle; the rate table is a
+    constant (per-job config), never a join."""
+    rates = {"en": 20} if rates is None else rates
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pandas().astype(str)
+        h = (_md5_le64(list(ids)) % np.uint64(100)).astype(np.int64)
+        langs = t.column("lang").to_pandas()
+        cut = langs.map(rates).fillna(default_pct).to_numpy(dtype=np.int64)
+        return t.filter(pa.array(h < cut))
+
+    return docs.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pmi_bigrams(sf_dir: str, k: int = 20, min_n: int = 5) -> rd.Dataset:
+    """Collocation mining: top-``k`` corpus bigrams (count ≥ ``min_n``,
+    count desc / bigram asc) scored with pointwise mutual information
+    ``pmi = ln( (c_ab/N2) / ((c_a/N1)(c_b/N1)) )`` — the classic phrase-
+    detection statistic (word2vec phrase pass, topic-model preprocessing).
+
+    Distributed shape: unigram and bigram counts are the usual partial→
+    global groupbys (vocabulary-bounded shuffles); the top-k table (k rows)
+    then hash-JOINs the unigram table twice (left word, right word) — the
+    big side streams, nothing is broadcast.  Floats are oracle-exact: the
+    ratio is evaluated in IEEE left-assoc order and logged with
+    ``math.log`` (ULP-identical to DuckDB ``ln``)."""
+    import math
+
+    uni = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(
+            lambda t: pa.table({"w": pa.array(np.concatenate([v for v in _surface_tokens(t.column("text")).to_numpy() if len(v)] or [np.array([], dtype=object)]), pa.string())}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby("w")
+        .count()
+    )  # (w, count())
+    n1 = int(uni.sum("count()"))
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = _surface_tokens(t.column("text"))
+        lens = toks.str.len().to_numpy()
+        if lens.sum() == 0:
+            return pa.table({"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        flat = np.concatenate([v for v in toks.to_numpy() if len(v)])
+        ends = np.cumsum(lens[lens > 0]) - 1
+        starts = np.ones(len(flat), dtype=bool)
+        starts[ends] = False
+        bg = (
+            pd.Series(flat[:-1], dtype=object)
+            .str.cat(pd.Series(flat[1:], dtype=object), sep=" ")
+            .to_numpy()[starts[:-1]]
+        )
+        tab = pa.table({"bigram": pa.array(bg, pa.string())})
+        return tab.group_by("bigram").aggregate([("bigram", "count")]).rename_columns(["bigram", "n"])
+
+    bgc = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    n2 = int(bgc.sum("n"))
+    top = (
+        bgc.filter(expr=f"n >= {int(min_n)}")
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(k)
+    )
+
+    def split_words(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("bigram"), " ")
+        return pa.table(
+            {
+                "bigram": t.column("bigram"),
+                "n": t.column("n"),
+                "w1": pc.list_element(parts, 0),
+                "w2": pc.list_element(parts, 1),
+            }
+        )
+
+    top = top.map_batches(split_words, batch_format="pyarrow", zero_copy_batch=True)
+    uni_a = uni.map_batches(
+        lambda t: t.rename_columns(["w1", "n_a"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    uni_b = uni.map_batches(
+        lambda t: t.rename_columns(["w2", "n_b"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    nparts = max(2, _task_cpus() // 2)
+    joined = top.join(uni_a, join_type="inner", num_partitions=nparts, on=("w1",)).join(
+        uni_b, join_type="inner", num_partitions=nparts, on=("w2",)
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        c_ab = t.column("n").to_numpy().astype(np.float64)
+        c_a = t.column("n_a").to_numpy().astype(np.float64)
+        c_b = t.column("n_b").to_numpy().astype(np.float64)
+        ratio = (c_ab * float(n1) * float(n1)) / (float(n2) * c_a * c_b)
+        pmi = np.array([math.log(r) for r in ratio], dtype=np.float64)
+        return pa.table(
+            {
+                "bigram": t.column("bigram"),
+                "n": t.column("n"),
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
