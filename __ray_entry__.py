@@ -239,6 +239,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engine_facet_sites": __import__(
             "rayindex.pipelines", fromlist=["engine_facet_sites"]
         ).engine_facet_sites,
+        "engine_fuzzy_terms": __import__(
+            "rayindex.pipelines", fromlist=["engine_fuzzy_terms"]
+        ).engine_fuzzy_terms,
         # --- round-3 corpus curation staples (all SQL-checked) ------------
         "sample_hash": textops.sample_hash,
         "tfidf": textops.tfidf,
@@ -435,6 +438,13 @@ def oracle_sql() -> dict[str, str]:
         "engine_prefix_terms": (
             f"WITH {_PTOKS} SELECT term, CAST(count(DISTINCT url) AS BIGINT) AS df "
             "FROM pt WHERE term LIKE 'st%' GROUP BY term"
+        ),
+        "engine_fuzzy_terms": (
+            f"WITH {_PTOKS}, d AS (SELECT term, CAST(count(DISTINCT url) AS BIGINT) AS df "
+            "FROM pt GROUP BY term) "
+            "SELECT 'scan' AS q, term, df FROM d WHERE levenshtein(term, 'scan') <= 1 "
+            "UNION ALL "
+            "SELECT '77' AS q, term, df FROM d WHERE levenshtein(term, '77') <= 1"
         ),
         "engine_phrase_topk": (
             # conjunctive candidates + exact-adjacency verification on the

@@ -47,6 +47,11 @@ PHRASE_QUERIES = [
 # dictionary prefix for the autocomplete-style scan entry
 PREFIX_QUERY = "st"
 
+# misspelled/near-neighbor words for the fuzzy-lookup entry: a word with
+# vocabulary neighbors at distance 0 and 1, and a 2-digit token that matches
+# many id-derived numeric terms within one edit
+FUZZY_QUERIES = ["scan", "77"]
+
 # (positive query, excluded word) pairs for the boolean-NOT entry
 NOT_QUERIES = [
     ("slow query", "table"),
@@ -224,6 +229,22 @@ def engine_prefix_terms(sf_dir: str, prefix: str | None = None) -> pd.DataFrame:
     index_dir = build_bench_index(sf_dir, repeat=1)
     eng = QueryEngine(index_dir, SIMPLE_SPEC)
     return eng.prefix_terms(prefix or PREFIX_QUERY)
+
+
+def engine_fuzzy_terms(sf_dir: str, words: list[str] | None = None) -> pd.DataFrame:
+    """Fuzzy dictionary lookup through the built index, ORACLE-CHECKABLE:
+    (q, term, df) for every indexed term within Levenshtein distance 1 of
+    each query word — the did-you-mean path, served from the SymSpell
+    deletion-neighborhood over the term_stats dictionary (oracle:
+    DuckDB ``levenshtein(term, q) <= 1`` over the same page tokens)."""
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    parts = []
+    for w in words or FUZZY_QUERIES:
+        t = eng.fuzzy_terms(w)
+        t.insert(0, "q", w)
+        parts.append(t)
+    return pd.concat(parts, ignore_index=True)
 
 
 def engine_phrase_topk(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:

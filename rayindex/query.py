@@ -688,6 +688,77 @@ class QueryEngine:
         out = ts.groupby("term", sort=True)["df"].sum().astype("int64").reset_index()
         return out[out["df"] > 0].reset_index(drop=True)
 
+    def _fuzzy_index(self) -> tuple[pd.DataFrame, np.ndarray, np.ndarray]:
+        """SymSpell-style deletion-neighborhood index over the dictionary
+        (Garbe 2012): every term is bucketed under itself and each of its
+        1-deletion variants; a query probes only its own |q|+1 variants
+        instead of scanning the vocabulary.  Built lazily ONCE per engine by
+        O(max_term_len) vectorized slice passes (this is the structure an
+        index build would persist as a per-bucket ``fuzzy/`` sidecar next to
+        term_stats at 10^12-doc scale — the probe side is unchanged)."""
+        if getattr(self, "_fuzzy_cache", None) is not None:
+            return self._fuzzy_cache
+        dic = self.term_df_table()
+        s = pd.Series(dic["term"].to_numpy(), dtype=object)
+        variants = [s.to_numpy()]  # identity variant covers insertion-only edits
+        owners = [np.arange(len(s), dtype=np.int64)]
+        for i in range(int(s.str.len().max() or 0)):
+            mask = (s.str.len() > i).to_numpy()
+            if not mask.any():
+                break
+            v = (s[mask].str.slice(0, i) + s[mask].str.slice(i + 1)).to_numpy()
+            variants.append(v)
+            owners.append(np.flatnonzero(mask).astype(np.int64))
+        var = np.concatenate(variants)
+        own = np.concatenate(owners)
+        order = np.argsort(var, kind="stable")
+        self._fuzzy_cache = (dic, var[order], own[order])
+        return self._fuzzy_cache
+
+    @staticmethod
+    def _levenshtein(a: str, b: str) -> int:
+        if a == b:
+            return 0
+        bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+        prev = np.arange(len(bb) + 1, dtype=np.int64)
+        for i, ca in enumerate(a, 1):
+            cur = np.empty(len(bb) + 1, dtype=np.int64)
+            cur[0] = i
+            np.minimum(prev[:-1] + (bb != ord(ca)), prev[1:] + 1, out=cur[1:])
+            # the insertion term is a sequential prefix relaxation (words are
+            # short, so this inner loop is O(|b|) scalar ops per row)
+            for j in range(1, len(bb) + 1):
+                if cur[j - 1] + 1 < cur[j]:
+                    cur[j] = cur[j - 1] + 1
+            prev = cur
+        return int(prev[-1])
+
+    def fuzzy_terms(self, word: str, max_edits: int = 1) -> pd.DataFrame:
+        """Fuzzy dictionary lookup (engine extension: did-you-mean /
+        spell-tolerant search): every indexed term within Levenshtein
+        distance ``max_edits`` of ``word``, with its purge-corrected global
+        df — (term, df), term-ascending.
+
+        Candidate generation is the deletion-neighborhood intersection (a
+        term is within distance 1 iff its variant set meets the query's),
+        probed with ``np.searchsorted`` against the sorted variant array;
+        an exact DP verify then removes the radius-2 collisions the
+        neighborhood admits (e.g. transpositions).  Probe cost is
+        O(|word| · log vocab), independent of vocabulary size."""
+        dic, var, own = self._fuzzy_index()
+        if len(dic) == 0:
+            return pd.DataFrame({"term": pd.Series(dtype=str), "df": pd.Series(dtype="int64")})
+        probes = [word] + [word[:i] + word[i + 1:] for i in range(len(word))]
+        probes = np.array(sorted(set(probes)), dtype=object)
+        lo = np.searchsorted(var, probes, side="left")
+        hi = np.searchsorted(var, probes, side="right")
+        cand = np.unique(np.concatenate([own[a:b] for a, b in zip(lo, hi)] or
+                                        [np.array([], dtype=np.int64)]))
+        terms = dic["term"].to_numpy()
+        keep = [i for i in cand if self._levenshtein(word, terms[i]) <= max_edits]
+        out = dic.iloc[keep].sort_values("term").reset_index(drop=True)
+        return out[["term", "df"]]
+
     def search_not(self, query: str, exclude: str, site: str | None = None,
                    k: int | None = 10) -> dict:
         """Conjunctive search MINUS documents matching any lemma of

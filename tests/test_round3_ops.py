@@ -428,3 +428,45 @@ def test_top_terms_per_site_vs_duckdb(ray_session, curation_sf):
     assert got["term"].tolist() == want["term"].tolist()
     assert got["df"].tolist() == want["df"].tolist()
     assert got["rank"].tolist() == want["rank"].tolist()
+
+
+# --- fuzzy dictionary lookup (SymSpell deletion neighborhood) ---------------
+
+
+def test_levenshtein_dp_matches_bruteforce():
+    import itertools
+
+    from rayindex.query import QueryEngine
+
+    def ref(a, b):
+        # classic O(len(a)*len(b)) DP, scalar reference
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    words = ["", "a", "ab", "scan", "scna", "scant", "can", "sian", "table", "77", "777", "17"]
+    for a, b in itertools.product(words, repeat=2):
+        assert QueryEngine._levenshtein(a, b) == ref(a, b), (a, b)
+
+
+def test_fuzzy_terms_equals_vocabulary_scan(engine):
+    from rayindex.query import QueryEngine
+
+    dic = engine.term_df_table()
+    for w in ["scan", "tabel", "xyzzy", "77"]:
+        got = engine.fuzzy_terms(w)
+        mask = dic["term"].map(lambda t: QueryEngine._levenshtein(w, t) <= 1)
+        want = dic[mask].sort_values("term").reset_index(drop=True)[["term", "df"]]
+        assert got.equals(want), w
+
+
+def test_fuzzy_terms_includes_exact_word_and_respects_df(engine):
+    dic = engine.term_df_table()
+    w = dic["term"].iloc[len(dic) // 2]
+    got = engine.fuzzy_terms(w)
+    assert w in set(got["term"])  # distance 0
+    row = got[got["term"] == w].iloc[0]
+    assert row["df"] == int(dic[dic["term"] == w]["df"].iloc[0])
