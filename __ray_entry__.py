@@ -242,6 +242,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engine_fuzzy_terms": __import__(
             "rayindex.pipelines", fromlist=["engine_fuzzy_terms"]
         ).engine_fuzzy_terms,
+        "engine_phrase_pos_topk": __import__(
+            "rayindex.pipelines", fromlist=["engine_phrase_pos_topk"]
+        ).engine_phrase_pos_topk,
         # --- round-3 corpus curation staples (all SQL-checked) ------------
         "sample_hash": textops.sample_hash,
         "tfidf": textops.tfidf,
@@ -279,7 +282,7 @@ def oracle_sql() -> dict[str, str]:
         f"({j}, {int(a)}, {int(b)})" for j, (a, b) in enumerate(zip(_mh.a, _mh.b))
     )
     _mask61 = (1 << 61) - 1
-    return {
+    out = {
         "doc_tf": f"WITH {_T} SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, term",
         "term_df": f"WITH {_T} SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY term",
         "site_term_df": f"WITH {_TS} SELECT site, term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY site, term",
@@ -822,3 +825,7 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT 1 FROM errors e WHERE e.user_id = c.user_id AND e.ts <= c.ts)"
         ),
     }
+    # the positional phrase path must agree with the doc-store verify
+    # path exactly — one oracle pins both engine implementations
+    out["engine_phrase_pos_topk"] = out["engine_phrase_topk"]
+    return out

@@ -72,11 +72,35 @@ class Analyzer:
             out[self.lemma_map.get(word, word)] += 1
         return out
 
+    def lemma_positions(self, text: str) -> list[tuple[str, int]]:
+        """Ordered (lemma, word-position) pairs for a query phrase; particles
+        consume a position but emit no pair, and the position counter matches
+        the positional index layer (rank among non-empty normalized tokens).
+        Returns None-marker via empty list for blank text."""
+        cleaned = self._strip_re.sub(" ", text.lower()).strip()
+        out: list[tuple[str, int]] = []
+        if not cleaned:
+            return out
+        pos = 0
+        for word in self._split_re.split(cleaned):
+            if not word:
+                continue
+            if word in self.particles:
+                pos += 1
+                continue
+            out.append((self.lemma_map.get(word, word), pos))
+            pos += 1
+        return out
+
     # -- vectorized (actor batch path) --------------------------------------
     def lemmatize_arrow(
-        self, texts: pa.Array | pa.ChunkedArray
-    ) -> tuple[np.ndarray, pa.Array, np.ndarray]:
-        """Arrow-native M3-M6 over a batch → (rows, terms, tfs).
+        self, texts: pa.Array | pa.ChunkedArray, with_positions: bool = False
+    ) -> tuple:
+        """Arrow-native M3-M6 over a batch → (rows, terms, tfs) — plus, when
+        ``with_positions``, a per-(row, term) delta+varbyte blob of the
+        term's word positions (position = rank among the row's NON-EMPTY
+        normalized tokens, particles included — i.e. the word index in the
+        squeeze-normalized text the phrase verifier matches against).
 
         All per-token work happens in C++ kernels (lower, regex replace,
         split, flatten, dictionary-encode); the Python-level lemma/particle
@@ -94,7 +118,8 @@ class Analyzer:
         tokens = pc.list_flatten(lists)
         parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
         if len(tokens) == 0:
-            return np.empty(0, np.int64), pa.array([], pa.string()), np.empty(0, np.int64)
+            empty3 = (np.empty(0, np.int64), pa.array([], pa.string()), np.empty(0, np.int64))
+            return empty3 + ([],) if with_positions else empty3
         denc = tokens.dictionary_encode()
         if isinstance(denc, pa.ChunkedArray):
             denc = denc.combine_chunks()
@@ -118,11 +143,44 @@ class Analyzer:
         # tf counting on integer keys (row, lemma_id) — pure numpy
         n_lemmas = max(1, len(lemma_to_id))
         key = rows * n_lemmas + kept_lids
-        uk, counts = np.unique(key, return_counts=True)
+        if not with_positions:
+            uk, counts = np.unique(key, return_counts=True)
+        else:
+            # word position per flat token: rank among the row's non-empty
+            # tokens (particles count — they occupy a slot in the normalized
+            # text even though they are not indexed)
+            uniq_is_word = np.array([u != "" for u in uniq], dtype=bool)
+            is_word = uniq_is_word[idx]
+            cnt = np.cumsum(is_word)
+            start_idx = np.flatnonzero(
+                np.concatenate(([True], parents[1:] != parents[:-1]))
+            )
+            base_at_start = cnt[start_idx] - is_word[start_idx]
+            seg_lens = np.diff(np.concatenate((start_idx, [len(parents)])))
+            base = np.repeat(base_at_start, seg_lens)
+            pos_kept = (cnt - 1 - base)[keep].astype(np.uint64)
+            order = np.argsort(key, kind="stable")
+            sp = pos_kept[order]
+            uk, counts = np.unique(key[order], return_counts=True)
+            ends = np.cumsum(counts)
+            starts = ends - counts
+            # delta-encode positions, resetting at group (posting) heads, then
+            # ONE vectorized varbyte pass sliced into per-posting blobs
+            deltas = sp.copy()
+            if sp.size:
+                deltas[1:] = sp[1:] - sp[:-1]
+                deltas[starts] = sp[starts]
+            from .codec import varbyte_encode, varbyte_lengths
+
+            blob_all = varbyte_encode(deltas)
+            boff = np.concatenate(([0], np.cumsum(varbyte_lengths(deltas))))
+            blobs = [blob_all[boff[s] : boff[e]] for s, e in zip(starts, ends)]
         out_rows = (uk // n_lemmas).astype(np.int64)
         out_lids = (uk % n_lemmas).astype(np.int64)
         lemma_arr = pa.array(list(lemma_to_id.keys()), pa.string())
         out_terms = lemma_arr.take(pa.array(out_lids))
+        if with_positions:
+            return out_rows, out_terms, counts.astype(np.int64), blobs
         return out_rows, out_terms, counts.astype(np.int64)
 
     def lemmatize_series(self, texts: pd.Series) -> pd.DataFrame:
@@ -165,18 +223,26 @@ class LemmatizeStage:
     column (``extracted_text`` in the pipeline).
     """
 
-    def __init__(self, analyzer_spec, text_col: str = "extracted_text"):
+    def __init__(self, analyzer_spec, text_col: str = "extracted_text",
+                 positions: bool = False):
         if isinstance(analyzer_spec, ray.ObjectRef):
             analyzer_spec = ray.get(analyzer_spec)
         self.analyzer = make_analyzer(analyzer_spec)
         self.text_col = text_col
+        self.positions = positions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if "doc_id" in batch.schema.names:  # P2 passes the stored id through
             doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
         else:  # standalone use over raw pages
             doc_ids = doc_ids_for_urls(batch.column("url").to_pandas().to_numpy())
-        rows, terms, tfs = self.analyzer.lemmatize_arrow(batch.column(self.text_col))
+        pos_blobs: list[bytes] = []
+        if self.positions:
+            rows, terms, tfs, pos_blobs = self.analyzer.lemmatize_arrow(
+                batch.column(self.text_col), with_positions=True
+            )
+        else:
+            rows, terms, tfs = self.analyzer.lemmatize_arrow(batch.column(self.text_col))
         # doc_len = Σ tf per document (A8) — computable batch-locally because
         # every posting of a doc comes from the same input row.
         dl_per_row = np.zeros(len(batch), dtype=np.int64)
@@ -201,14 +267,17 @@ class LemmatizeStage:
             )
             tfs = np.concatenate([tfs, np.zeros(len(empty_rows), np.int64)])
             first = np.concatenate([first, np.ones(len(empty_rows), bool)])
+            if self.positions:
+                pos_blobs = pos_blobs + [b""] * len(empty_rows)
         sites = pc.take(batch.column("site"), pa.array(rows))
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_ids[rows], type=pa.int64()),
-                "site": sites,
-                "term": terms,
-                "tf": pa.array(tfs.astype(np.uint32), type=pa.uint32()),
-                "doc_len": pa.array(dl_per_row[rows].astype(np.uint32), type=pa.uint32()),
-                "first": pa.array(first, type=pa.bool_()),
-            }
-        )
+        cols = {
+            "doc_id": pa.array(doc_ids[rows], type=pa.int64()),
+            "site": sites,
+            "term": terms,
+            "tf": pa.array(tfs.astype(np.uint32), type=pa.uint32()),
+            "doc_len": pa.array(dl_per_row[rows].astype(np.uint32), type=pa.uint32()),
+            "first": pa.array(first, type=pa.bool_()),
+        }
+        if self.positions:
+            cols["positions"] = pa.array(pos_blobs, type=pa.binary())
+        return pa.table(cols)

@@ -410,10 +410,11 @@ class _EncodeUnit:
     set, slices its salt, and encodes — identical output to the groupby path.
     """
 
-    def __init__(self, postings_dir: str, heavy_ref):
+    def __init__(self, postings_dir: str, heavy_ref, positions: bool = False):
         self.postings_dir = postings_dir
         self._heavy_ref = heavy_ref
         self.heavy: dict | None = heavy_ref if isinstance(heavy_ref, dict) else None
+        self.positions = positions
 
     def _get_heavy(self) -> dict:
         if self.heavy is None:
@@ -434,9 +435,10 @@ class _EncodeUnit:
             # salt units beyond 0 contain only heavy-term rows — push the term
             # filter into the read instead of materializing the whole bucket
             flt = pc.field("term").isin(list(heavy)) if (s > 0 and heavy) else None
-            t = dset.to_table(
-                columns=["doc_id", "site", "term", "tf", "doc_len"], filter=flt
-            )
+            cols = ["doc_id", "site", "term", "tf", "doc_len"]
+            if self.positions:
+                cols.append("positions")
+            t = dset.to_table(columns=cols, filter=flt)
             if t.num_rows == 0:
                 continue
             salts = derive_salts(
@@ -631,6 +633,7 @@ def build_index(
     # per-(bucket, salt) reduce tasks) or "groupby" (Ray sort-based shuffle);
     # both produce byte-identical segments
     extractor: str = "parser",  # "parser" | "fast" (vectorized regex path)
+    positions: bool = False,  # positional postings (phrase/proximity layer)
     extract_batch_size: int = 2048,
     lemma_batch_size: int = 2048,
     lemma_concurrency: tuple[int, int] | int | None = None,
@@ -651,6 +654,7 @@ def build_index(
         salt=[salt_df_threshold, salt_target],
         shuffle_mode=shuffle_mode,
         extractor=extractor,
+        positions=positions,
     )
     metrics: dict[str, Any] = {"shard": shard_index, "phases": {}}
     t_start = time.monotonic()
@@ -722,7 +726,8 @@ def build_index(
         if heavy_state:
             postings = docs.map_batches(
                 LemmatizeStage,
-                fn_constructor_kwargs={"analyzer_spec": spec_ref, "text_col": "text"},
+                fn_constructor_kwargs={"analyzer_spec": spec_ref, "text_col": "text",
+                                       "positions": positions},
                 batch_format="pyarrow",
                 batch_size=lemma_batch_size,
                 zero_copy_batch=True,
@@ -730,7 +735,7 @@ def build_index(
             )
         else:
             postings = docs.map_batches(
-                LemmatizeStage(analyzer_spec, "text"),
+                LemmatizeStage(analyzer_spec, "text", positions),
                 batch_format="pyarrow",
                 batch_size=lemma_batch_size,
                 zero_copy_batch=True,
@@ -882,6 +887,7 @@ def build_index(
             "analyzer": analyzer_spec.get("name"),
             "shard_index": shard_index,
             "num_shards": num_shards,
+            "positions": bool(positions),
         }
         with open(os.path.join(shard_dir, "stats.json.tmp"), "w") as f:
             json.dump(stats, f, indent=1)
@@ -929,14 +935,15 @@ def build_index(
                 ]
                 units_ds = rd.from_items(units)
                 segs = units_ds.map_batches(
-                    _EncodeUnit(postings_dir, heavy_ref),
+                    _EncodeUnit(postings_dir, heavy_ref, positions),
                     batch_size=1, batch_format="pyarrow", zero_copy_batch=True,
                 )
                 _write_parquet(segs, tmp, partition_cols=["bucket"])
             else:
-                p = rd.read_parquet(
-                    postings_dir, columns=["doc_id", "site", "term", "tf", "doc_len"]
-                )
+                pcols = ["doc_id", "site", "term", "tf", "doc_len"]
+                if positions:
+                    pcols.append("positions")
+                p = rd.read_parquet(postings_dir, columns=pcols)
                 p = p.map_batches(
                     _AddBucket(num_buckets), batch_format="pyarrow", zero_copy_batch=True
                 )

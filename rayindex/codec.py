@@ -48,6 +48,18 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varbyte_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte count per value (same rule as :func:`varbyte_encode`) —
+    lets callers slice a concatenated blob into per-group segments."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nbytes = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0)
+        tmp >>= np.uint64(7)
+    return nbytes
+
+
 def varbyte_decode(buf: bytes | memoryview | np.ndarray, count: int | None = None) -> np.ndarray:
     """Vectorized decode of a varbyte blob → uint64 array."""
     b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
@@ -82,6 +94,11 @@ class EncodedPostings:
     docs_blob: bytes
     tfs_blob: bytes
     dls_blob: bytes
+    # positional layer (optional — empty in non-positional builds): one
+    # delta+varbyte position list per posting, concatenated in docid order,
+    # with per-DOC byte lengths (uint32[n_docs] LE) for O(1) slicing
+    pos_nbytes_blob: bytes = b""
+    pos_blob: bytes = b""
 
 
 def encode_postings(
@@ -205,4 +222,25 @@ class BlockReader:
         dls = varbyte_decode(self._dls_buf[self.dl_off[k] : self.dl_off[k + 1]]).astype(np.uint32)
         out = (docs, tfs, dls)
         self._cache[k] = out
+        return out
+
+    def positions_map(self, wanted: np.ndarray) -> dict[int, np.ndarray]:
+        """Token positions for the WANTED docids only (positional builds).
+
+        The per-doc byte-length sidecar gives O(1) slice offsets; only the
+        requested documents' position lists are varbyte-decoded — phrase
+        verification over k candidates never touches the other postings'
+        position bytes."""
+        if not self.enc.pos_nbytes_blob:
+            return {}
+        lens = np.frombuffer(self.enc.pos_nbytes_blob, dtype=np.uint32).astype(np.int64)
+        off = np.concatenate(([0], np.cumsum(lens)))
+        docs, _tfs, _dls = decode_postings(self.enc)
+        buf = np.frombuffer(self.enc.pos_blob, dtype=np.uint8)
+        idx = np.searchsorted(docs, np.asarray(wanted, dtype=np.uint64))
+        out: dict[int, np.ndarray] = {}
+        for w, i in zip(np.asarray(wanted, dtype=np.uint64), idx):
+            if i < docs.size and docs[i] == w and lens[i]:
+                out[int(w)] = np.cumsum(varbyte_decode(buf[off[i] : off[i + 1]]),
+                                        dtype=np.uint64)
         return out

@@ -274,6 +274,40 @@ def engine_phrase_topk(sf_dir: str, queries: list[str] | None = None) -> pd.Data
     return pd.DataFrame(rows, columns=["query", "rank", "url", "score", "relevance"])
 
 
+def engine_phrase_pos_topk(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:
+    """Phrase search through the POSITIONAL index layer, ORACLE-CHECKABLE
+    with the SAME SQL as ``engine_phrase_topk``: a ``positions=True`` build
+    (delta+varbyte position lists colocated with the postings), adjacency
+    proven by position-list intersection instead of doc-store re-reads.
+    Output-identical to the doc-store verify path — one oracle pins both."""
+    index_dir = build_bench_index(
+        sf_dir, repeat=1,
+        out_dir=os.path.join(
+            CACHE_ROOT, f"index_{_sf_name(sf_dir)}_r1_pos_v{PAGES_GEN_VERSION}"
+        ),
+        positions=True,
+    )
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    assert eng.has_positions
+    rows = []
+    for q in queries or PHRASE_QUERIES:
+        data = eng.search_phrase_positional(q, k=None)["data"]
+        if not data:
+            continue
+        items = sorted(data, key=lambda r: (-r["abs"], r["url"]))
+        for rank, r in enumerate(items[:10], 1):
+            rows.append(
+                {
+                    "query": q,
+                    "rank": rank,
+                    "url": r["url"],
+                    "score": int(r["abs"]),
+                    "relevance": float(r["relevance"]),
+                }
+            )
+    return pd.DataFrame(rows, columns=["query", "rank", "url", "score", "relevance"])
+
+
 def engine_search_site(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:
     """Site-restricted reference search end-to-end, ORACLE-CHECKABLE: the
     J5/J6 path (per-site df cutoff, bloom-verified site membership) pinned

@@ -329,6 +329,7 @@ class QueryEngine:
             raise FileNotFoundError(f"no shards under {index_root}")
         stats = [json.load(open(os.path.join(d, "stats.json"))) for d in self.shard_dirs]
         self.num_buckets = stats[0]["num_buckets"]
+        self.has_positions = all(s.get("positions", False) for s in stats)
         self.n_docs = sum(s["n_docs"] for s in stats)
         self.total_tf = sum(s["total_tf"] for s in stats)
         self.avgdl = (self.total_tf / self.n_docs) if self.n_docs else 0.0
@@ -858,6 +859,82 @@ class QueryEngine:
         ]
         if not verified:
             return {"result": True, "count": 0, "data": []}
+        mx = max(r["abs"] for r in verified)
+        for r in verified:
+            r["relevance"] = r["abs"] / mx
+            r["url"] = meta[r["doc_id"]]["url"]
+        verified.sort(key=lambda r: (-r["relevance"], r["doc_id"]))
+        return {
+            "result": True,
+            "count": len(verified),
+            "data": verified[:k] if k else verified,
+        }
+
+    def _positions_for(self, term: str, wanted: np.ndarray) -> dict[int, np.ndarray]:
+        """doc_id → word positions of ``term``, for the WANTED candidates only
+        (positional builds).  Per-shard sub-lists cover disjoint docid ranges,
+        so the dict union is collision-free; only the candidates' position
+        bytes are decoded (codec.BlockReader.positions_map)."""
+        bucket = int(term_bucket(np.array([term], dtype=object), self.num_buckets)[0])
+        out: dict[int, np.ndarray] = {}
+        for r in self.readers:
+            for br in r.postings(term, bucket):
+                out.update(br.positions_map(wanted))
+        return out
+
+    def search_phrase_positional(self, query: str, site: str | None = None,
+                                 k: int | None = 10) -> dict:
+        """Phrase search verified AGAINST THE POSITIONAL POSTINGS (engine
+        extension over ``positions=True`` builds): conjunctive candidates and
+        scores exactly as :meth:`search_phrase`, but adjacency is proven by
+        intersecting per-term position lists (positions(t_i) − offset_i)
+        instead of re-reading candidate documents from the doc store.
+
+        At 10^12-doc scale this is the difference between k pruned DOC-STORE
+        row fetches (whole document text) and k×m tiny position-blob slices
+        that live NEXT to the postings already being read — the classic
+        reason positional indexes exist.  Falls back to the doc-store verify
+        when the index carries no positions or the phrase's word offsets are
+        not contiguous (a particle inside the phrase: only the surface text
+        can confirm the literal word).  Result-identical to
+        :meth:`search_phrase` — pinned by tests."""
+        seq = self.analyzer.lemma_positions(query)
+        offsets = [p for _, p in seq]
+        if (not self.has_positions or len(seq) < 2
+                or offsets != list(range(len(seq)))):
+            return self.search_phrase(query, site=site, k=k)
+        res = self.search(query, site=site, k=None, with_snippets=False)
+        if not res["data"]:
+            if k:
+                res["data"] = res["data"][:k]
+            return res
+        cand = np.array([r["doc_id"] for r in res["data"]], dtype=np.uint64)
+        # rarest-first across phrase terms would prune fastest; phrase terms
+        # are few, so term order costs little — keep phrase order (offsets
+        # already aligned) for clarity
+        alive: dict[int, np.ndarray] | None = None
+        ok: set[int] = set()
+        pos0 = self._positions_for(seq[0][0], cand)
+        alive = pos0
+        for term, off in seq[1:]:
+            if not alive:
+                break
+            wanted = np.fromiter(alive.keys(), dtype=np.uint64, count=len(alive))
+            nxt = self._positions_for(term, wanted)
+            new_alive: dict[int, np.ndarray] = {}
+            for d, starts in alive.items():
+                p = nxt.get(d)
+                if p is None:
+                    continue
+                hit = starts[np.isin(starts + np.uint64(off), p, assume_unique=True)]
+                if hit.size:
+                    new_alive[d] = hit
+            alive = new_alive
+        ok = set(alive or ())
+        verified = [r for r in res["data"] if r["doc_id"] in ok]
+        if not verified:
+            return {"result": True, "count": 0, "data": []}
+        meta = self.doc_meta([r["doc_id"] for r in verified])
         mx = max(r["abs"] for r in verified)
         for r in verified:
             r["relevance"] = r["abs"] / mx

@@ -101,6 +101,11 @@ SEGMENT_SCHEMA = pa.schema(
         ("docs_blob", pa.binary()),
         ("tfs_blob", pa.binary()),
         ("dls_blob", pa.binary()),
+        # positional layer (empty binary in non-positional builds): per-doc
+        # position-blob byte lengths (uint32[n_docs] LE) + the concatenated
+        # delta+varbyte position lists in docid order
+        ("pos_nbytes_blob", pa.binary()),
+        ("pos_blob", pa.binary()),
     ]
 )
 

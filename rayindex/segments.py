@@ -90,9 +90,19 @@ def encode_group(df: pd.DataFrame) -> pa.Table:
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [len(terms)]))
 
+    pos = df["positions"].to_numpy() if "positions" in df.columns else None
+
     cols: dict[str, list] = {name: [] for name in MIXED_SCHEMA.names}
     for s, e in zip(starts, ends):
         enc = encode_postings(doc_ids[s:e], tfs[s:e], dls[s:e])
+        if pos is not None:
+            blobs = pos[s:e]
+            plens = np.fromiter((len(b) for b in blobs), dtype=np.uint32, count=e - s)
+            cols["pos_nbytes_blob"].append(plens.tobytes())
+            cols["pos_blob"].append(b"".join(blobs))
+        else:
+            cols["pos_nbytes_blob"].append(b"")
+            cols["pos_blob"].append(b"")
         cols["term"].append(terms[s])
         cols["salt"].append(salt)
         cols["bucket"].append(bucket)
@@ -122,7 +132,8 @@ def encode_group(df: pd.DataFrame) -> pa.Table:
         cols["n_docs"].append(0)
         cols["n_blocks"].append(0)
         for c in ("b_last_doc", "b_max_tf", "b_min_dl", "b_doc_nbytes",
-                  "b_tf_nbytes", "b_dl_nbytes", "docs_blob", "tfs_blob", "dls_blob"):
+                  "b_tf_nbytes", "b_dl_nbytes", "docs_blob", "tfs_blob", "dls_blob",
+                  "pos_nbytes_blob", "pos_blob"):
             cols[c].append(z)
         cols["kind"].append("df")
         cols["site"].append(site)
@@ -143,6 +154,9 @@ def row_to_encoded(row: dict) -> EncodedPostings:
         docs_blob=row["docs_blob"],
         tfs_blob=row["tfs_blob"],
         dls_blob=row["dls_blob"],
+        # .get: layout-compat with pre-positional segment files
+        pos_nbytes_blob=row.get("pos_nbytes_blob", b"") or b"",
+        pos_blob=row.get("pos_blob", b"") or b"",
     )
 
 

@@ -1,0 +1,115 @@
+"""Positional postings (positions=True builds): analyzer position layer,
+codec roundtrip, and positional-phrase ≡ doc-store-verify equivalence."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_positions(analyzer, text: str) -> dict[str, list[int]]:
+    """lemma → word positions, particles consuming a slot (scalar mirror of
+    the vectorized positional layer)."""
+    cleaned = analyzer._strip_re.sub(" ", text.lower()).strip()
+    out: dict[str, list[int]] = {}
+    if not cleaned:
+        return out
+    pos = 0
+    for w in analyzer._split_re.split(cleaned):
+        if not w:
+            continue
+        if w not in analyzer.particles:
+            out.setdefault(analyzer.lemma_map.get(w, w), []).append(pos)
+        pos += 1
+    return out
+
+
+def test_lemmatize_arrow_positions_match_bruteforce():
+    import pyarrow as pa
+
+    from rayindex.analyze import Analyzer, simple_analyzer
+    from rayindex.codec import varbyte_decode
+
+    texts = [
+        "the quick brown fox the quick fox",
+        "",
+        "  padded   spaces  and the end ",
+        "repeat repeat repeat",
+        "a the of in",  # all particles
+        "mixed 42 tokens 42 and punctuation!!! 42",
+    ]
+    for an in (simple_analyzer(), Analyzer(lemma_map={"quick": "fast"}, particles={"the"}, keep="a-z0-9")):
+        rows, terms, tfs, blobs = an.lemmatize_arrow(pa.array(texts, pa.string()), with_positions=True)
+        got: dict[tuple[int, str], list[int]] = {}
+        for r, t, tf, b in zip(rows, terms.to_pylist(), tfs, blobs):
+            pos = np.cumsum(varbyte_decode(b, int(tf))).tolist()
+            got[(int(r), t)] = pos
+        want: dict[tuple[int, str], list[int]] = {}
+        for i, txt in enumerate(texts):
+            for lemma, ps in _brute_positions(an, txt).items():
+                want[(i, lemma)] = ps
+        assert got == want
+
+
+@pytest.fixture(scope="session")
+def pos_index(ray_session, tmp_path_factory):
+    """Positional bench index over the sf0.001-seeded pages."""
+    from rayindex.pipelines import SIMPLE_SPEC, bench_pages
+    from rayindex.build import build_index
+    from rayindex.query import QueryEngine
+
+    root = tmp_path_factory.mktemp("pos_index")
+    pages = bench_pages(SF, repeat=1)
+    out = str(root / "index")
+    build_index(pages, out, SIMPLE_SPEC, num_buckets=8, salt_df_threshold=200,
+                salt_target=128, positions=True)
+    eng = QueryEngine(out, SIMPLE_SPEC)
+    assert eng.has_positions
+    return eng
+
+
+def test_positional_phrase_equals_docstore_verify(pos_index):
+    from rayindex.pipelines import PHRASE_QUERIES
+
+    extra = ["slow query window", "window table", "table table", "merge xyzzynotaword",
+             "customer join order", "key agg row"]
+    for q in PHRASE_QUERIES + extra:
+        a = pos_index.search_phrase(q, k=None)
+        b = pos_index.search_phrase_positional(q, k=None)
+        assert a["count"] == b["count"], q
+        assert [(r["doc_id"], r["abs"]) for r in a["data"]] == [
+            (r["doc_id"], r["abs"]) for r in b["data"]
+        ], q
+
+
+def test_positional_phrase_positions_content(pos_index):
+    # pick a verified phrase result and check the positions against the text
+    from rayindex.pipelines import PHRASE_QUERIES
+
+    checked = 0
+    for q in PHRASE_QUERIES:
+        res = pos_index.search_phrase_positional(q, k=3)
+        if not res["data"]:
+            continue
+        seq = pos_index.analyzer.lemma_positions(q)
+        meta = pos_index.doc_meta([r["doc_id"] for r in res["data"]])
+        for r in res["data"]:
+            words = re.sub(r"[^a-z0-9]+", " ", meta[r["doc_id"]]["text"].lower()).split()
+            pm = pos_index._positions_for(seq[0][0], np.array([r["doc_id"]], dtype=np.uint64))
+            for p in pm[r["doc_id"]]:
+                assert words[int(p)] == seq[0][0]
+            checked += 1
+    assert checked > 0
+
+
+def test_fallback_without_positions(engine):
+    # a non-positional engine serves the positional API via the doc-store path
+    assert not engine.has_positions
+    for q in ["phrase query", "зима лето"]:
+        a = engine.search_phrase(q, k=None)
+        b = engine.search_phrase_positional(q, k=None)
+        assert a["count"] == b["count"]
