@@ -136,6 +136,27 @@ def _phrase_query_phrases() -> list[tuple[str, str]]:
     return [(q, QueryEngine._norm_text(q)) for q in PHRASE_QUERIES]
 
 
+def _near_query_terms() -> list[tuple[str, str]]:
+    from rayindex.analyze import simple_analyzer
+    from rayindex.pipelines import NEAR_QUERIES
+
+    an = simple_analyzer()
+    return [(q, t) for q in NEAR_QUERIES for t in an.collect_lemmas(q)]
+
+
+def _near_query_pairs() -> list[tuple[str, str, str]]:
+    """(query, word1, word2) for the two-word NEAR entry."""
+    from rayindex.analyze import simple_analyzer
+    from rayindex.pipelines import NEAR_QUERIES
+
+    an = simple_analyzer()
+    out = []
+    for q in NEAR_QUERIES:
+        ts = list(an.collect_lemmas(q))
+        out.append((q, ts[0], ts[1]))
+    return out
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver checks rows ≥ 0)."""
     from rayindex.pipelines import flagship_search
@@ -245,6 +266,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engine_phrase_pos_topk": __import__(
             "rayindex.pipelines", fromlist=["engine_phrase_pos_topk"]
         ).engine_phrase_pos_topk,
+        "engine_near_topk": __import__(
+            "rayindex.pipelines", fromlist=["engine_near_topk"]
+        ).engine_near_topk,
         # --- round-3 corpus curation staples (all SQL-checked) ------------
         "sample_hash": textops.sample_hash,
         "tfidf": textops.tfidf,
@@ -473,6 +497,37 @@ def oracle_sql() -> dict[str, str]:
             "ver AS (SELECT co.query, co.url, co.score FROM co "
             "JOIN qp USING (query) JOIN norm USING (url) "
             "WHERE position(' ' || qp.phrase || ' ' IN norm.ntext) > 0), "
+            "ranked AS (SELECT query, url, score, "
+            "CAST(score AS DOUBLE) / max(score) OVER (PARTITION BY query) AS relevance, "
+            "row_number() OVER (PARTITION BY query ORDER BY score DESC, url) AS rn FROM ver) "
+            "SELECT query, CAST(rn AS BIGINT) AS rank, url, score, relevance "
+            "FROM ranked WHERE rn <= 10"
+        ),
+        "engine_near_topk": (
+            # conjunctive candidates (cutoff semantics) + proximity verify:
+            # some occurrence pair of the two words within NEAR_SLOP ordinals
+            f"WITH {_PTOKS}, "
+            "pagetokl AS (SELECT url, list_filter(string_split_regex(trim(regexp_replace("
+            "lower(full_text), '[^a-z0-9]', ' ', 'g')), ' +'), x -> x <> '') AS l FROM pages), "
+            "posr AS (SELECT url, unnest(l) AS term, unnest(range(1, len(l)+1)) AS pos FROM pagetokl), "
+            "tf AS (SELECT url, term, count(*) AS tf FROM pt GROUP BY url, term), "
+            "df AS (SELECT term, count(DISTINCT url) AS df FROM pt GROUP BY term), "
+            "q(query, term) AS (VALUES "
+            + ", ".join(f"('{q}', '{t}')" for q, t in _near_query_terms())
+            + "), "
+            "qp(query, t1, t2) AS (VALUES "
+            + ", ".join(f"('{q}', '{a}', '{b}')" for q, a, b in _near_query_pairs())
+            + "), "
+            "kept AS (SELECT q.query, q.term FROM q JOIN df USING (term) "
+            "WHERE 200 * df.df < 159 * (SELECT count(*) FROM documents)), "
+            "nk AS (SELECT query, count(*) AS n_terms FROM kept GROUP BY query), "
+            "hits AS (SELECT k.query, t.url, t.term, t.tf FROM kept k JOIN tf t USING (term)), "
+            "cand AS (SELECT query, url, count(DISTINCT term) AS c, CAST(sum(tf) AS BIGINT) AS score "
+            "FROM hits GROUP BY query, url), "
+            "co AS (SELECT c.query, c.url, c.score FROM cand c JOIN nk USING (query) WHERE c.c = nk.n_terms), "
+            "ver AS (SELECT co.query, co.url, co.score FROM co JOIN qp USING (query) "
+            "WHERE EXISTS (SELECT 1 FROM posr a, posr b WHERE a.url = co.url AND b.url = co.url "
+            "AND a.term = qp.t1 AND b.term = qp.t2 AND abs(a.pos - b.pos) <= 3)), "
             "ranked AS (SELECT query, url, score, "
             "CAST(score AS DOUBLE) / max(score) OVER (PARTITION BY query) AS relevance, "
             "row_number() OVER (PARTITION BY query ORDER BY score DESC, url) AS rn FROM ver) "

@@ -52,6 +52,11 @@ PREFIX_QUERY = "st"
 # many id-derived numeric terms within one edit
 FUZZY_QUERIES = ["scan", "77"]
 
+# two-word proximity queries for the NEAR entry (slop NEAR_SLOP): pairs that
+# co-occur at varying distances so the window actually separates results
+NEAR_QUERIES = ["slow query", "customer order", "table merge", "key row"]
+NEAR_SLOP = 3
+
 # (positive query, excluded word) pairs for the boolean-NOT entry
 NOT_QUERIES = [
     ("slow query", "table"),
@@ -292,6 +297,40 @@ def engine_phrase_pos_topk(sf_dir: str, queries: list[str] | None = None) -> pd.
     rows = []
     for q in queries or PHRASE_QUERIES:
         data = eng.search_phrase_positional(q, k=None)["data"]
+        if not data:
+            continue
+        items = sorted(data, key=lambda r: (-r["abs"], r["url"]))
+        for rank, r in enumerate(items[:10], 1):
+            rows.append(
+                {
+                    "query": q,
+                    "rank": rank,
+                    "url": r["url"],
+                    "score": int(r["abs"]),
+                    "relevance": float(r["relevance"]),
+                }
+            )
+    return pd.DataFrame(rows, columns=["query", "rank", "url", "score", "relevance"])
+
+
+def engine_near_topk(sf_dir: str, queries: list[str] | None = None,
+                     slop: int = NEAR_SLOP) -> pd.DataFrame:
+    """Proximity (NEAR/slop) search through the positional layer,
+    ORACLE-CHECKABLE: candidates/scores as the reference conjunctive search,
+    kept iff some occurrence pair of the two query words sits within
+    ``slop`` words (|pos_a − pos_b| ≤ slop).  The oracle replays the window
+    over per-page token ordinals."""
+    index_dir = build_bench_index(
+        sf_dir, repeat=1,
+        out_dir=os.path.join(
+            CACHE_ROOT, f"index_{_sf_name(sf_dir)}_r1_pos_v{PAGES_GEN_VERSION}"
+        ),
+        positions=True,
+    )
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    rows = []
+    for q in queries or NEAR_QUERIES:
+        data = eng.search_near(q, slop=slop, k=None)["data"]
         if not data:
             continue
         items = sorted(data, key=lambda r: (-r["abs"], r["url"]))

@@ -946,6 +946,79 @@ class QueryEngine:
             "data": verified[:k] if k else verified,
         }
 
+    @staticmethod
+    def _min_span(plists: list[np.ndarray]) -> int:
+        """Smallest (max−min) window covering one position from every list —
+        the classic minimal-window sweep over the merged position stream."""
+        m = len(plists)
+        arr = np.concatenate(plists).astype(np.int64)
+        lab = np.concatenate(
+            [np.full(p.size, i, dtype=np.int64) for i, p in enumerate(plists)]
+        )
+        o = np.argsort(arr, kind="stable")
+        arr, lab = arr[o], lab[o]
+        cnt = np.zeros(m, dtype=np.int64)
+        have, left, best = 0, 0, 1 << 60
+        for right in range(arr.size):
+            c = lab[right]
+            cnt[c] += 1
+            if cnt[c] == 1:
+                have += 1
+            while have == m:
+                if arr[right] - arr[left] < best:
+                    best = int(arr[right] - arr[left])
+                cl = lab[left]
+                cnt[cl] -= 1
+                if cnt[cl] == 0:
+                    have -= 1
+                left += 1
+        return best
+
+    def search_near(self, query: str, slop: int = 3, site: str | None = None,
+                    k: int | None = 10) -> dict:
+        """Proximity (NEAR/slop) search over the positional layer (engine
+        extension, requires a ``positions=True`` build): conjunctive
+        candidates and scores as :meth:`search`, kept only when SOME
+        occurrence of every distinct query lemma fits in a window of
+        ``slop`` words (min span max−min ≤ slop, order-free — the unordered
+        counterpart of :meth:`search_phrase_positional`).
+
+        There is no doc-store fallback: proximity is exactly what positions
+        buy (a text re-scan would re-tokenize every candidate).  The verify
+        decodes only the candidates' position blobs."""
+        if not self.has_positions:
+            raise RuntimeError("search_near requires a positions=True index")
+        lemmas = list(dict.fromkeys(t for t, _ in self.analyzer.lemma_positions(query)))
+        res = self.search(query, site=site, k=None, with_snippets=False)
+        if not res["data"] or len(lemmas) < 2:
+            if k:
+                res["data"] = res["data"][:k]
+            return res
+        cand = np.array([r["doc_id"] for r in res["data"]], dtype=np.uint64)
+        plists = [self._positions_for(t, cand) for t in lemmas]
+        ok: set[int] = set()
+        for r in res["data"]:
+            d = r["doc_id"]
+            ls = [pl.get(d) for pl in plists]
+            if any(x is None or x.size == 0 for x in ls):
+                continue
+            if self._min_span(ls) <= slop:
+                ok.add(d)
+        verified = [r for r in res["data"] if r["doc_id"] in ok]
+        if not verified:
+            return {"result": True, "count": 0, "data": []}
+        meta = self.doc_meta([r["doc_id"] for r in verified])
+        mx = max(r["abs"] for r in verified)
+        for r in verified:
+            r["relevance"] = r["abs"] / mx
+            r["url"] = meta[r["doc_id"]]["url"]
+        verified.sort(key=lambda r: (-r["relevance"], r["doc_id"]))
+        return {
+            "result": True,
+            "count": len(verified),
+            "data": verified[:k] if k else verified,
+        }
+
     # -- BM25 ----------------------------------------------------------------
     def _idf(self, df: int) -> float:
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))

@@ -113,3 +113,58 @@ def test_fallback_without_positions(engine):
         a = engine.search_phrase(q, k=None)
         b = engine.search_phrase_positional(q, k=None)
         assert a["count"] == b["count"]
+
+
+def test_min_span_bruteforce():
+    import itertools
+    import random
+
+    from rayindex.query import QueryEngine
+
+    rng = random.Random(7)
+    for _ in range(200):
+        m = rng.randint(2, 4)
+        lists = [
+            np.unique(np.array([rng.randint(0, 30) for _ in range(rng.randint(1, 6))],
+                               dtype=np.uint64))
+            for _ in range(m)
+        ]
+        got = QueryEngine._min_span(lists)
+        want = min(
+            max(c) - min(c) for c in itertools.product(*[l.tolist() for l in lists])
+        )
+        assert got == int(want)
+
+
+def test_search_near_matches_bruteforce(pos_index):
+    from rayindex.pipelines import NEAR_QUERIES, NEAR_SLOP
+
+    for q in NEAR_QUERIES + ["slow fast", "table window scan"]:
+        got = pos_index.search_near(q, slop=NEAR_SLOP, k=None)
+        base = pos_index.search(q, k=None, with_snippets=False)
+        lemmas = list(dict.fromkeys(t for t, _ in pos_index.analyzer.lemma_positions(q)))
+        meta = pos_index.doc_meta([r["doc_id"] for r in base["data"]])
+        want_ids = []
+        for r in base["data"]:
+            words = re.sub(r"[^a-z0-9]+", " ", meta[r["doc_id"]]["text"].lower()).split()
+            pls = [
+                np.array([i for i, w in enumerate(words) if w == t], dtype=np.uint64)
+                for t in lemmas
+            ]
+            if all(p.size for p in pls) and pos_index._min_span(pls) <= NEAR_SLOP:
+                want_ids.append(r["doc_id"])
+        assert sorted(r["doc_id"] for r in got["data"]) == sorted(want_ids), q
+
+
+def test_phrase_results_subset_of_near(pos_index):
+    from rayindex.pipelines import PHRASE_QUERIES
+
+    for q in PHRASE_QUERIES:
+        ph = {r["doc_id"] for r in pos_index.search_phrase_positional(q, k=None)["data"]}
+        nr = {r["doc_id"] for r in pos_index.search_near(q, slop=1, k=None)["data"]}
+        assert ph <= nr, q
+
+
+def test_search_near_requires_positions(engine):
+    with pytest.raises(RuntimeError):
+        engine.search_near("slow query")
