@@ -137,19 +137,22 @@ def encode_postings(
     b_max_tf = np.maximum.reduceat(tfs, head_idx).astype(np.uint32)
     b_min_dl = np.minimum.reduceat(dls, head_idx).astype(np.uint32)
 
-    doc_parts, tf_parts, dl_parts = [], [], []
-    doc_lens = np.empty(n_blocks, dtype=np.uint32)
-    tf_lens = np.empty(n_blocks, dtype=np.uint32)
-    dl_lens = np.empty(n_blocks, dtype=np.uint32)
-    for k in range(n_blocks):
-        lo, hi = head_idx[k], min(head_idx[k] + BLOCK_SIZE, n)
-        d = varbyte_encode(deltas[lo:hi])
-        t = varbyte_encode(tfs[lo:hi])
-        l = varbyte_encode(dls[lo:hi])
-        doc_parts.append(d)
-        tf_parts.append(t)
-        dl_parts.append(l)
-        doc_lens[k], tf_lens[k], dl_lens[k] = len(d), len(t), len(l)
+    # ONE vectorized varbyte pass per stream; per-block byte counts come from
+    # the per-value length rule (varbyte is value-local, so the concatenation
+    # of per-block encodings IS the whole-stream encoding — byte-identical to
+    # the former per-block loop, without n_blocks Python iterations)
+    bounds = np.append(head_idx, n)
+
+    def _enc(stream: np.ndarray) -> tuple[bytes, np.ndarray]:
+        blob = varbyte_encode(stream)
+        if n_blocks == 1:  # the common tail-term case: one block = whole blob
+            return blob, np.array([len(blob)], dtype=np.uint32)
+        cum = np.concatenate(([0], np.cumsum(varbyte_lengths(stream))))
+        return blob, np.diff(cum[bounds]).astype(np.uint32)
+
+    docs_blob, doc_lens = _enc(deltas)
+    tfs_blob, tf_lens = _enc(tfs)
+    dls_blob, dl_lens = _enc(dls)
 
     return EncodedPostings(
         n_docs=n,
@@ -160,9 +163,9 @@ def encode_postings(
         b_doc_nbytes=doc_lens.tobytes(),
         b_tf_nbytes=tf_lens.tobytes(),
         b_dl_nbytes=dl_lens.tobytes(),
-        docs_blob=b"".join(doc_parts),
-        tfs_blob=b"".join(tf_parts),
-        dls_blob=b"".join(dl_parts),
+        docs_blob=docs_blob,
+        tfs_blob=tfs_blob,
+        dls_blob=dls_blob,
     )
 
 
