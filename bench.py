@@ -135,6 +135,17 @@ def run_once() -> dict:
             got += len(exact & approx) / 10
         recall[name] = round(got / len(q_ids), 3)
 
+    # index-size accounting (the north rule names compression explicitly):
+    # compressed segment bytes vs the exploded postings checkpoint they encode
+    def _tree_bytes(path: str) -> int:
+        total = 0
+        for root, _d, names in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in names)
+        return total
+
+    seg_bytes = _tree_bytes(os.path.join(out_dir, "shard=0", "segments"))
+    postings_bytes = _tree_bytes(os.path.join(out_dir, "shard=0", "postings"))
+
     result = {
         "metric": "index_build_wall_sec",
         "value": round(build_sec, 3),
@@ -147,6 +158,9 @@ def run_once() -> dict:
             "query_wand_avg": round(wand_avg, 4),
             "ann_lsh_recall": recall["lsh"],
             "ann_ivf_recall": recall["ivf"],
+            "segments_mb": round(seg_bytes / 1e6, 1),
+            "postings_checkpoint_mb": round(postings_bytes / 1e6, 1),
+            "index_bytes_per_doc": round(seg_bytes / max(1, n_docs), 1),
         },
         "sf": sf_dir,
         "num_cpus": ncpus,

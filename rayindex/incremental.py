@@ -99,6 +99,7 @@ def incremental_update(
     untouched shards' manifests still match and are skipped."""
     paths = original_pages if isinstance(original_pages, list) else [original_pages]
     os.makedirs(index_dir, exist_ok=True)
+    _inherit_positions(index_dir, build_kwargs)
     deltas = _register_delta(index_dir, delta_pages)
     combined = _expand(paths + deltas)
     out = {"rebuilt_shards": []}
@@ -109,6 +110,18 @@ def incremental_update(
         )
         out["rebuilt_shards"].append(m)
     return out
+
+
+def _inherit_positions(index_dir: str, build_kwargs: dict) -> None:
+    """Delta/compact rebuilds of a positional index stay positional unless
+    the caller overrides — otherwise one update would silently downgrade
+    ``QueryEngine.has_positions`` (an all-shards property) to False."""
+    if "positions" in build_kwargs:
+        return
+    sp = os.path.join(index_dir, "shard=0", "stats.json")
+    if os.path.exists(sp):
+        with open(sp) as f:
+            build_kwargs["positions"] = bool(json.load(f).get("positions", False))
 
 
 def _tombstones_path(index_dir: str) -> str:
@@ -227,6 +240,7 @@ def compact(
     tomb = load_tombstones(index_dir)
     purged = sorted(tomb["sites"])
     paths = original_pages if isinstance(original_pages, list) else [original_pages]
+    _inherit_positions(index_dir, build_kwargs)
     combined = _expand(paths + registered_deltas(index_dir))
     out = {"shards": []}
     for s in range(num_shards):

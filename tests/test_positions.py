@@ -168,3 +168,40 @@ def test_phrase_results_subset_of_near(pos_index):
 def test_search_near_requires_positions(engine):
     with pytest.raises(RuntimeError):
         engine.search_near("slow query")
+
+
+def test_incremental_update_inherits_positions(pos_index, tmp_path):
+    """A delta rebuild of a positional index stays positional (and the
+    positional phrase path still agrees with the doc-store verify)."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from rayindex.incremental import incremental_update
+    from rayindex.pipelines import SIMPLE_SPEC, bench_pages
+    from rayindex.query import QueryEngine
+
+    src_index = pos_index.shard_dirs[0].rsplit("/shard=", 1)[0]
+    index_dir = str(tmp_path / "index")
+    shutil.copytree(src_index, index_dir)
+    pages = bench_pages(SF, repeat=1)
+    # delta: re-index the first 5 pages with modified html
+    frag = next(f"{pages}/{f}" for f in sorted(os.listdir(pages)) if f.endswith(".parquet"))
+    t = pq_.read_table(frag).slice(0, 5)
+    htmls = [h.replace(b"</body>", b" freshword</body>") if b"</body>" in h else h + b" freshword"
+             for h in t.column("html").to_pylist()]
+    delta = t.set_column(t.schema.get_field_index("html"), "html", pa.array(htmls, pa.binary()))
+    delta_dir = str(tmp_path / "delta")
+    os.makedirs(delta_dir)
+    pq_.write_table(delta, f"{delta_dir}/delta.parquet")
+    incremental_update(index_dir, pages, delta_dir, SIMPLE_SPEC)
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    assert eng.has_positions  # inherited, not passed explicitly
+    for q in ["slow query", "table hash"]:
+        a = eng.search_phrase(q, k=None)
+        b = eng.search_phrase_positional(q, k=None)
+        assert [(r["doc_id"], r["abs"]) for r in a["data"]] == [
+            (r["doc_id"], r["abs"]) for r in b["data"]
+        ]
