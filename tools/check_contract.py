@@ -2,7 +2,7 @@
 and compare against oracle_sql() via DuckDB (row count + schema + ordered
 value comparison on name-sorted columns).  Usage:
 
-    python tools/check_contract.py [sf_dir]
+    python tools/check_contract.py [sf_dir] [entry_name ...]
 """
 
 from __future__ import annotations
@@ -55,6 +55,7 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> str:
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])  # optional entry-name filter: check just these
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
@@ -75,6 +76,8 @@ def main():
     oracles = e.oracle_sql()
     n_ok = n_bad = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         try:
             got = to_pandas(fn(sf_dir))
         except Exception as ex:  # noqa: BLE001
