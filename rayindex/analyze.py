@@ -128,21 +128,31 @@ class Analyzer:
         # identity (M5); distinct surface forms can share a lemma, so counts
         # key on a lemma id, not the surface-form id
         lemma_to_id: dict[str, int] = {}
-        uniq_to_lid = np.empty(len(uniq), dtype=np.int64)
+        # int32 throughout the flat-token arrays: unique-token and row counts
+        # are far below 2^31, and halving the per-batch fresh footprint
+        # matters twice — cache pressure everywhere, and first-touch page
+        # faults on hosts where new anonymous memory is expensive
+        uniq_to_lid = np.empty(len(uniq), dtype=np.int32)
         for i, u in enumerate(uniq):
             if u == "" or u in self.particles:
                 uniq_to_lid[i] = -1
                 continue
             m = self.lemma_map.get(u, u)
             uniq_to_lid[i] = lemma_to_id.setdefault(m, len(lemma_to_id))
-        idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = denc.indices.to_numpy(zero_copy_only=False)
         lids = uniq_to_lid[idx]
         keep = lids >= 0
-        rows = parents[keep].astype(np.int64)
+        rows = parents[keep]
         kept_lids = lids[keep]
-        # tf counting on integer keys (row, lemma_id) — pure numpy
+        # tf counting on integer keys (row, lemma_id) — pure numpy; the key
+        # fits int32 when n_rows * n_lemmas does (always true for the
+        # default 2048-row batches), else fall back to int64
         n_lemmas = max(1, len(lemma_to_id))
-        key = rows * n_lemmas + kept_lids
+        if len(lists) * n_lemmas < 2**31:
+            key = (rows.astype(np.int32) * np.int32(n_lemmas)).astype(np.int32)
+            key += kept_lids
+        else:
+            key = rows.astype(np.int64) * n_lemmas + kept_lids
         if not with_positions:
             uk, counts = np.unique(key, return_counts=True)
         else:
