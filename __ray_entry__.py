@@ -269,6 +269,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engine_near_topk": __import__(
             "rayindex.pipelines", fromlist=["engine_near_topk"]
         ).engine_near_topk,
+        # --- round-3 segment merge (Lucene-style): two half-corpus builds
+        # merged WITHOUT re-lemmatizing must equal one full build, so both
+        # entries share the full-build oracles verbatim ---------------------
+        "engine_merged_term_df": __import__(
+            "rayindex.pipelines", fromlist=["engine_merged_term_df"]
+        ).engine_merged_term_df,
+        "engine_merged_search": __import__(
+            "rayindex.pipelines", fromlist=["engine_merged_search"]
+        ).engine_merged_search,
         # --- round-3 corpus curation staples (all SQL-checked) ------------
         "sample_hash": textops.sample_hash,
         "tfidf": textops.tfidf,
@@ -883,4 +892,8 @@ def oracle_sql() -> dict[str, str]:
     # the positional phrase path must agree with the doc-store verify
     # path exactly — one oracle pins both engine implementations
     out["engine_phrase_pos_topk"] = out["engine_phrase_topk"]
+    # merge ≡ rebuild: the merged index serves the SAME tables/scores as a
+    # full single build, so the merged entries reuse those oracles verbatim
+    out["engine_merged_term_df"] = out["engine_term_df"]
+    out["engine_merged_search"] = out["engine_search_scores"]
     return out

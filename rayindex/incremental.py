@@ -47,16 +47,10 @@ def affected_shards(delta_pages_path: str, num_shards: int) -> list[int]:
 
 def _expand(paths: list[str]) -> list[str]:
     """ray.data.read_parquet expands a single directory but not directories
-    inside a list — flatten to parquet file paths."""
-    out: list[str] = []
-    for p in paths:
-        if os.path.isdir(p):
-            out.extend(
-                os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
-            )
-        else:
-            out.append(p)
-    return out
+    inside a list — flatten to parquet file paths (see segments.expand_parquet_paths)."""
+    from .segments import expand_parquet_paths
+
+    return expand_parquet_paths(paths)
 
 
 def _deltas_path(index_dir: str) -> str:

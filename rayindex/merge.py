@@ -1,0 +1,433 @@
+"""Segment-level index merge — the "merge" of the north rule's
+"posting-list construction, merge, compression", Lucene-style.
+
+The reference has no merge at all: combining two crawls means re-running the
+whole pipeline (services/IndexingServiceImpl.java:40-60 drops and re-indexes
+every site), and a purge is a cascade of SQL DELETEs
+(dto/indexing/SiteIndexer.java:108-129).  At 10^12 documents, re-lemmatizing
+the corpus to combine two already-built indexes (or to make a soft-deleted
+site physical) is the single most expensive thing an index pipeline can do.
+
+``merge_indexes`` combines N built indexes into one WITHOUT touching the raw
+pages: per term-hash bucket, every input's compressed sub-lists are decoded,
+merge-sorted by doc id, re-salted by the exact (no longer sampled) document
+frequency and re-encoded.  Soft-deleted sites (U2 tombstones) are dropped
+physically during the rewrite, so ``compact_segments`` — a single-input merge
+— is the segment-level compaction fast path: it replaces ``compact``'s full
+rebuild-from-pages with a decode→filter→re-encode pass over ~259 B/doc of
+segment bytes instead of ~2.5 KB/doc of HTML.
+
+Distributed shape (idiomatic Ray Data, matching the build's P4):
+
+- one task per term-hash bucket (``rd.from_items`` → ``map_batches``): the
+  bucket layout is ALIGNED across inputs (same ``hash(term) % B``), so a
+  bucket merges entirely locally — no all-to-all shuffle of posting data at
+  any point, the only wide op is the skinny doclen re-sort;
+- purged doc ids are broadcast once (``ray.put``) and probed with
+  ``searchsorted`` — never re-shipped per task;
+- the doc store / doclen / sites / term-stats sides are streamed
+  ``read_parquet → filter → write_parquet`` with site-level predicates
+  pushed into the scan (doclen is (site, doc_id)-sorted, so row-group
+  statistics prune purged sites at the read).
+
+Inputs must share ``num_buckets``, the analyzer and the positional flag
+(asserted from ``stats.json``), and cover DISJOINT document sets (disjoint
+url spaces — e.g. different url-space shards or different crawls of
+different sites).  Overlapping doc ids fail loudly in the strictly-
+increasing-docid encoder rather than silently double-counting a document.
+
+Output: a complete single-shard index root (segments / docs / doclen /
+sites / term_stats / term_df / stats.json / _manifest lineage) that the
+query engine serves EXACTLY like a full rebuild over the union corpus —
+global N, avgdl and df are sums of the inputs', and both scorers use only
+those globals at query time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from .build import DEFAULT_SALT_TARGET, _config_key, _write_parquet
+from .codec import decode_postings, encode_postings
+from .incremental import load_tombstones
+from .membership import in_sorted
+from .schema import range_salt
+from .segments import (
+    MIXED_SCHEMA,
+    commit_phase,
+    expand_parquet_paths,
+    list_shards,
+    phase_done,
+    phase_output,
+    row_to_encoded,
+)
+
+
+def _resolve_ref(ref):
+    if isinstance(ref, ray.ObjectRef):
+        return ray.get(ref)
+    return ref
+
+
+def _purged_doc_ids(roots: list[str], shard_dirs: list[str]) -> tuple[np.ndarray, set[str]]:
+    """Doc ids to drop (sorted uint64) + purged site names.
+
+    U2 tombstones are SITE-scoped, and merge keeps that semantics global: a
+    site purged in ANY input is absent from the merged output entirely (also
+    from inputs that never saw the purge) — anything else would leave the
+    output half-deleted.  The ids therefore come from every input's doclen
+    table filtered to the purged-site union ((site, doc_id)-sorted, so
+    row-group statistics prune the scan), not from the per-root sidecars.
+    One driver read, then one ``ray.put`` broadcast; a purge big enough to
+    strain driver memory should be compacted (this module) before being
+    merged again."""
+    sites: set[str] = set()
+    for root in roots:
+        sites.update(load_tombstones(root)["sites"])
+    if not sites:
+        return np.empty(0, np.uint64), sites
+    ids: list[np.ndarray] = []
+    flt = pc.field("site").isin(sorted(sites))
+    for d in shard_dirs:
+        t = pads.dataset(os.path.join(d, "doclen"), format="parquet").to_table(
+            columns=["doc_id"], filter=flt
+        )
+        ids.append(t.column("doc_id").to_numpy().astype(np.uint64))
+    return np.unique(np.concatenate(ids)), sites
+
+
+def _pos_slices(enc) -> list[bytes]:
+    """Per-doc position blobs of one sub-list (empty list when non-positional)."""
+    if not enc.pos_nbytes_blob:
+        return []
+    lens = np.frombuffer(enc.pos_nbytes_blob, dtype=np.uint32).astype(np.int64)
+    off = np.concatenate(([0], np.cumsum(lens)))
+    mv = memoryview(enc.pos_blob)
+    return [bytes(mv[off[i]: off[i + 1]]) for i in range(len(lens))]
+
+
+class _MergeBucketUnit:
+    """One reduce task per term-hash bucket: decode every input's sub-lists,
+    merge-sort per term, drop tombstoned docs, re-salt by EXACT df, re-encode.
+    Also merges the colocated partial-df rows (summed per (site, term), purged
+    sites dropped) so the downstream stats phase works unchanged."""
+
+    def __init__(self, seg_dirs: list[str], purged_ref, purged_sites: list[str],
+                 salt_df_threshold: int, salt_target: int, positions: bool):
+        self.seg_dirs = seg_dirs
+        self._purged_ref = purged_ref
+        self.purged: np.ndarray | None = (
+            purged_ref if isinstance(purged_ref, np.ndarray) else None
+        )
+        self.purged_sites = set(purged_sites)
+        self.threshold = salt_df_threshold
+        self.salt_target = salt_target
+        self.positions = positions
+
+    def _get_purged(self) -> np.ndarray:
+        if self.purged is None:
+            self.purged = _resolve_ref(self._purged_ref)
+        return self.purged
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: list[pa.Table] = []
+        for unit in batch.to_pylist():
+            b = int(unit["bucket"])
+            dirs = [os.path.join(d, f"bucket={b}") for d in self.seg_dirs]
+            files = expand_parquet_paths([d for d in dirs if os.path.isdir(d)])
+            if not files:
+                continue
+            t = pads.dataset(files, format="parquet").to_table()
+            if t.num_rows == 0:
+                continue
+            out.append(self._merge_bucket(b, t))
+        if not out:
+            return MIXED_SCHEMA.empty_table()
+        return pa.concat_tables(out)
+
+    def _merge_bucket(self, bucket: int, t: pa.Table) -> pa.Table:
+        purged = self._get_purged()
+        cols: dict[str, list] = {name: [] for name in MIXED_SCHEMA.names}
+
+        # ---- df rows: sum partials per (site, term), drop purged sites ----
+        dfr = t.filter(pc.equal(t.column("kind"), "df"))
+        if dfr.num_rows:
+            dfp = dfr.select(["site", "term", "df"]).to_pandas()
+            if self.purged_sites:
+                dfp = dfp[~dfp["site"].isin(self.purged_sites)]
+            agg = dfp.groupby(["site", "term"], sort=False)["df"].sum().reset_index()
+            z = b""
+            for site, term, dfv in zip(agg["site"], agg["term"], agg["df"]):
+                cols["term"].append(term)
+                cols["salt"].append(0)
+                cols["bucket"].append(bucket)
+                cols["n_docs"].append(0)
+                cols["n_blocks"].append(0)
+                for c in ("b_last_doc", "b_max_tf", "b_min_dl", "b_doc_nbytes",
+                          "b_tf_nbytes", "b_dl_nbytes", "docs_blob", "tfs_blob",
+                          "dls_blob", "pos_nbytes_blob", "pos_blob"):
+                    cols[c].append(z)
+                cols["kind"].append("df")
+                cols["site"].append(site)
+                cols["df"].append(int(dfv))
+
+        # ---- seg rows: per term, decode → merge-sort → filter → re-encode --
+        seg = t.filter(pc.equal(t.column("kind"), "seg"))
+        if seg.num_rows:
+            rows = seg.sort_by("term").to_pylist()
+            i = 0
+            while i < len(rows):
+                j = i
+                term = rows[i]["term"]
+                while j < len(rows) and rows[j]["term"] == term:
+                    j += 1
+                self._merge_term(bucket, term, rows[i:j], purged, cols)
+                i = j
+        return pa.table(cols, schema=MIXED_SCHEMA)
+
+    def _merge_term(self, bucket: int, term: str, rows: list[dict],
+                    purged: np.ndarray, cols: dict[str, list]) -> None:
+        encs = [row_to_encoded(r) for r in rows]
+        parts = [decode_postings(e) for e in encs]
+        doc_ids = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts]).astype(np.uint64)
+        dls = np.concatenate([p[2] for p in parts]).astype(np.uint64)
+        pos: list[bytes] | None = None
+        if self.positions:
+            pos = []
+            for e in encs:
+                pos.extend(_pos_slices(e))
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
+        if purged.size:
+            keep = ~in_sorted(doc_ids, purged)
+            doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
+            if pos is not None:
+                order = order[keep]
+        if doc_ids.size == 0:
+            return
+        # exact re-salt: merged df is known exactly here, so skew handling
+        # needs no sampling pass (the build's _sample_heavy_terms analogue)
+        n_salts = 1
+        if doc_ids.size >= self.threshold:
+            n_salts = max(1, -(-int(doc_ids.size) // self.salt_target))
+        salts = range_salt(doc_ids, n_salts)
+        for s in np.unique(salts):
+            sel = salts == s
+            enc = encode_postings(doc_ids[sel], tfs[sel], dls[sel])
+            if pos is not None:
+                blobs = [pos[k] for k in order[sel]]
+                plens = np.fromiter((len(x) for x in blobs), dtype=np.uint32,
+                                    count=len(blobs))
+                cols["pos_nbytes_blob"].append(plens.tobytes())
+                cols["pos_blob"].append(b"".join(blobs))
+            else:
+                cols["pos_nbytes_blob"].append(b"")
+                cols["pos_blob"].append(b"")
+            cols["term"].append(term)
+            cols["salt"].append(int(s))
+            cols["bucket"].append(bucket)
+            cols["n_docs"].append(enc.n_docs)
+            cols["n_blocks"].append(enc.n_blocks)
+            cols["b_last_doc"].append(enc.b_last_doc)
+            cols["b_max_tf"].append(enc.b_max_tf)
+            cols["b_min_dl"].append(enc.b_min_dl)
+            cols["b_doc_nbytes"].append(enc.b_doc_nbytes)
+            cols["b_tf_nbytes"].append(enc.b_tf_nbytes)
+            cols["b_dl_nbytes"].append(enc.b_dl_nbytes)
+            cols["docs_blob"].append(enc.docs_blob)
+            cols["tfs_blob"].append(enc.tfs_blob)
+            cols["dls_blob"].append(enc.dls_blob)
+            cols["kind"].append("seg")
+            cols["site"].append("")
+            cols["df"].append(0)
+
+
+def merge_indexes(
+    index_roots: list[str],
+    out_dir: str,
+    analyzer_spec: dict,
+    *,
+    salt_df_threshold: int | None = None,
+    salt_target: int = DEFAULT_SALT_TARGET,
+    resume: bool = True,
+) -> dict[str, Any]:
+    """Merge N built indexes into one single-shard index (see module doc).
+
+    Returns per-phase metrics like ``build_index``.  Resumable: each phase
+    commits a lineage manifest keyed by the input roots' stats."""
+    shard_dirs: list[str] = []
+    for root in index_roots:
+        shards = list_shards(root)
+        if not shards:
+            raise FileNotFoundError(f"no shards under {root}")
+        shard_dirs.extend(shards)
+
+    stats_in = [json.load(open(os.path.join(d, "stats.json"))) for d in shard_dirs]
+    num_buckets = stats_in[0]["num_buckets"]
+    positions = bool(stats_in[0].get("positions", False))
+    for s in stats_in[1:]:
+        if s["num_buckets"] != num_buckets:
+            raise ValueError("merge inputs must share num_buckets")
+        if s.get("analyzer") != stats_in[0].get("analyzer"):
+            raise ValueError("merge inputs must share the analyzer")
+        if bool(s.get("positions", False)) != positions:
+            raise ValueError("merge inputs must share the positional flag")
+
+    purged_ids, purged_sites = _purged_doc_ids(index_roots, shard_dirs)
+
+    shard_dir = os.path.join(out_dir, "shard=0")
+    os.makedirs(shard_dir, exist_ok=True)
+    key = _config_key(
+        op="merge",
+        inputs=sorted(index_roots),
+        input_stats=sorted(json.dumps(s, sort_keys=True) for s in stats_in),
+        purged=[int(purged_ids.size), sorted(purged_sites)],
+        salt=[salt_df_threshold, salt_target],
+    )
+    metrics: dict[str, Any] = {"phases": {}, "inputs": len(index_roots)}
+    t_start = time.monotonic()
+
+    site_filter = None
+    if purged_sites:
+        site_filter = ~pc.field("site").isin(sorted(purged_sites))
+
+    # ---- docs store: streamed concat minus purged sites -------------------
+    t0 = time.monotonic()
+    docs_dirs = [os.path.join(d, "docs") for d in shard_dirs]
+    if not (resume and phase_done(shard_dir, "docs", key)):
+        with phase_output(os.path.join(shard_dir, "docs")) as tmp:
+            _write_parquet(
+                rd.read_parquet(expand_parquet_paths(docs_dirs), filter=site_filter),
+                tmp,
+            )
+        commit_phase(shard_dir, "docs", key,
+                     {"seconds": round(time.monotonic() - t0, 3)})
+    metrics["phases"]["docs"] = round(time.monotonic() - t0, 3)
+
+    # ---- doclen: concat minus purged, re-sorted (site, doc_id) ------------
+    # the only wide op in a merge — over the skinny ~16 B/row table
+    t1 = time.monotonic()
+    if not (resume and phase_done(shard_dir, "prestats", key)):
+        with phase_output(os.path.join(shard_dir, "doclen")) as tmp:
+            dl = rd.read_parquet(
+                expand_parquet_paths([os.path.join(d, "doclen") for d in shard_dirs]),
+                filter=site_filter,
+            )
+            _write_parquet(dl.sort(["site", "doc_id"]), tmp)
+        # sites + stats.json: O(sites) rows, summed on the driver like P3
+        sp = pd.concat([
+            pads.dataset(os.path.join(d, "sites")).to_table().to_pandas()
+            for d in shard_dirs
+        ])
+        if purged_sites and len(sp):
+            sp = sp[~sp["site"].isin(purged_sites)]
+        with phase_output(os.path.join(shard_dir, "sites")) as tmp:
+            if len(sp):
+                agg = sp.groupby("site", sort=True)[["pages", "site_tf"]].sum().reset_index()
+            else:
+                agg = pd.DataFrame({"site": [], "pages": [], "site_tf": []})
+            pq.write_table(
+                pa.table({
+                    "site": pa.array(agg["site"].astype(str), pa.string()),
+                    "pages": pa.array(agg["pages"].astype(np.int64), pa.int64()),
+                    "site_tf": pa.array(agg["site_tf"].astype(np.int64), pa.int64()),
+                }),
+                os.path.join(tmp, "sites.parquet"),
+            )
+        n_docs = int(agg["pages"].sum()) if len(agg) else 0
+        total_tf = int(agg["site_tf"].sum()) if len(agg) else 0
+        stats = {
+            "n_docs": n_docs,
+            "total_tf": total_tf,
+            "avgdl": (total_tf / n_docs) if n_docs else 0.0,
+            "num_buckets": num_buckets,
+            "analyzer": analyzer_spec.get("name"),
+            "shard_index": 0,
+            "num_shards": 1,
+            "positions": positions,
+            "merged_from": len(shard_dirs),
+        }
+        with open(os.path.join(shard_dir, "stats.json.tmp"), "w") as f:
+            json.dump(stats, f, indent=1)
+        os.replace(os.path.join(shard_dir, "stats.json.tmp"),
+                   os.path.join(shard_dir, "stats.json"))
+        commit_phase(shard_dir, "prestats", key,
+                     {"seconds": round(time.monotonic() - t1, 3), **stats})
+    metrics["phases"]["prestats"] = round(time.monotonic() - t1, 3)
+
+    # ---- segments: one merge task per bucket (no posting shuffle) ----------
+    t2 = time.monotonic()
+    if not (resume and phase_done(shard_dir, "segments", key)):
+        stats = json.load(open(os.path.join(shard_dir, "stats.json")))
+        threshold = salt_df_threshold
+        if threshold is None:
+            threshold = max(salt_target, int(stats["n_docs"]) // 8 or 1)
+        seg_dirs = [os.path.join(d, "segments") for d in shard_dirs]
+        buckets = sorted({
+            int(name.split("=", 1)[1])
+            for d in seg_dirs if os.path.isdir(d)
+            for name in os.listdir(d) if name.startswith("bucket=")
+        })
+        purged_ref = ray.put(purged_ids) if purged_ids.size else purged_ids
+        with phase_output(os.path.join(shard_dir, "segments")) as tmp:
+            units = rd.from_items([{"bucket": b} for b in buckets])
+            segs = units.map_batches(
+                _MergeBucketUnit(seg_dirs, purged_ref, sorted(purged_sites),
+                                 threshold, salt_target, positions),
+                batch_size=1, batch_format="pyarrow", zero_copy_batch=True,
+            )
+            _write_parquet(segs, tmp, partition_cols=["bucket"])
+        commit_phase(shard_dir, "segments", key,
+                     {"seconds": round(time.monotonic() - t2, 3)})
+    metrics["phases"]["segments"] = round(time.monotonic() - t2, 3)
+
+    # ---- term_stats / term_df: identical to the build's P5 ----------------
+    t3 = time.monotonic()
+    if not (resume and phase_done(shard_dir, "stats", key)):
+        from ray.data.aggregate import Sum
+
+        seg_dir = os.path.join(shard_dir, "segments")
+        with phase_output(os.path.join(shard_dir, "term_stats")) as tmp:
+            mixed = rd.read_parquet(seg_dir, columns=["term", "site", "df", "kind", "bucket"])
+            dfrows = mixed.map_batches(
+                lambda t: t.filter(pc.equal(t.column("kind"), "df")).select(
+                    ["bucket", "site", "term", "df"]
+                ),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+            _write_parquet(
+                dfrows.groupby(["bucket", "site", "term"]).aggregate(Sum("df", alias_name="df")),
+                tmp, partition_cols=["bucket"],
+            )
+        with phase_output(os.path.join(shard_dir, "term_df")) as tmp:
+            ts = rd.read_parquet(os.path.join(shard_dir, "term_stats"))
+            _write_parquet(ts.groupby("term").aggregate(Sum("df", alias_name="df")), tmp)
+        commit_phase(shard_dir, "stats", key,
+                     {"seconds": round(time.monotonic() - t3, 3)})
+    metrics["phases"]["stats"] = round(time.monotonic() - t3, 3)
+
+    metrics["total_seconds"] = round(time.monotonic() - t_start, 3)
+    return metrics
+
+
+def compact_segments(index_dir: str, out_dir: str, analyzer_spec: dict,
+                     **kwargs) -> dict[str, Any]:
+    """Make U2 soft deletes physical WITHOUT re-indexing: a single-input
+    segment merge that drops every tombstoned doc during the decode→re-encode
+    pass.  Compare ``incremental.compact``, which rebuilds from the raw pages
+    (needed when the page set itself changed); this path costs segment bytes
+    (~259 B/doc), not HTML bytes (~2.5 KB/doc), and never runs the analyzer."""
+    return merge_indexes([index_dir], out_dir, analyzer_spec, **kwargs)

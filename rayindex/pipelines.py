@@ -424,6 +424,86 @@ def engine_export_postings(sf_dir: str):
     return export_postings(index_dir)
 
 
+def _split_pages(sf_dir: str) -> list[str]:
+    """Split the bench pages table into two DISJOINT-url halves by md5-LE64
+    parity of the url — the two-crawl / two-url-space-shard shape that
+    ``merge.merge_indexes`` is for.  Cached like the other /tmp artifacts."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .textops import _md5_le64_arrow
+
+    pages_dir = bench_pages(sf_dir, repeat=1)
+    halves = [
+        os.path.join(CACHE_ROOT, f"pages_{_sf_name(sf_dir)}_half{h}_v{PAGES_GEN_VERSION}")
+        for h in (0, 1)
+    ]
+    if all(os.path.exists(h + ".done") for h in halves):
+        return halves
+    for h, out in enumerate(halves):
+        def keep(t: pa.Table, parity=h) -> pa.Table:
+            par = _md5_le64_arrow(t.column("url")) & np.uint64(1)
+            return t.filter(pa.array(par == np.uint64(parity)))
+
+        shutil.rmtree(out, ignore_errors=True)
+        rd.read_parquet(pages_dir).map_batches(
+            keep, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(out)
+        open(out + ".done", "w").close()
+    return halves
+
+
+def build_merged_index(sf_dir: str) -> str:
+    """Two half-corpus builds + a segment-level merge (rayindex.merge) —
+    the merged index must be indistinguishable from one full build, so the
+    merged entries share the full-build entries' oracles verbatim."""
+    from .merge import merge_indexes
+
+    roots = []
+    for h, pdir in enumerate(_split_pages(sf_dir)):
+        out = os.path.join(
+            CACHE_ROOT, f"index_{_sf_name(sf_dir)}_half{h}_v{PAGES_GEN_VERSION}"
+        )
+        build_index(pdir, out, SIMPLE_SPEC)
+        roots.append(out)
+    merged = os.path.join(
+        CACHE_ROOT, f"index_{_sf_name(sf_dir)}_merged_v{PAGES_GEN_VERSION}"
+    )
+    merge_indexes(roots, merged, SIMPLE_SPEC)
+    return merged
+
+
+def engine_merged_term_df(sf_dir: str) -> pd.DataFrame:
+    """A1 through a MERGED index (half-build ∪ half-build): same oracle as
+    engine_term_df — merge ≡ rebuild is the checked invariant."""
+    eng = QueryEngine(build_merged_index(sf_dir), SIMPLE_SPEC)
+    return eng.term_df_table()
+
+
+def engine_merged_search(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:
+    """Flagship search served from the MERGED index: scores, cutoff set and
+    normalization must match a full single build bit-for-bit (shares
+    engine_search_scores' oracle)."""
+    eng = QueryEngine(build_merged_index(sf_dir), SIMPLE_SPEC)
+    rows = []
+    for q in queries or FLAGSHIP_QUERIES:
+        res = eng.search(q, k=None, with_snippets=False)
+        meta = eng.doc_meta([r["doc_id"] for r in res["data"]])
+        for r in res["data"]:
+            rows.append(
+                {
+                    "query": q,
+                    "url": meta[r["doc_id"]]["url"],
+                    "score": int(r["abs"]),
+                    "relevance": float(r["relevance"]),
+                }
+            )
+    return pd.DataFrame(rows, columns=["query", "url", "score", "relevance"])
+
+
 def engine_wand_topk(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:
     """BM25 top-k through the compressed index, ORACLE-CHECKABLE.
 

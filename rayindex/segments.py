@@ -239,6 +239,26 @@ def segments_digest(shard_dir: str) -> str:
     return h.hexdigest()
 
 
+def expand_parquet_paths(paths: list[str]) -> list[str]:
+    """Flatten directories to their .parquet files (recursive, sorted).
+
+    ``ray.data.read_parquet`` and ``pyarrow.dataset`` both expand a SINGLE
+    directory path but reject a LIST that contains directories ("Cannot open
+    for reading: path ... is a directory") — multi-shard reads must pass
+    file paths.  Hive partition columns (``bucket=N``) are not re-derived
+    from file paths; callers that need them must carry them in-row."""
+    out: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                out.extend(
+                    os.path.join(root, f) for f in files if f.endswith(".parquet")
+                )
+        else:
+            out.append(p)
+    return sorted(out)
+
+
 def list_shards(root: str) -> list[str]:
     out = []
     for name in sorted(os.listdir(root)):
@@ -348,13 +368,15 @@ def export_postings(index_root: str) -> "ray.data.Dataset":
             }
         )
 
-    exploded = rd.read_parquet(seg_dirs).map_batches(
+    exploded = rd.read_parquet(expand_parquet_paths(seg_dirs)).map_batches(
         decode, batch_format="pyarrow", zero_copy_batch=True
     )
     url_filter = None
     if purged:
         url_filter = ~pc.field("site").isin(sorted(purged))
-    urls = rd.read_parquet(docs_dirs, columns=["doc_id", "url"], filter=url_filter)
+    urls = rd.read_parquet(
+        expand_parquet_paths(docs_dirs), columns=["doc_id", "url"], filter=url_filter
+    )
     try:
         ncpu = int(__import__("ray").cluster_resources().get("CPU", 8))
     except Exception:  # noqa: BLE001

@@ -1,0 +1,250 @@
+"""Segment-level merge (rayindex.merge): merge ≡ rebuild over the union,
+tombstones made physical, exact re-salting, positional layer carried through.
+
+The reference has no merge operator at all (combining crawls = full re-index,
+services/IndexingServiceImpl.java:40-60); these tests pin the new capability
+to the engine's existing ground truth: a merged index must be
+indistinguishable from a from-scratch build over the union corpus."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pytest
+
+from rayindex.build import build_index
+from rayindex.fixtures import write_pages
+from rayindex.incremental import purge_site
+from rayindex.merge import _MergeBucketUnit, compact_segments, merge_indexes
+from rayindex.query import QueryEngine
+
+
+def _fmt(rows):
+    return [(r["doc_id"], round(r["relevance"], 9)) for r in rows]
+
+
+def _bm(pairs):
+    return [(d, round(s, 9)) for d, s in pairs]
+
+
+def _term_df(root: str):
+    import pandas as pd
+
+    dirs = [
+        os.path.join(root, d, "term_df")
+        for d in sorted(os.listdir(root))
+        if d.startswith("shard=")
+    ]
+    t = pd.concat([pads.dataset(d).to_table().to_pandas() for d in dirs])
+    return (
+        t.groupby("term")["df"].sum().reset_index()
+        .sort_values("term").reset_index(drop=True)
+    )
+
+
+def _two_site(pages: pa.Table) -> pa.Table:
+    """Half the urls moved to a second site (the purge-test convention)."""
+    urls = pages.column("url").to_pylist()
+    urls2 = [
+        u.replace("fixture.example", "other.example") if i % 2 else u
+        for i, u in enumerate(urls)
+    ]
+    return pages.set_column(0, "url", pa.array(urls2, pa.string()))
+
+
+@pytest.fixture(scope="module")
+def halves(ray_session, fixture_corpus, tmp_path_factory):
+    """Two half-corpus indexes + the full rebuild they must merge into."""
+    base = tmp_path_factory.mktemp("merge")
+    spec = fixture_corpus.analyzer_spec
+    pages = _two_site(fixture_corpus.pages)
+    paths = {}
+    for name, tab in [
+        ("a", pages.slice(0, 100)),
+        ("b", pages.slice(100, pages.num_rows - 100)),
+        ("full", pages),
+    ]:
+        pdir = str(base / f"pages_{name}")
+        write_pages(tab, pdir, 4)
+        out = str(base / f"idx_{name}")
+        build_index(pdir, out, spec, num_buckets=4)
+        paths[name] = {"pages": pdir, "idx": out}
+    return {"base": base, "spec": spec, "pages": pages, **paths}
+
+
+def test_merge_equals_rebuild(halves, fixture_corpus):
+    out = str(halves["base"] / "merged")
+    m = merge_indexes([halves["a"]["idx"], halves["b"]["idx"]], out, halves["spec"])
+    assert set(m["phases"]) == {"docs", "prestats", "segments", "stats"}
+
+    full = QueryEngine(halves["full"]["idx"], halves["spec"])
+    merged = QueryEngine(out, halves["spec"])
+    assert merged.n_docs == full.n_docs == fixture_corpus.pages.num_rows
+    assert merged.total_tf == full.total_tf
+    assert merged.avgdl == full.avgdl
+    assert merged.site_pages == full.site_pages
+
+    queries = [
+        fixture_corpus.forms[fixture_corpus.lemmas[5]][0],
+        " ".join(
+            fixture_corpus.forms[fixture_corpus.lemmas[i]][0] for i in (3, 11)
+        ),
+        fixture_corpus.forms[fixture_corpus.lemmas[-1]][0],
+    ]
+    for q in queries:
+        got = merged.search(q, k=10, with_snippets=False)
+        want = full.search(q, k=10, with_snippets=False)
+        assert _fmt(got["data"]) == _fmt(want["data"]), q
+        assert _bm(merged.bm25_topk(q, k=10)) == _bm(full.bm25_topk(q, k=10)), q
+        # site-restricted path reads the merged doclen sidecar
+        got_s = merged.search(q, site="other.example", k=10, with_snippets=False)
+        want_s = full.search(q, site="other.example", k=10, with_snippets=False)
+        assert _fmt(got_s["data"]) == _fmt(want_s["data"]), q
+
+    # dictionary parity: global df table identical to the rebuild's
+    assert _term_df(out).equals(_term_df(halves["full"]["idx"]))
+
+
+def test_merge_purged_site_is_global_and_physical(halves, fixture_corpus):
+    """A site purged in ANY input is dropped from the whole merged output
+    (U2 is site-scoped), and the merged index carries no tombstones."""
+    spec = halves["spec"]
+    a2 = str(halves["base"] / "idx_a_purged")
+    shutil.copytree(halves["a"]["idx"], a2)
+    purge_site(a2, "other.example")
+
+    out = str(halves["base"] / "merged_purged")
+    merge_indexes([a2, halves["b"]["idx"]], out, spec)
+
+    # ground truth: rebuild over the full pages excluding the site
+    pdir = halves["full"]["pages"]
+    ref = str(halves["base"] / "idx_nosite")
+    build_index(pdir, ref, spec, num_buckets=4, exclude_sites=["other.example"])
+
+    got = QueryEngine(out, spec)
+    want = QueryEngine(ref, spec)
+    assert not got.purged_sites  # merge made the delete physical
+    assert got.n_docs == want.n_docs
+    assert got.total_tf == want.total_tf
+    for q in [fixture_corpus.forms[fixture_corpus.lemmas[i]][0] for i in (2, 7)]:
+        assert _fmt(got.search(q, k=10, with_snippets=False)["data"]) == _fmt(
+            want.search(q, k=10, with_snippets=False)["data"]
+        ), q
+    assert _term_df(out).equals(_term_df(ref))
+    # the purged site's docs are gone from every sidecar table
+    doclen = pads.dataset(os.path.join(out, "shard=0", "doclen")).to_table()
+    assert "other.example" not in set(doclen.column("site").to_pylist())
+    docs = pads.dataset(os.path.join(out, "shard=0", "docs")).to_table()
+    assert "other.example" not in set(docs.column("site").to_pylist())
+
+
+def test_compact_segments_is_single_input_merge(halves, fixture_corpus):
+    """compact_segments = decode→filter→re-encode, no re-lemmatization; the
+    result serves exactly like the tombstoned index it compacts."""
+    spec = halves["spec"]
+    src = str(halves["base"] / "idx_b_tomb")
+    shutil.copytree(halves["b"]["idx"], src)
+    purge_site(src, "other.example")
+
+    out = str(halves["base"] / "idx_b_compacted")
+    compact_segments(src, out, spec)
+
+    soft = QueryEngine(src, spec)  # tombstoned, corrections applied at read
+    hard = QueryEngine(out, spec)  # physical
+    assert not hard.purged_sites
+    assert hard.n_docs == soft.n_docs
+    assert hard.total_tf == soft.total_tf
+    assert hard.avgdl == soft.avgdl
+    for q in [fixture_corpus.forms[fixture_corpus.lemmas[i]][0] for i in (1, 9)]:
+        assert _fmt(hard.search(q, k=10, with_snippets=False)["data"]) == _fmt(
+            soft.search(q, k=10, with_snippets=False)["data"]
+        ), q
+
+
+def test_merge_resalts_heavy_terms(halves, fixture_corpus):
+    """Merged df crosses the salt threshold → the term re-splits into ordered
+    docid-range sub-lists, and results stay identical to the rebuild."""
+    spec = halves["spec"]
+    out = str(halves["base"] / "merged_salted")
+    merge_indexes(
+        [halves["a"]["idx"], halves["b"]["idx"]], out, spec,
+        salt_df_threshold=8, salt_target=8,
+    )
+    seg = pads.dataset(os.path.join(out, "shard=0", "segments")).to_table()
+    segrows = seg.filter(pc.equal(seg.column("kind"), "seg"))
+    salts_per_term = (
+        segrows.select(["term", "salt"]).to_pandas().groupby("term")["salt"].nunique()
+    )
+    assert (salts_per_term > 1).any()  # at least one head term actually split
+
+    full = QueryEngine(halves["full"]["idx"], spec)
+    merged = QueryEngine(out, spec)
+    for q in [fixture_corpus.forms[fixture_corpus.lemmas[i]][0] for i in (0, 5, 13)]:
+        assert _fmt(merged.search(q, k=10, with_snippets=False)["data"]) == _fmt(
+            full.search(q, k=10, with_snippets=False)["data"]
+        ), q
+        assert _bm(merged.bm25_topk(q, k=10)) == _bm(full.bm25_topk(q, k=10)), q
+
+
+def test_merge_positions_phrase_parity(ray_session, fixture_corpus, tmp_path):
+    """Positional blobs are sliced per doc, permuted with the merge order and
+    re-concatenated — phrase/NEAR search over the merged index ≡ rebuild."""
+    spec = fixture_corpus.analyzer_spec
+    pages = fixture_corpus.pages
+    idxs = []
+    for i, tab in enumerate([pages.slice(0, 80), pages.slice(80, 80)]):
+        pdir = str(tmp_path / f"p{i}")
+        write_pages(tab, pdir, 3)
+        out = str(tmp_path / f"i{i}")
+        build_index(pdir, out, spec, num_buckets=4, positions=True)
+        idxs.append(out)
+    fdir = str(tmp_path / "pf")
+    write_pages(pages.slice(0, 160), fdir, 3)
+    fidx = str(tmp_path / "if")
+    build_index(fdir, fidx, spec, num_buckets=4, positions=True)
+
+    out = str(tmp_path / "merged_pos")
+    merge_indexes(idxs, out, spec)
+    full = QueryEngine(fidx, spec)
+    merged = QueryEngine(out, spec)
+    assert merged.has_positions
+    checked = 0
+    for i in range(0, 12, 2):
+        q = " ".join(
+            fixture_corpus.forms[fixture_corpus.lemmas[j]][0] for j in (i, i + 1)
+        )
+        want = full.search_phrase_positional(q, k=10)
+        got = merged.search_phrase_positional(q, k=10)
+        assert _fmt(got["data"]) == _fmt(want["data"]), q
+        checked += len(want["data"])
+        want_n = full.search_near(q, slop=4, k=10)
+        got_n = merged.search_near(q, slop=4, k=10)
+        assert _fmt(got_n["data"]) == _fmt(want_n["data"]), q
+        checked += len(want_n["data"])
+    assert checked > 0  # the parity loop exercised real positives
+
+
+def test_merge_rejects_overlapping_doc_ids(halves):
+    """Same doc in two inputs → the strictly-increasing-docid encoder raises
+    instead of silently double-counting (documented contract)."""
+    seg_dir = os.path.join(halves["a"]["idx"], "shard=0", "segments")
+    unit = _MergeBucketUnit([seg_dir, seg_dir], np.empty(0, np.uint64), [],
+                            salt_df_threshold=1 << 30, salt_target=1 << 18,
+                            positions=False)
+    batch = pa.table({"bucket": pa.array([0], pa.int64())})
+    with pytest.raises(ValueError, match="strictly increasing"):
+        unit(batch)
+
+
+def test_merge_validates_inputs(halves, tmp_path):
+    spec = halves["spec"]
+    pages = pads.dataset(halves["a"]["pages"]).to_table()
+    pdir = str(tmp_path / "p")
+    write_pages(pages.slice(0, 20), pdir, 2)
+    other = str(tmp_path / "idx_otherbuckets")
+    build_index(pdir, other, spec, num_buckets=8)
+    with pytest.raises(ValueError, match="num_buckets"):
+        merge_indexes([halves["a"]["idx"], other], str(tmp_path / "x"), spec)
