@@ -36,11 +36,14 @@ url spaces — e.g. different url-space shards or different crawls of
 different sites).  Overlapping doc ids fail loudly in the strictly-
 increasing-docid encoder rather than silently double-counting a document.
 
-Output: a complete single-shard index root (segments / docs / doclen /
-sites / term_stats / term_df / stats.json / _manifest lineage) that the
+Output: a complete index root (segments / docs / doclen / sites /
+term_stats / term_df / stats.json / _manifest lineage per shard) that the
 query engine serves EXACTLY like a full rebuild over the union corpus —
 global N, avgdl and df are sums of the inputs', and both scorers use only
-those globals at query time.
+those globals at query time.  The SHARD NAMESPACE is preserved: inputs
+sharing ``num_shards`` merge shard-by-aligned-shard (the url space is
+hash-partitioned by the same rule in every build), each shard group an
+independent job-sized unit — the multi-node shape of a 10^12-doc merge.
 """
 
 from __future__ import annotations
@@ -81,23 +84,27 @@ def _resolve_ref(ref):
     return ref
 
 
-def _purged_doc_ids(roots: list[str], shard_dirs: list[str]) -> tuple[np.ndarray, set[str]]:
-    """Doc ids to drop (sorted uint64) + purged site names.
-
-    U2 tombstones are SITE-scoped, and merge keeps that semantics global: a
-    site purged in ANY input is absent from the merged output entirely (also
-    from inputs that never saw the purge) — anything else would leave the
-    output half-deleted.  The ids therefore come from every input's doclen
-    table filtered to the purged-site union ((site, doc_id)-sorted, so
-    row-group statistics prune the scan), not from the per-root sidecars.
-    One driver read, then one ``ray.put`` broadcast; a purge big enough to
-    strain driver memory should be compacted (this module) before being
-    merged again."""
+def _purged_sites(roots: list[str]) -> set[str]:
+    """U2 tombstones are SITE-scoped, and merge keeps that semantics global:
+    a site purged in ANY input is absent from the merged output entirely
+    (also from inputs that never saw the purge) — anything else would leave
+    the output half-deleted."""
     sites: set[str] = set()
     for root in roots:
         sites.update(load_tombstones(root)["sites"])
+    return sites
+
+
+def _purged_doc_ids(shard_dirs: list[str], sites: set[str]) -> np.ndarray:
+    """Doc ids to drop (sorted uint64) for ONE aligned shard group.
+
+    The ids come from each input shard's doclen table filtered to the
+    purged-site union ((site, doc_id)-sorted, so row-group statistics prune
+    the scan), not from the per-root sidecars.  One driver read per shard,
+    then one ``ray.put`` broadcast; a purge big enough to strain driver
+    memory should be compacted (this module) before being merged again."""
     if not sites:
-        return np.empty(0, np.uint64), sites
+        return np.empty(0, np.uint64)
     ids: list[np.ndarray] = []
     flt = pc.field("site").isin(sorted(sites))
     for d in shard_dirs:
@@ -105,7 +112,7 @@ def _purged_doc_ids(roots: list[str], shard_dirs: list[str]) -> tuple[np.ndarray
             columns=["doc_id"], filter=flt
         )
         ids.append(t.column("doc_id").to_numpy().astype(np.uint64))
-    return np.unique(np.concatenate(ids)), sites
+    return np.unique(np.concatenate(ids))
 
 
 def _pos_slices(enc) -> list[bytes]:
@@ -264,41 +271,108 @@ def merge_indexes(
     salt_target: int = DEFAULT_SALT_TARGET,
     resume: bool = True,
 ) -> dict[str, Any]:
-    """Merge N built indexes into one single-shard index (see module doc).
+    """Merge N built indexes into one (see module doc).
 
-    Returns per-phase metrics like ``build_index``.  Resumable: each phase
-    commits a lineage manifest keyed by the input roots' stats."""
-    shard_dirs: list[str] = []
+    The SHARD NAMESPACE is preserved: inputs must share ``num_shards`` (the
+    url space is partitioned by the same ``hash(url) % num_shards`` rule in
+    every build, so shard i of every input covers the same url slice), and
+    shard i of each input merges into output shard i — each shard group is
+    an independent unit with no cross-shard traffic, so at 10^12 docs every
+    shard merge is its own ``ray job submit`` exactly like the build.
+
+    Returns per-phase metrics like ``build_index`` (summed across shards).
+    Resumable: each phase of each shard commits a lineage manifest keyed by
+    the input roots' stats."""
+
+    def _shard_no(d: str) -> int:
+        return int(os.path.basename(d).split("=", 1)[1])
+
+    per_root: list[list[str]] = []
     for root in index_roots:
         shards = list_shards(root)
         if not shards:
             raise FileNotFoundError(f"no shards under {root}")
-        shard_dirs.extend(shards)
+        per_root.append(sorted(shards, key=_shard_no))
+    if len({len(s) for s in per_root}) != 1:
+        raise ValueError("merge inputs must share num_shards")
+    n_shards = len(per_root[0])
 
-    stats_in = [json.load(open(os.path.join(d, "stats.json"))) for d in shard_dirs]
-    num_buckets = stats_in[0]["num_buckets"]
-    positions = bool(stats_in[0].get("positions", False))
-    for s in stats_in[1:]:
-        if s["num_buckets"] != num_buckets:
-            raise ValueError("merge inputs must share num_buckets")
-        if s.get("analyzer") != stats_in[0].get("analyzer"):
-            raise ValueError("merge inputs must share the analyzer")
-        if bool(s.get("positions", False)) != positions:
-            raise ValueError("merge inputs must share the positional flag")
+    stats_all = [
+        [json.load(open(os.path.join(d, "stats.json"))) for d in shards]
+        for shards in per_root
+    ]
+    ref = stats_all[0][0]
+    num_buckets = ref["num_buckets"]
+    positions = bool(ref.get("positions", False))
+    for shards, root_stats in zip(per_root, stats_all):
+        for d, s in zip(shards, root_stats):
+            if s["num_buckets"] != num_buckets:
+                raise ValueError("merge inputs must share num_buckets")
+            if s.get("analyzer") != ref.get("analyzer"):
+                raise ValueError("merge inputs must share the analyzer")
+            if bool(s.get("positions", False)) != positions:
+                raise ValueError("merge inputs must share the positional flag")
+            if int(s.get("shard_index", _shard_no(d))) != _shard_no(d):
+                raise ValueError(f"shard_index mismatch under {d}")
 
-    purged_ids, purged_sites = _purged_doc_ids(index_roots, shard_dirs)
-
-    shard_dir = os.path.join(out_dir, "shard=0")
-    os.makedirs(shard_dir, exist_ok=True)
-    key = _config_key(
-        op="merge",
-        inputs=sorted(index_roots),
-        input_stats=sorted(json.dumps(s, sort_keys=True) for s in stats_in),
-        purged=[int(purged_ids.size), sorted(purged_sites)],
-        salt=[salt_df_threshold, salt_target],
-    )
-    metrics: dict[str, Any] = {"phases": {}, "inputs": len(index_roots)}
+    purged_sites = _purged_sites(index_roots)
+    metrics: dict[str, Any] = {
+        "phases": {}, "inputs": len(index_roots), "num_shards": n_shards,
+    }
     t_start = time.monotonic()
+    for si in range(n_shards):
+        group = [shards[si] for shards in per_root]
+        key = _config_key(
+            op="merge",
+            inputs=sorted(index_roots),
+            shard=si,
+            input_stats=sorted(
+                json.dumps(stats_all[r][si], sort_keys=True)
+                for r in range(len(per_root))
+            ),
+            purged=sorted(purged_sites),
+            salt=[salt_df_threshold, salt_target],
+        )
+        shard_metrics = _merge_shard(
+            group,
+            os.path.join(out_dir, f"shard={si}"),
+            analyzer_spec,
+            num_buckets=num_buckets,
+            positions=positions,
+            shard_index=si,
+            num_shards=n_shards,
+            purged_sites=purged_sites,
+            key=key,
+            salt_df_threshold=salt_df_threshold,
+            salt_target=salt_target,
+            resume=resume,
+        )
+        for ph, sec in shard_metrics.items():
+            metrics["phases"][ph] = round(metrics["phases"].get(ph, 0.0) + sec, 3)
+    metrics["total_seconds"] = round(time.monotonic() - t_start, 3)
+    return metrics
+
+
+def _merge_shard(
+    shard_dirs: list[str],
+    shard_dir: str,
+    analyzer_spec: dict,
+    *,
+    num_buckets: int,
+    positions: bool,
+    shard_index: int,
+    num_shards: int,
+    purged_sites: set[str],
+    key: str,
+    salt_df_threshold: int | None,
+    salt_target: int,
+    resume: bool,
+) -> dict[str, float]:
+    """Merge one aligned shard group (shard i of every input) into one
+    output shard — the per-``ray job submit`` unit of a sharded merge."""
+    purged_ids = _purged_doc_ids(shard_dirs, purged_sites)
+    os.makedirs(shard_dir, exist_ok=True)
+    metrics: dict[str, float] = {}
 
     site_filter = None
     if purged_sites:
@@ -315,7 +389,7 @@ def merge_indexes(
             )
         commit_phase(shard_dir, "docs", key,
                      {"seconds": round(time.monotonic() - t0, 3)})
-    metrics["phases"]["docs"] = round(time.monotonic() - t0, 3)
+    metrics["docs"] = round(time.monotonic() - t0, 3)
 
     # ---- doclen: concat minus purged, re-sorted (site, doc_id) ------------
     # the only wide op in a merge — over the skinny ~16 B/row table
@@ -355,8 +429,8 @@ def merge_indexes(
             "avgdl": (total_tf / n_docs) if n_docs else 0.0,
             "num_buckets": num_buckets,
             "analyzer": analyzer_spec.get("name"),
-            "shard_index": 0,
-            "num_shards": 1,
+            "shard_index": shard_index,
+            "num_shards": num_shards,
             "positions": positions,
             "merged_from": len(shard_dirs),
         }
@@ -366,7 +440,7 @@ def merge_indexes(
                    os.path.join(shard_dir, "stats.json"))
         commit_phase(shard_dir, "prestats", key,
                      {"seconds": round(time.monotonic() - t1, 3), **stats})
-    metrics["phases"]["prestats"] = round(time.monotonic() - t1, 3)
+    metrics["prestats"] = round(time.monotonic() - t1, 3)
 
     # ---- segments: one merge task per bucket (no posting shuffle) ----------
     t2 = time.monotonic()
@@ -392,7 +466,7 @@ def merge_indexes(
             _write_parquet(segs, tmp, partition_cols=["bucket"])
         commit_phase(shard_dir, "segments", key,
                      {"seconds": round(time.monotonic() - t2, 3)})
-    metrics["phases"]["segments"] = round(time.monotonic() - t2, 3)
+    metrics["segments"] = round(time.monotonic() - t2, 3)
 
     # ---- term_stats / term_df: identical to the build's P5 ----------------
     t3 = time.monotonic()
@@ -417,9 +491,8 @@ def merge_indexes(
             _write_parquet(ts.groupby("term").aggregate(Sum("df", alias_name="df")), tmp)
         commit_phase(shard_dir, "stats", key,
                      {"seconds": round(time.monotonic() - t3, 3)})
-    metrics["phases"]["stats"] = round(time.monotonic() - t3, 3)
+    metrics["stats"] = round(time.monotonic() - t3, 3)
 
-    metrics["total_seconds"] = round(time.monotonic() - t_start, 3)
     return metrics
 
 

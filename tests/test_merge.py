@@ -227,6 +227,62 @@ def test_merge_positions_phrase_parity(ray_session, fixture_corpus, tmp_path):
     assert checked > 0  # the parity loop exercised real positives
 
 
+def test_merge_preserves_shard_namespace(ray_session, fixture_corpus, tmp_path):
+    """2-shard inputs merge shard-by-aligned-shard into a 2-shard output
+    that serves identically to a 2-shard full rebuild (shards are url-hash
+    slices, so shard i of every input covers the same url space)."""
+    from rayindex.build import build_all
+
+    spec = fixture_corpus.analyzer_spec
+    pages = _two_site(fixture_corpus.pages)
+    idxs = []
+    for i, tab in enumerate([pages.slice(0, 100), pages.slice(100, pages.num_rows - 100)]):
+        pdir = str(tmp_path / f"p{i}")
+        write_pages(tab, pdir, 4)
+        out = str(tmp_path / f"i{i}")
+        build_all(pdir, out, spec, num_shards=2, num_buckets=4)
+        idxs.append(out)
+    fdir = str(tmp_path / "pf")
+    write_pages(pages, fdir, 4)
+    fidx = str(tmp_path / "if")
+    build_all(fdir, fidx, spec, num_shards=2, num_buckets=4)
+
+    out = str(tmp_path / "merged_sharded")
+    m = merge_indexes(idxs, out, spec)
+    assert m["num_shards"] == 2
+    assert sorted(os.listdir(out)) == ["shard=0", "shard=1"]
+    import json as _json
+
+    for s in (0, 1):
+        st = _json.load(open(os.path.join(out, f"shard={s}", "stats.json")))
+        assert (st["shard_index"], st["num_shards"]) == (s, 2)
+
+    full = QueryEngine(fidx, spec)
+    merged = QueryEngine(out, spec)
+    assert merged.n_docs == full.n_docs
+    assert merged.total_tf == full.total_tf
+    for i in (2, 6, 10):
+        q = fixture_corpus.forms[fixture_corpus.lemmas[i]][0]
+        assert _fmt(merged.search(q, k=10, with_snippets=False)["data"]) == _fmt(
+            full.search(q, k=10, with_snippets=False)["data"]
+        ), q
+        assert _bm(merged.bm25_topk(q, k=10)) == _bm(full.bm25_topk(q, k=10)), q
+    assert _term_df(out).equals(_term_df(fidx))
+
+
+def test_merge_rejects_shard_count_mismatch(halves, tmp_path):
+    from rayindex.build import build_all
+
+    spec = halves["spec"]
+    pages = pads.dataset(halves["a"]["pages"]).to_table()
+    pdir = str(tmp_path / "p")
+    write_pages(pages.slice(0, 20), pdir, 2)
+    sharded = str(tmp_path / "idx_2shard")
+    build_all(pdir, sharded, spec, num_shards=2, num_buckets=4)
+    with pytest.raises(ValueError, match="num_shards"):
+        merge_indexes([halves["a"]["idx"], sharded], str(tmp_path / "x"), spec)
+
+
 def test_merge_rejects_overlapping_doc_ids(halves):
     """Same doc in two inputs → the strictly-increasing-docid encoder raises
     instead of silently double-counting (documented contract)."""
