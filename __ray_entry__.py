@@ -278,6 +278,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engine_merged_search": __import__(
             "rayindex.pipelines", fromlist=["engine_merged_search"]
         ).engine_merged_search,
+        # --- round-3 upsert merge (on_conflict="latest"): a stale standing
+        # index + an overlapping re-crawl merged keep-latest must equal one
+        # full build over the true pages, so it shares that oracle ----------
+        "engine_upsert_search": __import__(
+            "rayindex.pipelines", fromlist=["engine_upsert_search"]
+        ).engine_upsert_search,
         # --- round-3 corpus curation staples (all SQL-checked) ------------
         "sample_hash": textops.sample_hash,
         "tfidf": textops.tfidf,
@@ -895,5 +901,8 @@ def oracle_sql() -> dict[str, str]:
     # merge ≡ rebuild: the merged index serves the SAME tables/scores as a
     # full single build, so the merged entries reuse those oracles verbatim
     out["engine_merged_term_df"] = out["engine_term_df"]
+    # upsert ≡ rebuild: keep-latest merge of a stale index + re-crawl serves
+    # the same scores as one full build over the true pages
+    out["engine_upsert_search"] = out["engine_search_scores"]
     out["engine_merged_search"] = out["engine_search_scores"]
     return out

@@ -31,10 +31,15 @@ Distributed shape (idiomatic Ray Data, matching the build's P4):
   statistics prune purged sites at the read).
 
 Inputs must share ``num_buckets``, the analyzer and the positional flag
-(asserted from ``stats.json``), and cover DISJOINT document sets (disjoint
-url spaces — e.g. different url-space shards or different crawls of
-different sites).  Overlapping doc ids fail loudly in the strictly-
-increasing-docid encoder rather than silently double-counting a document.
+(asserted from ``stats.json``).  By default they must cover DISJOINT
+document sets (disjoint url spaces — e.g. different url-space shards or
+different crawls of different sites): overlapping doc ids fail loudly in
+the strictly-increasing-docid encoder rather than silently double-counting
+a document.  ``on_conflict="latest"`` instead resolves overlaps keep-latest
+(max (warc_ts, input rank) per doc — the build's D1 rule across inputs),
+making the merge an UPSERT: a re-crawl merges into the standing index at
+segment-bytes cost, postings/df/doclen/doc-store of losing versions all
+dropped during the same rewrite.
 
 Output: a complete index root (segments / docs / doclen / sites /
 term_stats / term_df / stats.json / _manifest lineage per shard) that the
@@ -115,6 +120,88 @@ def _purged_doc_ids(shard_dirs: list[str], sites: set[str]) -> np.ndarray:
     return np.unique(np.concatenate(ids))
 
 
+def _overlap_versions(shard_dirs: list[str]):
+    """Keep-latest resolution for docs present in MORE THAN ONE input of one
+    aligned shard group: (sorted doc_ids uint64, winner_src int32, sites).
+
+    Winner = max (warc_ts, input rank) — the build's D1 keep-latest dedup
+    rule (rayindex/build.py P1) extended across inputs, ties broken toward
+    the later-listed input.  Detection is a DISTRIBUTED groupby over the
+    skinny (doc_id, site, warc_ts, src) projection; only the overlapping
+    rows reach the driver, so driver/broadcast memory is bounded by the
+    RE-CRAWLED SUBSET (like the purge-tombstone broadcast), not the corpus.
+    A re-crawl so large the overlap strains memory should be merged
+    crawl-by-crawl (each merge halves the surviving overlap)."""
+    empty = (np.empty(0, np.uint64), np.empty(0, np.int32), np.empty(0, object))
+    if len(shard_dirs) < 2:
+        return empty
+    parts = []
+    for src, d in enumerate(shard_dirs):
+        ds = rd.read_parquet(
+            os.path.join(d, "docs"), columns=["doc_id", "site", "warc_ts"]
+        )
+        parts.append(ds.map_batches(
+            lambda t, s=src: pa.table({
+                "doc_id": t.column("doc_id"),
+                "site": t.column("site"),
+                # epoch-µs int64 — no timestamp-unit skew across conversions
+                "ts_us": t.column("warc_ts").cast(pa.int64()),
+                "src": pa.array(np.full(t.num_rows, s, np.int32)),
+            }),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ))
+    allv = parts[0].union(*parts[1:])
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype=g["doc_id"].dtype),
+                "site": pd.Series(dtype=object),
+                "winner_src": pd.Series(dtype="int32"),
+            })
+        w = g.sort_values(["ts_us", "src"]).iloc[-1]
+        return pd.DataFrame({
+            "doc_id": [g["doc_id"].iloc[0]],
+            "site": [g["site"].iloc[0]],
+            "winner_src": [np.int32(w["src"])],
+        })
+
+    ov = allv.groupby("doc_id").map_groups(pick, batch_format="pandas").to_pandas()
+    if len(ov) == 0:
+        return empty
+    ov = ov.sort_values("doc_id").reset_index(drop=True)
+    return (
+        ov["doc_id"].to_numpy().astype(np.uint64),
+        ov["winner_src"].to_numpy().astype(np.int32),
+        ov["site"].to_numpy(),
+    )
+
+
+class _DropLosing:
+    """Streaming filter for one input's docs/doclen scan: drop rows whose
+    (doc_id, input) version LOST the keep-latest resolution.  The overlap
+    arrays are broadcast once (``ray.put``) and probed with searchsorted —
+    never re-shipped per batch."""
+
+    def __init__(self, overlap_ref, src: int):
+        self._ref = overlap_ref
+        self.src = src
+        self.overlap: tuple | None = (
+            overlap_ref if isinstance(overlap_ref, tuple) else None
+        )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.overlap is None:
+            self.overlap = _resolve_ref(self._ref)
+        ids, winner, _sites = self.overlap
+        if not ids.size or not t.num_rows:
+            return t
+        d = t.column("doc_id").to_numpy().astype(np.uint64)
+        ix = np.minimum(np.searchsorted(ids, d), ids.size - 1)
+        lose = (ids[ix] == d) & (winner[ix] != self.src)
+        return t.filter(pa.array(~lose))
+
+
 def _pos_slices(enc) -> list[bytes]:
     """Per-doc position blobs of one sub-list (empty list when non-positional)."""
     if not enc.pos_nbytes_blob:
@@ -127,16 +214,22 @@ def _pos_slices(enc) -> list[bytes]:
 
 class _MergeBucketUnit:
     """One reduce task per term-hash bucket: decode every input's sub-lists,
-    merge-sort per term, drop tombstoned docs, re-salt by EXACT df, re-encode.
-    Also merges the colocated partial-df rows (summed per (site, term), purged
-    sites dropped) so the downstream stats phase works unchanged."""
+    merge-sort per term, drop tombstoned docs and keep-latest-losing doc
+    versions, re-salt by EXACT df, re-encode.  Also merges the colocated
+    partial-df rows (summed per (site, term), purged sites dropped, losing
+    versions decremented) so the downstream stats phase works unchanged."""
 
     def __init__(self, seg_dirs: list[str], purged_ref, purged_sites: list[str],
-                 salt_df_threshold: int, salt_target: int, positions: bool):
+                 salt_df_threshold: int, salt_target: int, positions: bool,
+                 overlap_ref=None):
         self.seg_dirs = seg_dirs
         self._purged_ref = purged_ref
         self.purged: np.ndarray | None = (
             purged_ref if isinstance(purged_ref, np.ndarray) else None
+        )
+        self._overlap_ref = overlap_ref
+        self.overlap: tuple | None = (
+            overlap_ref if isinstance(overlap_ref, tuple) else None
         )
         self.purged_sites = set(purged_sites)
         self.threshold = salt_df_threshold
@@ -148,17 +241,36 @@ class _MergeBucketUnit:
             self.purged = _resolve_ref(self._purged_ref)
         return self.purged
 
+    def _get_overlap(self) -> tuple:
+        """(sorted overlap doc_ids uint64, winner_src int32, sites) or empty."""
+        if self.overlap is None:
+            if self._overlap_ref is None:
+                self.overlap = (np.empty(0, np.uint64), np.empty(0, np.int32),
+                                np.empty(0, object))
+            else:
+                self.overlap = _resolve_ref(self._overlap_ref)
+        return self.overlap
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         out: list[pa.Table] = []
         for unit in batch.to_pylist():
             b = int(unit["bucket"])
-            dirs = [os.path.join(d, f"bucket={b}") for d in self.seg_dirs]
-            files = expand_parquet_paths([d for d in dirs if os.path.isdir(d)])
-            if not files:
+            # per-input reads so every sub-list carries its input rank (src):
+            # keep-latest needs to know WHICH version of an overlapping doc
+            # each posting belongs to
+            tabs = []
+            for src, d in enumerate(self.seg_dirs):
+                bd = os.path.join(d, f"bucket={b}")
+                if not os.path.isdir(bd):
+                    continue
+                t = pads.dataset(expand_parquet_paths([bd]), format="parquet").to_table()
+                if t.num_rows:
+                    tabs.append(t.append_column(
+                        "src", pa.array(np.full(t.num_rows, src, np.int32))
+                    ))
+            if not tabs:
                 continue
-            t = pads.dataset(files, format="parquet").to_table()
-            if t.num_rows == 0:
-                continue
+            t = pa.concat_tables(tabs)
             out.append(self._merge_bucket(b, t))
         if not out:
             return MIXED_SCHEMA.empty_table()
@@ -167,28 +279,9 @@ class _MergeBucketUnit:
     def _merge_bucket(self, bucket: int, t: pa.Table) -> pa.Table:
         purged = self._get_purged()
         cols: dict[str, list] = {name: [] for name in MIXED_SCHEMA.names}
-
-        # ---- df rows: sum partials per (site, term), drop purged sites ----
-        dfr = t.filter(pc.equal(t.column("kind"), "df"))
-        if dfr.num_rows:
-            dfp = dfr.select(["site", "term", "df"]).to_pandas()
-            if self.purged_sites:
-                dfp = dfp[~dfp["site"].isin(self.purged_sites)]
-            agg = dfp.groupby(["site", "term"], sort=False)["df"].sum().reset_index()
-            z = b""
-            for site, term, dfv in zip(agg["site"], agg["term"], agg["df"]):
-                cols["term"].append(term)
-                cols["salt"].append(0)
-                cols["bucket"].append(bucket)
-                cols["n_docs"].append(0)
-                cols["n_blocks"].append(0)
-                for c in ("b_last_doc", "b_max_tf", "b_min_dl", "b_doc_nbytes",
-                          "b_tf_nbytes", "b_dl_nbytes", "docs_blob", "tfs_blob",
-                          "dls_blob", "pos_nbytes_blob", "pos_blob"):
-                    cols[c].append(z)
-                cols["kind"].append("df")
-                cols["site"].append(site)
-                cols["df"].append(int(dfv))
+        # per-(site, term) df decrements from keep-latest-dropped postings —
+        # collected by the seg pass below, applied to the df partials after
+        df_dec: dict[tuple[str, str], int] = {}
 
         # ---- seg rows: per term, decode → merge-sort → filter → re-encode --
         seg = t.filter(pc.equal(t.column("kind"), "seg"))
@@ -200,26 +293,69 @@ class _MergeBucketUnit:
                 term = rows[i]["term"]
                 while j < len(rows) and rows[j]["term"] == term:
                     j += 1
-                self._merge_term(bucket, term, rows[i:j], purged, cols)
+                self._merge_term(bucket, term, rows[i:j], purged, cols, df_dec)
                 i = j
+
+        # ---- df rows: sum partials per (site, term), drop purged sites,
+        # subtract keep-latest-dropped versions ------------------------------
+        dfr = t.filter(pc.equal(t.column("kind"), "df"))
+        if dfr.num_rows:
+            dfp = dfr.select(["site", "term", "df"]).to_pandas()
+            if self.purged_sites:
+                dfp = dfp[~dfp["site"].isin(self.purged_sites)]
+            agg = dfp.groupby(["site", "term"], sort=False)["df"].sum().reset_index()
+            z = b""
+            for site, term, dfv in zip(agg["site"], agg["term"], agg["df"]):
+                dfv = int(dfv) - df_dec.get((site, term), 0)
+                if dfv <= 0:
+                    continue
+                cols["term"].append(term)
+                cols["salt"].append(0)
+                cols["bucket"].append(bucket)
+                cols["n_docs"].append(0)
+                cols["n_blocks"].append(0)
+                for c in ("b_last_doc", "b_max_tf", "b_min_dl", "b_doc_nbytes",
+                          "b_tf_nbytes", "b_dl_nbytes", "docs_blob", "tfs_blob",
+                          "dls_blob", "pos_nbytes_blob", "pos_blob"):
+                    cols[c].append(z)
+                cols["kind"].append("df")
+                cols["site"].append(site)
+                cols["df"].append(dfv)
         return pa.table(cols, schema=MIXED_SCHEMA)
 
     def _merge_term(self, bucket: int, term: str, rows: list[dict],
-                    purged: np.ndarray, cols: dict[str, list]) -> None:
+                    purged: np.ndarray, cols: dict[str, list],
+                    df_dec: dict[tuple[str, str], int]) -> None:
         encs = [row_to_encoded(r) for r in rows]
         parts = [decode_postings(e) for e in encs]
         doc_ids = np.concatenate([p[0] for p in parts])
         tfs = np.concatenate([p[1] for p in parts]).astype(np.uint64)
         dls = np.concatenate([p[2] for p in parts]).astype(np.uint64)
+        srcs = np.concatenate([
+            np.full(len(p[0]), r["src"], np.int32) for p, r in zip(parts, rows)
+        ])
         pos: list[bytes] | None = None
         if self.positions:
             pos = []
             for e in encs:
                 pos.extend(_pos_slices(e))
         order = np.argsort(doc_ids, kind="stable")
-        doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
+        doc_ids, tfs, dls, srcs = doc_ids[order], tfs[order], dls[order], srcs[order]
+
+        keep = np.ones(doc_ids.size, bool)
         if purged.size:
-            keep = ~in_sorted(doc_ids, purged)
+            keep &= ~in_sorted(doc_ids, purged)
+        ov_ids, ov_winner, ov_sites = self._get_overlap()
+        if ov_ids.size:
+            ix = np.minimum(np.searchsorted(ov_ids, doc_ids), ov_ids.size - 1)
+            lose = (ov_ids[ix] == doc_ids) & (ov_winner[ix] != srcs)
+            if lose.any():
+                site_ix, cnt = np.unique(ix[lose], return_counts=True)
+                for k, c in zip(site_ix, cnt):
+                    dkey = (ov_sites[k], term)
+                    df_dec[dkey] = df_dec.get(dkey, 0) + int(c)
+                keep &= ~lose
+        if not keep.all():
             doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
             if pos is not None:
                 order = order[keep]
@@ -270,8 +406,19 @@ def merge_indexes(
     salt_df_threshold: int | None = None,
     salt_target: int = DEFAULT_SALT_TARGET,
     resume: bool = True,
+    on_conflict: str = "error",
 ) -> dict[str, Any]:
     """Merge N built indexes into one (see module doc).
+
+    ``on_conflict`` governs docs present in more than one input (the same
+    url re-crawled): ``"error"`` (default) expects disjoint doc sets and
+    fails loudly in the strictly-increasing-docid encoder; ``"latest"``
+    keeps the newest version per doc — max (warc_ts, input rank), the
+    build's D1 keep-latest rule extended across inputs — and drops the
+    losing versions' postings, df contributions, doclen and doc-store rows
+    during the rewrite, making the merge an UPSERT (Lucene segment-merge-
+    with-deletes shape; the segment-level analogue of re-indexing a
+    re-crawl from pages).
 
     The SHARD NAMESPACE is preserved: inputs must share ``num_shards`` (the
     url space is partitioned by the same ``hash(url) % num_shards`` rule in
@@ -283,6 +430,9 @@ def merge_indexes(
     Returns per-phase metrics like ``build_index`` (summed across shards).
     Resumable: each phase of each shard commits a lineage manifest keyed by
     the input roots' stats."""
+
+    if on_conflict not in ("error", "latest"):
+        raise ValueError(f"on_conflict must be 'error' or 'latest', got {on_conflict!r}")
 
     def _shard_no(d: str) -> int:
         return int(os.path.basename(d).split("=", 1)[1])
@@ -332,6 +482,7 @@ def merge_indexes(
             ),
             purged=sorted(purged_sites),
             salt=[salt_df_threshold, salt_target],
+            on_conflict=on_conflict,
         )
         shard_metrics = _merge_shard(
             group,
@@ -346,6 +497,7 @@ def merge_indexes(
             salt_df_threshold=salt_df_threshold,
             salt_target=salt_target,
             resume=resume,
+            on_conflict=on_conflict,
         )
         for ph, sec in shard_metrics.items():
             metrics["phases"][ph] = round(metrics["phases"].get(ph, 0.0) + sec, 3)
@@ -367,6 +519,7 @@ def _merge_shard(
     salt_df_threshold: int | None,
     salt_target: int,
     resume: bool,
+    on_conflict: str = "error",
 ) -> dict[str, float]:
     """Merge one aligned shard group (shard i of every input) into one
     output shard — the per-``ray job submit`` unit of a sharded merge."""
@@ -378,39 +531,80 @@ def _merge_shard(
     if purged_sites:
         site_filter = ~pc.field("site").isin(sorted(purged_sites))
 
-    # ---- docs store: streamed concat minus purged sites -------------------
+    overlap = (np.empty(0, np.uint64), np.empty(0, np.int32), np.empty(0, object))
+    if on_conflict == "latest":
+        overlap = _overlap_versions(shard_dirs)
+    overlap_ref = ray.put(overlap) if overlap[0].size else overlap
+
+    def _versioned_scan(table_name: str) -> "rd.Dataset":
+        """Union of per-input scans with the keep-latest filter applied per
+        input (each input's rank is its provenance)."""
+        parts = []
+        for src, d in enumerate(shard_dirs):
+            ds = rd.read_parquet(os.path.join(d, table_name), filter=site_filter)
+            parts.append(ds.map_batches(
+                _DropLosing(overlap_ref, src),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ))
+        return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+    # ---- docs store: streamed concat minus purged sites / losing versions -
     t0 = time.monotonic()
     docs_dirs = [os.path.join(d, "docs") for d in shard_dirs]
     if not (resume and phase_done(shard_dir, "docs", key)):
         with phase_output(os.path.join(shard_dir, "docs")) as tmp:
-            _write_parquet(
-                rd.read_parquet(expand_parquet_paths(docs_dirs), filter=site_filter),
-                tmp,
-            )
+            if overlap[0].size:
+                _write_parquet(_versioned_scan("docs"), tmp)
+            else:
+                _write_parquet(
+                    rd.read_parquet(expand_parquet_paths(docs_dirs), filter=site_filter),
+                    tmp,
+                )
         commit_phase(shard_dir, "docs", key,
                      {"seconds": round(time.monotonic() - t0, 3)})
     metrics["docs"] = round(time.monotonic() - t0, 3)
 
-    # ---- doclen: concat minus purged, re-sorted (site, doc_id) ------------
+    # ---- doclen: concat minus purged/losing, re-sorted (site, doc_id) -----
     # the only wide op in a merge — over the skinny ~16 B/row table
     t1 = time.monotonic()
     if not (resume and phase_done(shard_dir, "prestats", key)):
         with phase_output(os.path.join(shard_dir, "doclen")) as tmp:
-            dl = rd.read_parquet(
-                expand_parquet_paths([os.path.join(d, "doclen") for d in shard_dirs]),
-                filter=site_filter,
-            )
+            if overlap[0].size:
+                dl = _versioned_scan("doclen")
+            else:
+                dl = rd.read_parquet(
+                    expand_parquet_paths(
+                        [os.path.join(d, "doclen") for d in shard_dirs]
+                    ),
+                    filter=site_filter,
+                )
             _write_parquet(dl.sort(["site", "doc_id"]), tmp)
-        # sites + stats.json: O(sites) rows, summed on the driver like P3
-        sp = pd.concat([
-            pads.dataset(os.path.join(d, "sites")).to_table().to_pandas()
-            for d in shard_dirs
-        ])
-        if purged_sites and len(sp):
-            sp = sp[~sp["site"].isin(purged_sites)]
+        # sites + stats.json derived from the MERGED doclen exactly like the
+        # build's P3 (partial agg → tiny groupby → O(sites) driver rows) —
+        # summing the inputs' sites tables would double-count keep-latest
+        # losers, so the merged doclen is the one source of truth
+        from ray.data.aggregate import Sum
+
+        dmerged = rd.read_parquet(
+            os.path.join(shard_dir, "doclen"), columns=["site", "doc_len"]
+        )
+        partial = dmerged.map_batches(
+            lambda t: t.group_by("site").aggregate(
+                [("doc_len", "count"), ("doc_len", "sum")]
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        per_site = (
+            partial.groupby("site")
+            .aggregate(
+                Sum("doc_len_count", alias_name="pages"),
+                Sum("doc_len_sum", alias_name="site_tf"),
+            )
+            .to_pandas()
+        )
         with phase_output(os.path.join(shard_dir, "sites")) as tmp:
-            if len(sp):
-                agg = sp.groupby("site", sort=True)[["pages", "site_tf"]].sum().reset_index()
+            if len(per_site) and "site" in per_site.columns:
+                agg = per_site.sort_values("site").reset_index(drop=True)
             else:
                 agg = pd.DataFrame({"site": [], "pages": [], "site_tf": []})
             pq.write_table(
@@ -460,7 +654,8 @@ def _merge_shard(
             units = rd.from_items([{"bucket": b} for b in buckets])
             segs = units.map_batches(
                 _MergeBucketUnit(seg_dirs, purged_ref, sorted(purged_sites),
-                                 threshold, salt_target, positions),
+                                 threshold, salt_target, positions,
+                                 overlap_ref=overlap_ref),
                 batch_size=1, batch_format="pyarrow", zero_copy_batch=True,
             )
             _write_parquet(segs, tmp, partition_cols=["bucket"])

@@ -504,6 +504,107 @@ def engine_merged_search(sf_dir: str, queries: list[str] | None = None) -> pd.Da
     return pd.DataFrame(rows, columns=["query", "url", "score", "relevance"])
 
 
+def _upsert_crawls(sf_dir: str) -> list[str]:
+    """Two OVERLAPPING crawls of the bench url space for the upsert merge:
+
+    - v1: every url; the even-md5-parity half carries STALE content (a fixed
+      placeholder body) and an earlier ``warc_ts`` — the standing index
+      before a re-crawl.
+    - v2: the even-parity half only, with the ORIGINAL html and timestamp —
+      the re-crawl that must win keep-latest.
+
+    ``merge_indexes(on_conflict="latest")`` over their indexes must therefore
+    reproduce one full build over the original pages bit-for-bit, which is
+    what lets the upsert entry share engine_search_scores' oracle."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .textops import _md5_le64_arrow
+
+    pages_dir = bench_pages(sf_dir, repeat=1)
+    outs = [
+        os.path.join(CACHE_ROOT, f"pages_{_sf_name(sf_dir)}_up{v}_v{PAGES_GEN_VERSION}")
+        for v in (1, 2)
+    ]
+    if all(os.path.exists(o + ".done") for o in outs):
+        return outs
+
+    stale = b"<html><head><title>stale</title></head><body>stale copy</body></html>"
+    hour_us = np.int64(3_600_000_000)
+
+    def make_v1(t: pa.Table) -> pa.Table:
+        even = (_md5_le64_arrow(t.column("url")) & np.uint64(1)) == np.uint64(0)
+        ts = t.column("warc_ts").cast(pa.int64()).to_numpy().copy()
+        ts[even] -= hour_us
+        html = t.column("html").to_pylist()
+        for i in np.flatnonzero(even):
+            html[i] = stale
+        return pa.table({
+            "url": t.column("url"),
+            "warc_ts": pa.array(ts).cast(pa.timestamp("us")),
+            "html": pa.array(html, pa.binary()),
+        })
+
+    def make_v2(t: pa.Table) -> pa.Table:
+        even = (_md5_le64_arrow(t.column("url")) & np.uint64(1)) == np.uint64(0)
+        return t.select(["url", "warc_ts", "html"]).filter(pa.array(even))
+
+    for out, fn in zip(outs, (make_v1, make_v2)):
+        shutil.rmtree(out, ignore_errors=True)
+        rd.read_parquet(pages_dir).map_batches(
+            fn, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(out)
+        open(out + ".done", "w").close()
+    return outs
+
+
+def build_upsert_index(sf_dir: str) -> str:
+    """Standing-index build + re-crawl build + keep-latest upsert merge
+    (``merge.merge_indexes(on_conflict="latest")``): half the urls exist in
+    BOTH inputs with different content, and the merged index must be
+    indistinguishable from one full build over the true pages — so the
+    upsert entries share the full-build entries' oracles verbatim."""
+    from .merge import merge_indexes
+
+    roots = []
+    for v, pdir in enumerate(_upsert_crawls(sf_dir), 1):
+        out = os.path.join(
+            CACHE_ROOT, f"index_{_sf_name(sf_dir)}_up{v}_v{PAGES_GEN_VERSION}"
+        )
+        build_index(pdir, out, SIMPLE_SPEC)
+        roots.append(out)
+    merged = os.path.join(
+        CACHE_ROOT, f"index_{_sf_name(sf_dir)}_upserted_v{PAGES_GEN_VERSION}"
+    )
+    merge_indexes(roots, merged, SIMPLE_SPEC, on_conflict="latest")
+    return merged
+
+
+def engine_upsert_search(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:
+    """Flagship search served from the UPSERT-merged index (stale standing
+    index + re-crawl, keep-latest): scores, cutoff set and normalization must
+    match a full build over the true pages bit-for-bit (shares
+    engine_search_scores' oracle)."""
+    eng = QueryEngine(build_upsert_index(sf_dir), SIMPLE_SPEC)
+    rows = []
+    for q in queries or FLAGSHIP_QUERIES:
+        res = eng.search(q, k=None, with_snippets=False)
+        meta = eng.doc_meta([r["doc_id"] for r in res["data"]])
+        for r in res["data"]:
+            rows.append(
+                {
+                    "query": q,
+                    "url": meta[r["doc_id"]]["url"],
+                    "score": int(r["abs"]),
+                    "relevance": float(r["relevance"]),
+                }
+            )
+    return pd.DataFrame(rows, columns=["query", "url", "score", "relevance"])
+
+
 def engine_wand_topk(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:
     """BM25 top-k through the compressed index, ORACLE-CHECKABLE.
 

@@ -227,6 +227,72 @@ def test_merge_positions_phrase_parity(ray_session, fixture_corpus, tmp_path):
     assert checked > 0  # the parity loop exercised real positives
 
 
+def test_merge_keep_latest_upsert(ray_session, fixture_corpus, tmp_path):
+    """on_conflict='latest': a re-crawl index (60 of the base's urls with
+    CHANGED content + later warc_ts, plus 60 new urls) merges into the base
+    as an upsert — the result must equal a full rebuild over the combined
+    pages, whose D1 dedup applies the same keep-latest rule."""
+    spec = fixture_corpus.analyzer_spec
+    pages = _two_site(fixture_corpus.pages)
+
+    v1 = pages.slice(0, 140)
+    # re-crawled urls 40..100 get a DIFFERENT page's html (content change)
+    # and a strictly later timestamp; urls 140..200 are brand new
+    ts2 = pc.cast(
+        pc.add(pc.cast(pages.column("warc_ts").slice(40, 60), pa.int64()),
+               10**9),
+        pa.timestamp("us"),
+    )
+    recrawl = pa.table(
+        {
+            "url": pages.column("url").slice(40, 60),
+            "warc_ts": ts2,
+            "html": pages.column("html").slice(100, 60),
+        }
+    )
+    fresh = pages.slice(140, 60)
+    v2 = pa.concat_tables([recrawl, fresh.select(["url", "warc_ts", "html"])])
+
+    idxs = []
+    for name, tab in [("v1", v1.select(["url", "warc_ts", "html"])), ("v2", v2)]:
+        pdir = str(tmp_path / f"p_{name}")
+        write_pages(tab, pdir, 4)
+        out = str(tmp_path / f"i_{name}")
+        build_index(pdir, out, spec, num_buckets=4)
+        idxs.append(out)
+
+    # ground truth: one build over the concatenated crawls (D1 keep-latest)
+    refp = str(tmp_path / "p_ref")
+    write_pages(pa.concat_tables([v1.select(["url", "warc_ts", "html"]), v2]), refp, 4)
+    ref = str(tmp_path / "i_ref")
+    build_index(refp, ref, spec, num_buckets=4)
+
+    out = str(tmp_path / "merged_upsert")
+    merge_indexes(idxs, out, spec, on_conflict="latest")
+
+    want = QueryEngine(ref, spec)
+    got = QueryEngine(out, spec)
+    assert got.n_docs == want.n_docs == 200
+    assert got.total_tf == want.total_tf
+    assert got.avgdl == want.avgdl
+    assert got.site_pages == want.site_pages
+    for i in (0, 3, 7, 11):
+        q = fixture_corpus.forms[fixture_corpus.lemmas[i]][0]
+        assert _fmt(got.search(q, k=10, with_snippets=False)["data"]) == _fmt(
+            want.search(q, k=10, with_snippets=False)["data"]
+        ), q
+        assert _bm(got.bm25_topk(q, k=10)) == _bm(want.bm25_topk(q, k=10)), q
+        got_s = got.search(q, site="other.example", k=10, with_snippets=False)
+        want_s = want.search(q, site="other.example", k=10, with_snippets=False)
+        assert _fmt(got_s["data"]) == _fmt(want_s["data"]), q
+    assert _term_df(out).equals(_term_df(ref))
+
+    # the doc store holds exactly one (winning) version per url
+    docs = pads.dataset(os.path.join(out, "shard=0", "docs")).to_table()
+    ids = docs.column("doc_id").to_numpy()
+    assert len(np.unique(ids)) == len(ids) == 200
+
+
 def test_merge_preserves_shard_namespace(ray_session, fixture_corpus, tmp_path):
     """2-shard inputs merge shard-by-aligned-shard into a 2-shard output
     that serves identically to a 2-shard full rebuild (shards are url-hash
