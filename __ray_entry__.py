@@ -284,6 +284,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engine_upsert_search": __import__(
             "rayindex.pipelines", fromlist=["engine_upsert_search"]
         ).engine_upsert_search,
+        # --- round-3 distributed serving tier: query log → actor pool of
+        # engine replicas; values independent of batching/pool size ---------
+        "engine_batch_search": __import__(
+            "rayindex.pipelines", fromlist=["engine_batch_search"]
+        ).engine_batch_search,
         # --- round-3 corpus curation staples (all SQL-checked) ------------
         "sample_hash": textops.sample_hash,
         "tfidf": textops.tfidf,
@@ -904,5 +909,7 @@ def oracle_sql() -> dict[str, str]:
     # upsert ≡ rebuild: keep-latest merge of a stale index + re-crawl serves
     # the same scores as one full build over the true pages
     out["engine_upsert_search"] = out["engine_search_scores"]
+    # distributed serving tier ≡ single-process engine, row for row
+    out["engine_batch_search"] = out["engine_search_scores"]
     out["engine_merged_search"] = out["engine_search_scores"]
     return out

@@ -129,6 +129,17 @@ def run_once() -> dict:
             n_w += 1
     wand_avg = (time.monotonic() - t_wand) / n_w
 
+    # distributed serving-tier throughput: a derived 2-word query log through
+    # batch_search's actor pool (one engine replica per actor, state loaded
+    # once); the wall INCLUDES pool spin-up — the honest cold-job number
+    from rayindex.serve import batch_search
+
+    words = sorted({w for q in FLAGSHIP_QUERIES + WAND_QUERIES for w in q.split()})
+    pool_log = [f"{a} {b}" for a in words for b in words if a < b][:256]
+    t_pool = time.monotonic()
+    batch_search(out_dir, SIMPLE_SPEC, pool_log, k=10).count()
+    pool_qps = len(pool_log) / (time.monotonic() - t_pool)
+
     # recorded recall of the approximate ANN paths vs the exact scorer (the
     # two remaining rows-only correctness entries; VERDICT r2 ask) — averaged
     # over several query vectors so a single lucky bucket can't flatter it
@@ -168,6 +179,7 @@ def run_once() -> dict:
             "query_ref_avg": round(ref_avg, 4),
             "query_bm25_avg": round(bm_avg, 4),
             "query_wand_avg": round(wand_avg, 4),
+            "query_pool_qps": round(pool_qps, 1),
             "ann_lsh_recall": recall["lsh"],
             "ann_ivf_recall": recall["ivf"],
             "segments_mb": round(seg_bytes / 1e6, 1),

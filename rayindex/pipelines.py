@@ -605,6 +605,18 @@ def engine_upsert_search(sf_dir: str, queries: list[str] | None = None) -> pd.Da
     return pd.DataFrame(rows, columns=["query", "url", "score", "relevance"])
 
 
+def engine_batch_search(sf_dir: str, queries: list[str] | None = None):
+    """Flagship search served by the DISTRIBUTED serving tier
+    (rayindex.serve.batch_search): the query log streams through an actor
+    pool of engine replicas, each holding ST4 state loaded once.  Row values
+    must be independent of batch boundaries and pool size, so this shares
+    engine_search_scores' oracle verbatim."""
+    from .serve import batch_search
+
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    return batch_search(index_dir, SIMPLE_SPEC, queries or FLAGSHIP_QUERIES)
+
+
 def engine_wand_topk(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:
     """BM25 top-k through the compressed index, ORACLE-CHECKABLE.
 

@@ -1,0 +1,105 @@
+"""Distributed query serving (rayindex.serve): the actor-pool replica tier
+must emit exactly the rows the single-process engine does — independent of
+batch boundaries and pool size."""
+
+import pandas as pd
+import pytest
+
+from rayindex.query import QueryEngine
+from rayindex.serve import batch_search
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    return (
+        df.sort_values(list(df.columns))
+        .reset_index(drop=True)
+        .astype({"score": "int64", "relevance": "float64"})
+    )
+
+
+def _sequential(eng, queries, site=None, k=None) -> pd.DataFrame:
+    rows = []
+    for q in queries:
+        res = eng.search(q, site=site, k=k, with_snippets=False)
+        meta = eng.doc_meta([r["doc_id"] for r in res["data"]])
+        for r in res["data"]:
+            rows.append(
+                {
+                    "query": q,
+                    "url": meta[r["doc_id"]]["url"],
+                    "score": int(r["abs"]),
+                    "relevance": float(r["relevance"]),
+                }
+            )
+    return pd.DataFrame(rows, columns=["query", "url", "score", "relevance"])
+
+
+@pytest.fixture(scope="module")
+def query_log(fixture_corpus):
+    fx = fixture_corpus
+    # single terms, conjunctions, an unknown word, and a repeated query —
+    # enough to span several batches at batch_size=4
+    qs = []
+    for i in range(0, 40, 3):
+        qs.append(fx.forms[fx.lemmas[i % len(fx.lemmas)]][0])
+    for i in range(0, 24, 4):
+        qs.append(
+            fx.forms[fx.lemmas[i]][0] + " " + fx.forms[fx.lemmas[i + 1]][0]
+        )
+    qs.append("xyzzynotaword")
+    qs.append(qs[0])
+    return qs
+
+
+def test_batch_search_equals_sequential(ray_session, built_index, fixture_corpus, query_log):
+    eng = QueryEngine(built_index["out_dir"], fixture_corpus.analyzer_spec)
+    want = _sequential(eng, query_log)
+    got = batch_search(
+        built_index["out_dir"],
+        fixture_corpus.analyzer_spec,
+        query_log,
+        batch_size=4,
+        concurrency=(1, 3),
+    ).to_pandas()
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+def test_batch_search_topk_and_site(ray_session, built_index, fixture_corpus, query_log):
+    eng = QueryEngine(built_index["out_dir"], fixture_corpus.analyzer_spec)
+    site = eng.statistics()["statistics"]["detailed"][0]["name"]
+    want = _sequential(eng, query_log[:8], site=site, k=5)
+    got = batch_search(
+        built_index["out_dir"],
+        fixture_corpus.analyzer_spec,
+        query_log[:8],
+        site=site,
+        k=5,
+        batch_size=3,
+    ).to_pandas()
+    assert len(got) == len(want)
+    # k truncates per query by rank; rank ties share identical (score,
+    # relevance), so set-of-rows equality per query still holds
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+def test_batch_search_dataset_input_and_bm25(ray_session, built_index, fixture_corpus, query_log):
+    import ray.data as rd
+
+    eng = QueryEngine(built_index["out_dir"], fixture_corpus.analyzer_spec)
+    qs = query_log[:6]
+    log = rd.from_items([{"query": q} for q in qs])
+    got = batch_search(
+        built_index["out_dir"], fixture_corpus.analyzer_spec, log,
+        scorer="bm25", k=7, batch_size=2,
+    ).to_pandas()
+    rows = []
+    for q in qs:
+        hits = eng.bm25_topk(q, k=7)
+        meta = eng.doc_meta([d for d, _ in hits])
+        for doc_id, s in hits:
+            rows.append({"query": q, "url": meta[doc_id]["url"],
+                         "score": 0, "relevance": float(s)})
+    want = pd.DataFrame(rows, columns=["query", "url", "score", "relevance"])
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
