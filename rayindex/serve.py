@@ -41,6 +41,12 @@ RESULT_SCHEMA = pa.schema(
     ]
 )
 
+# with_snippets=True adds the presentation columns of the reference's
+# SearchingResponse (F1-F4 snippet builder + M2 title)
+SNIPPET_SCHEMA = pa.schema(
+    list(RESULT_SCHEMA) + [("title", pa.string()), ("snippet", pa.string())]
+)
+
 
 class SearchReplica:
     """One engine replica per actor: heavy state (stats, segment readers,
@@ -56,16 +62,21 @@ class SearchReplica:
         site: str | None = None,
         k: int | None = None,
         scorer: str = "reference",
+        with_snippets: bool = False,
     ):
         if scorer not in ("reference", "bm25"):
             raise ValueError(f"scorer must be 'reference' or 'bm25', got {scorer!r}")
+        if with_snippets and scorer != "reference":
+            raise ValueError("with_snippets requires the reference scorer")
         self.eng = QueryEngine(index_root, analyzer_spec)
         self.site = site
         self.k = k
         self.scorer = scorer
+        self.with_snippets = with_snippets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         queries, urls, scores, rels = [], [], [], []
+        titles, snippets = [], []
         for q in batch.column("query").to_pylist():
             if self.scorer == "bm25":
                 hits = self.eng.bm25_topk(q, k=self.k or 10)
@@ -76,17 +87,29 @@ class SearchReplica:
                     scores.append(0)
                     rels.append(float(s))
                 continue
-            res = self.eng.search(q, site=self.site, k=self.k, with_snippets=False)
+            res = self.eng.search(
+                q, site=self.site, k=self.k, with_snippets=self.with_snippets
+            )
+            if self.with_snippets:
+                for r in res["data"]:
+                    queries.append(q)
+                    urls.append(r["url"])
+                    scores.append(int(r["abs"]))
+                    rels.append(float(r["relevance"]))
+                    titles.append(r["title"])
+                    snippets.append(r["snippet"])
+                continue
             meta = self.eng.doc_meta([r["doc_id"] for r in res["data"]])
             for r in res["data"]:
                 queries.append(q)
                 urls.append(meta[r["doc_id"]]["url"])
                 scores.append(int(r["abs"]))
                 rels.append(float(r["relevance"]))
-        return pa.table(
-            {"query": queries, "url": urls, "score": scores, "relevance": rels},
-            schema=RESULT_SCHEMA,
-        )
+        cols = {"query": queries, "url": urls, "score": scores, "relevance": rels}
+        if self.with_snippets:
+            cols.update(title=titles, snippet=snippets)
+            return pa.table(cols, schema=SNIPPET_SCHEMA)
+        return pa.table(cols, schema=RESULT_SCHEMA)
 
 
 def batch_search(
@@ -97,6 +120,7 @@ def batch_search(
     site: str | None = None,
     k: int | None = None,
     scorer: str = "reference",
+    with_snippets: bool = False,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 32,
 ) -> rd.Dataset:
@@ -106,7 +130,10 @@ def batch_search(
     iterable of strings (convenience).  Returns a streamed Dataset of
     ``(query, url, score, relevance)`` rows — one row per hit, all hits when
     ``k is None`` (the reference backend ignores limit/offset,
-    `controllers/ApiController.java:55-58`).  Row values are independent of
+    `controllers/ApiController.java:55-58`).  ``with_snippets=True`` adds the
+    SearchingResponse presentation columns (``title``, ``snippet`` — the
+    F1-F4 builder runs inside the replicas, so snippet generation scales
+    with the pool instead of the driver).  Row values are independent of
     batch boundaries and pool size; only row order varies.
     """
     if not isinstance(queries, rd.Dataset):
@@ -118,7 +145,9 @@ def batch_search(
     return queries.map_batches(
         SearchReplica,
         fn_constructor_args=(index_root, analyzer_spec),
-        fn_constructor_kwargs={"site": site, "k": k, "scorer": scorer},
+        fn_constructor_kwargs={
+            "site": site, "k": k, "scorer": scorer, "with_snippets": with_snippets,
+        },
         concurrency=concurrency,
         batch_size=batch_size,
         batch_format="pyarrow",

@@ -83,6 +83,36 @@ def test_batch_search_topk_and_site(ray_session, built_index, fixture_corpus, qu
     pd.testing.assert_frame_equal(_canon(got), _canon(want))
 
 
+def test_batch_search_snippets(ray_session, built_index, fixture_corpus, query_log):
+    """with_snippets=True: the full SearchingResponse presentation columns
+    (title + F1-F4 snippet) come out of the replicas byte-identical to the
+    single-process engine."""
+    eng = QueryEngine(built_index["out_dir"], fixture_corpus.analyzer_spec)
+    qs = query_log[:6]
+    rows = []
+    for q in qs:
+        for r in eng.search(q, k=5, with_snippets=True)["data"]:
+            rows.append(
+                {
+                    "query": q,
+                    "url": r["url"],
+                    "score": int(r["abs"]),
+                    "relevance": float(r["relevance"]),
+                    "title": r["title"],
+                    "snippet": r["snippet"],
+                }
+            )
+    want = pd.DataFrame(
+        rows, columns=["query", "url", "score", "relevance", "title", "snippet"]
+    )
+    got = batch_search(
+        built_index["out_dir"], fixture_corpus.analyzer_spec, qs,
+        k=5, with_snippets=True, batch_size=2,
+    ).to_pandas()
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
 def test_batch_search_dataset_input_and_bm25(ray_session, built_index, fixture_corpus, query_log):
     import ray.data as rd
 
