@@ -293,6 +293,59 @@ def test_merge_keep_latest_upsert(ray_session, fixture_corpus, tmp_path):
     assert len(np.unique(ids)) == len(ids) == 200
 
 
+def test_merge_upsert_sharded(ray_session, fixture_corpus, tmp_path):
+    """Keep-latest upsert across a 2-SHARD namespace: the re-crawl's urls
+    hash into both shards, each aligned shard group resolves its own overlap,
+    and the result serves identically to a 2-shard rebuild over the combined
+    crawls."""
+    from rayindex.build import build_all
+
+    spec = fixture_corpus.analyzer_spec
+    pages = _two_site(fixture_corpus.pages)
+
+    v1 = pages.slice(0, 160)
+    ts2 = pc.cast(
+        pc.add(pc.cast(pages.column("warc_ts").slice(60, 60), pa.int64()), 10**9),
+        pa.timestamp("us"),
+    )
+    v2 = pa.table(
+        {
+            "url": pages.column("url").slice(60, 60),
+            "warc_ts": ts2,
+            "html": pages.column("html").slice(120, 60),
+        }
+    )
+
+    idxs = []
+    for name, tab in [("v1", v1.select(["url", "warc_ts", "html"])), ("v2", v2)]:
+        pdir = str(tmp_path / f"sp_{name}")
+        write_pages(tab, pdir, 4)
+        out = str(tmp_path / f"si_{name}")
+        build_all(pdir, out, spec, num_shards=2, num_buckets=4)
+        idxs.append(out)
+
+    refp = str(tmp_path / "sp_ref")
+    write_pages(pa.concat_tables([v1.select(["url", "warc_ts", "html"]), v2]), refp, 4)
+    ref = str(tmp_path / "si_ref")
+    build_all(refp, ref, spec, num_shards=2, num_buckets=4)
+
+    out = str(tmp_path / "merged_upsert_sharded")
+    m = merge_indexes(idxs, out, spec, on_conflict="latest")
+    assert m["num_shards"] == 2
+
+    want = QueryEngine(ref, spec)
+    got = QueryEngine(out, spec)
+    assert got.n_docs == want.n_docs == 160
+    assert got.total_tf == want.total_tf
+    for i in (1, 5, 9):
+        q = fixture_corpus.forms[fixture_corpus.lemmas[i]][0]
+        assert _fmt(got.search(q, k=10, with_snippets=False)["data"]) == _fmt(
+            want.search(q, k=10, with_snippets=False)["data"]
+        ), q
+        assert _bm(got.bm25_topk(q, k=10)) == _bm(want.bm25_topk(q, k=10)), q
+    assert _term_df(out).equals(_term_df(ref))
+
+
 def test_merge_preserves_shard_namespace(ray_session, fixture_corpus, tmp_path):
     """2-shard inputs merge shard-by-aligned-shard into a 2-shard output
     that serves identically to a 2-shard full rebuild (shards are url-hash
