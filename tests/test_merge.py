@@ -227,6 +227,60 @@ def test_merge_positions_phrase_parity(ray_session, fixture_corpus, tmp_path):
     assert checked > 0  # the parity loop exercised real positives
 
 
+def test_merge_upsert_positions_phrase_parity(ray_session, fixture_corpus, tmp_path):
+    """Keep-latest upsert over POSITIONAL indexes: losing versions' position
+    blobs are dropped with their postings, winners' blobs permuted into the
+    merged order — phrase/NEAR over the upserted index ≡ rebuild over the
+    combined crawls."""
+    spec = fixture_corpus.analyzer_spec
+    pages = fixture_corpus.pages
+
+    v1 = pages.slice(0, 120)
+    ts2 = pc.cast(
+        pc.add(pc.cast(pages.column("warc_ts").slice(30, 50), pa.int64()), 10**9),
+        pa.timestamp("us"),
+    )
+    v2 = pa.table(
+        {
+            "url": pages.column("url").slice(30, 50),
+            "warc_ts": ts2,
+            "html": pages.column("html").slice(90, 50),
+        }
+    )
+
+    idxs = []
+    for name, tab in [("v1", v1.select(["url", "warc_ts", "html"])), ("v2", v2)]:
+        pdir = str(tmp_path / f"pp_{name}")
+        write_pages(tab, pdir, 3)
+        out = str(tmp_path / f"pi_{name}")
+        build_index(pdir, out, spec, num_buckets=4, positions=True)
+        idxs.append(out)
+
+    refp = str(tmp_path / "pp_ref")
+    write_pages(pa.concat_tables([v1.select(["url", "warc_ts", "html"]), v2]), refp, 3)
+    ref = str(tmp_path / "pi_ref")
+    build_index(refp, ref, spec, num_buckets=4, positions=True)
+
+    out = str(tmp_path / "merged_upsert_pos")
+    merge_indexes(idxs, out, spec, on_conflict="latest")
+    want = QueryEngine(ref, spec)
+    got = QueryEngine(out, spec)
+    assert got.has_positions
+    assert got.n_docs == want.n_docs == 120
+    checked = 0
+    for i in range(0, 12, 2):
+        q = " ".join(
+            fixture_corpus.forms[fixture_corpus.lemmas[j]][0] for j in (i, i + 1)
+        )
+        assert _fmt(got.search_phrase_positional(q, k=10)["data"]) == _fmt(
+            want.search_phrase_positional(q, k=10)["data"]
+        ), q
+        w = want.search_near(q, slop=4, k=10)
+        assert _fmt(got.search_near(q, slop=4, k=10)["data"]) == _fmt(w["data"]), q
+        checked += len(w["data"])
+    assert checked > 0
+
+
 def test_merge_keep_latest_upsert(ray_session, fixture_corpus, tmp_path):
     """on_conflict='latest': a re-crawl index (60 of the base's urls with
     CHANGED content + later warc_ts, plus 60 new urls) merges into the base
