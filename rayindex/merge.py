@@ -133,46 +133,53 @@ def _overlap_versions(shard_dirs: list[str]):
     A re-crawl so large the overlap strains memory should be merged
     crawl-by-crawl (each merge halves the surviving overlap)."""
     empty = (np.empty(0, np.uint64), np.empty(0, np.int32), np.empty(0, object))
-    if len(shard_dirs) < 2:
+    n = len(shard_dirs)
+    if n < 2:
         return empty
+    from ray.data.aggregate import Count, Max
+
     parts = []
     for src, d in enumerate(shard_dirs):
         ds = rd.read_parquet(
             os.path.join(d, "docs"), columns=["doc_id", "site", "warc_ts"]
         )
+        # one int64 per version encodes the lexicographic (warc_ts, src) max:
+        # val = ts_us * n + src (ts_us ≈ 1.8e15 × n ≤ 64 inputs ≪ 2^63), so
+        # the whole keep-latest pick is a vectorized hash-aggregate Max —
+        # no per-group Python anywhere
         parts.append(ds.map_batches(
             lambda t, s=src: pa.table({
                 "doc_id": t.column("doc_id"),
                 "site": t.column("site"),
                 # epoch-µs int64 — no timestamp-unit skew across conversions
-                "ts_us": t.column("warc_ts").cast(pa.int64()),
-                "src": pa.array(np.full(t.num_rows, s, np.int32)),
+                "val": pc.add(
+                    pc.multiply(
+                        t.column("warc_ts").cast(pa.int64()),
+                        pa.scalar(n, pa.int64()),
+                    ),
+                    pa.scalar(s, pa.int64()),
+                ),
             }),
             batch_format="pyarrow", zero_copy_batch=True,
         ))
     allv = parts[0].union(*parts[1:])
-
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({
-                "doc_id": pd.Series(dtype=g["doc_id"].dtype),
-                "site": pd.Series(dtype=object),
-                "winner_src": pd.Series(dtype="int32"),
-            })
-        w = g.sort_values(["ts_us", "src"]).iloc[-1]
-        return pd.DataFrame({
-            "doc_id": [g["doc_id"].iloc[0]],
-            "site": [g["site"].iloc[0]],
-            "winner_src": [np.int32(w["src"])],
-        })
-
-    ov = allv.groupby("doc_id").map_groups(pick, batch_format="pandas").to_pandas()
+    # doc_ids are unique WITHIN an input, so count(doc_id) ≥ 2 ⇔ the doc is
+    # in more than one input; only those rows leave the aggregate
+    agg = allv.groupby("doc_id").aggregate(
+        Count(alias_name="n_versions"),
+        Max("val", alias_name="win"),
+        Max("site", alias_name="site"),  # site is a pure function of doc_id
+    )
+    ov = agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n_versions"), 2)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).to_pandas()
     if len(ov) == 0:
         return empty
     ov = ov.sort_values("doc_id").reset_index(drop=True)
     return (
         ov["doc_id"].to_numpy().astype(np.uint64),
-        ov["winner_src"].to_numpy().astype(np.int32),
+        (ov["win"].to_numpy().astype(np.int64) % n).astype(np.int32),
         ov["site"].to_numpy(),
     )
 
