@@ -302,6 +302,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": textops.decontaminate,
         "stratified_sample": textops.stratified_sample,
         "pmi_bigrams": lambda sf: textops.pmi_bigrams(sf, k=20, min_n=2),
+        # --- round-3 third wave: MoreLikeThis + inter-doc duplicated-text
+        # fraction (both SQL-checked, integer-exact) ------------------------
+        "related_docs": lambda sf: textops.related_docs(sf, query_doc_id=0, k=10),
+        "dup_ngram_fraction": lambda sf: textops.dup_ngram_fraction(sf, n=2),
         # --- rows-only (approximate by design; recall pinned by pytest and
         # recorded as a bench metric) --------------------------------------
         "ann_lsh_topk": textops.ann_lsh_topk,
@@ -693,6 +697,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, source FROM documents "
             "WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < "
             "CASE lang WHEN 'en' THEN 20 ELSE 50 END"
+        ),
+        "related_docs": (
+            f"WITH {_T}, "
+            "tfd AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, term), "
+            "q AS (SELECT term, tf AS tfq FROM tfd WHERE doc_id = 0), "
+            "s AS (SELECT tfd.doc_id AS doc_id, CAST(sum(tfd.tf * q.tfq) AS BIGINT) AS score "
+            "FROM tfd JOIN q USING (term) WHERE tfd.doc_id <> 0 GROUP BY tfd.doc_id) "
+            "SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        "dup_ngram_fraction": (
+            f"WITH {_TOKL}, "
+            "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(l)), "
+            "i -> l[i] || ' ' || l[i+1])) AS gram FROM tokl WHERE len(l) >= 2), "
+            "gc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY doc_id, gram), "
+            "df AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM gc GROUP BY gram), "
+            "per AS (SELECT gc.doc_id, CAST(sum(gc.c) AS BIGINT) AS n_grams, "
+            "CAST(sum(CASE WHEN df.df > 1 THEN gc.c ELSE 0 END) AS BIGINT) AS n_dup "
+            "FROM gc JOIN df USING (gram) GROUP BY gc.doc_id) "
+            "SELECT doc_id, n_grams, n_dup, "
+            "CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac FROM per"
         ),
         "pmi_bigrams": (
             f"WITH {_TOKL}, "

@@ -1798,3 +1798,192 @@ def pmi_bigrams(sf_dir: str, k: int = 20, min_n: int = 5) -> rd.Dataset:
         )
 
     return joined.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# MoreLikeThis + inter-document n-gram duplication
+
+
+def related_docs(sf_dir: str, query_doc_id: int = 0, k: int = 10) -> pd.DataFrame:
+    """MoreLikeThis: the ``k`` documents most similar to a query document by
+    the integer tf dot-product ``score(d) = Σ_t tf_q(t)·tf_d(t)`` over shared
+    lemmas — the classic "similar pages" link next to a search result
+    (the reference's Σtf ranking K1, services/SearchingServiceImpl.java:55-60,
+    lifted to a whole-document query).
+
+    Distributed shape: the query document's (term, tf) vector is one doc —
+    broadcast ONCE via ``ray.put`` and applied inside a streaming
+    ``map_batches`` over the exploded corpus tf stream (no shuffle join with
+    a 10^12-row table for a 1-row side); batch-level partial sums feed ONE
+    ``groupby(doc_id)`` whose input is already collapsed to ≤ one row per
+    (batch, matching doc); each result block then keeps only its local
+    top-``k`` so the driver sees O(k × blocks) rows, never the corpus.
+    Integer-exact; deterministic order (score desc, doc_id asc)."""
+    import pyarrow.dataset as pads
+
+    qtab = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        filter=pc.field("doc_id") == query_doc_id, columns=["doc_id", "text"]
+    )
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="int64")}
+    )
+    if qtab.num_rows == 0:
+        return empty
+    qvec = TokenizeDocs()(qtab)
+    if qvec.num_rows == 0:
+        return empty
+    qref = ray.put(
+        (
+            pd.Index(qvec.column("term").to_pylist()),
+            qvec.column("tf").to_numpy().astype(np.int64),
+        )
+    )
+
+    class _DotPartial:
+        """Per-batch contribution of the broadcast query vector: filter the
+        batch's postings to query terms, weight by tf_q, partial-sum per doc.
+        Actor pool so the plasma read of the query vector happens once per
+        actor, not per batch."""
+
+        def __init__(self, ref):
+            self.qterms, self.qtf = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pos = self.qterms.get_indexer(t.column("term").to_pandas())
+            ids = t.column("doc_id").to_numpy()
+            keep = (pos >= 0) & (ids != query_doc_id)
+            if not keep.any():
+                return pa.table(
+                    {"doc_id": pa.array([], pa.int64()), "part": pa.array([], pa.int64())}
+                )
+            contrib = t.column("tf").to_numpy()[keep] * self.qtf[pos[keep]]
+            part = pd.Series(contrib).groupby(ids[keep]).sum()
+            return pa.table(
+                {
+                    "doc_id": pa.array(part.index.to_numpy(), pa.int64()),
+                    "part": pa.array(part.to_numpy(dtype=np.int64), pa.int64()),
+                }
+            )
+
+    lo, hi = auto_concurrency()
+    scores = (
+        doc_tf(sf_dir)
+        .map_batches(
+            _DotPartial,
+            fn_constructor_args=(qref,),
+            concurrency=(lo, hi),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("doc_id")
+        .aggregate(Sum("part", alias_name="score"))
+    )
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        sc = t.column("score").to_numpy()
+        order = np.lexsort((ids, -sc))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "score": pa.array(sc[order].astype(np.int64), pa.int64()),
+            }
+        )
+
+    cand = scores.map_batches(
+        block_topk, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if len(cand) == 0:
+        return empty
+    return (
+        cand.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def dup_ngram_fraction(sf_dir: str, n: int = 2) -> rd.Dataset:
+    """Inter-document duplicated-text measurement (the RefinedWeb /
+    MassiveText "duplicate n-gram fraction" signal, Penedo et al. 2023 §4.2):
+    for every document with at least one word ``n``-gram, the fraction of its
+    n-gram OCCURRENCES whose gram also appears in some OTHER document.
+    Boilerplate (headers, navigation, license text) shows up as a high
+    fraction even when no whole-document pair is a near-duplicate — the
+    signal exact/MinHash dedup misses.
+
+    Distributed shape: one pass explodes (doc_id, gram, c) — a doc's text is
+    one row, so per-(doc, gram) counts are FINAL within a batch, no
+    cross-batch combine; gram → distinct-doc df is the usual partial →
+    ``groupby(gram)`` (vocabulary-bounded shuffle); one hash JOIN on gram
+    weights each doc's occurrences, and a final ``groupby(doc_id)`` rolls up
+    to O(n_docs) rows.  ``dup_frac`` is one IEEE divide of two exact int64
+    sums, so the float is SQL-oracle-exact."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def gram_counts(t: pa.Table) -> pa.Table:
+        ids, grams = _row_ngrams(t, n)
+        if not len(grams):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "gram": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        cnt = (
+            pd.DataFrame({"doc_id": ids.astype(np.int64), "gram": grams})
+            .groupby(["doc_id", "gram"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(cnt["doc_id"].to_numpy(), pa.int64()),
+                "gram": pa.array(cnt["gram"].to_numpy(), pa.string()),
+                "c": pa.array(cnt["c"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    gtab = docs.map_batches(gram_counts, batch_format="pyarrow", zero_copy_batch=True)
+    df = (
+        gtab.map_batches(
+            lambda t: t.group_by("gram").aggregate([("doc_id", "count")]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("gram")
+        .aggregate(Sum("doc_id_count", alias_name="df"))
+    )
+    joined = gtab.join(
+        df, join_type="inner", num_partitions=max(2, _task_cpus() // 2), on=("gram",)
+    )
+
+    def weigh(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy()
+        dup = np.where(t.column("df").to_numpy() > 1, c, 0)
+        part = (
+            pd.DataFrame({"doc_id": t.column("doc_id").to_numpy(), "t": c, "d": dup})
+            .groupby("doc_id", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(part["doc_id"].to_numpy(), pa.int64()),
+                "t": pa.array(part["t"].to_numpy(dtype=np.int64), pa.int64()),
+                "d": pa.array(part["d"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    per_doc = (
+        joined.map_batches(weigh, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id")
+        .aggregate(Sum("t", alias_name="n_grams"), Sum("d", alias_name="n_dup"))
+    )
+
+    def frac(t: pa.Table) -> pa.Table:
+        tot = t.column("n_grams").to_numpy().astype(np.float64)
+        dup = t.column("n_dup").to_numpy().astype(np.float64)
+        return t.append_column("dup_frac", pa.array(dup / tot, pa.float64()))
+
+    return per_doc.map_batches(frac, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,96 @@
+"""Round-3 third-wave ops: MoreLikeThis (related_docs) and the inter-document
+duplicated-n-gram fraction — brute-force semantics checks against plain
+Python over the fixture (the SQL hash gate checks the same ops at sf0.01)."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+_NON_ALNUM = re.compile(r"[^a-z0-9]+")
+_STOP = {"a", "an", "the", "and", "of", "in", "to", "is", "on", "at", "by", "for", "with"}
+
+
+def _surface(text: str) -> list[str]:
+    return _NON_ALNUM.sub(" ", text.lower()).split()
+
+
+def _lemmas(text: str) -> list[str]:
+    return [w for w in _surface(text) if w not in _STOP]
+
+
+def _docs():
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    return dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_related_docs_matches_bruteforce_dot_product():
+    from rayindex.textops import related_docs
+
+    docs = _docs()
+    qid = 0
+    q = Counter(_lemmas(docs[qid]))
+    scores = {}
+    for doc_id, text in docs.items():
+        if doc_id == qid:
+            continue
+        c = Counter(_lemmas(text))
+        s = sum(tfq * c[t] for t, tfq in q.items())
+        if s > 0:
+            scores[doc_id] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    got = related_docs(SF, query_doc_id=qid, k=10)
+    assert list(zip(got["doc_id"], got["score"])) == want
+    assert qid not in set(got["doc_id"])  # the query doc never ranks itself
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_related_docs_missing_query_doc_is_empty():
+    from rayindex.textops import related_docs
+
+    got = related_docs(SF, query_doc_id=10**9, k=10)
+    assert len(got) == 0
+    assert list(got.columns) == ["doc_id", "score"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_ngram_fraction_matches_bruteforce():
+    from rayindex.textops import dup_ngram_fraction
+
+    docs = _docs()
+    n = 2
+    per_doc: dict[int, Counter] = {}
+    for doc_id, text in docs.items():
+        w = _surface(text)
+        grams = Counter(" ".join(w[i : i + n]) for i in range(len(w) - n + 1))
+        if grams:
+            per_doc[doc_id] = grams
+    df = Counter()
+    for grams in per_doc.values():
+        df.update(grams.keys())  # one per containing doc
+
+    got = dup_ngram_fraction(SF, n=n).to_pandas().set_index("doc_id")
+    assert set(got.index) == set(per_doc)
+    for doc_id, grams in per_doc.items():
+        tot = sum(grams.values())
+        dup = sum(c for g, c in grams.items() if df[g] > 1)
+        row = got.loc[doc_id]
+        assert row["n_grams"] == tot
+        assert row["n_dup"] == dup
+        assert row["dup_frac"] == dup / tot  # one IEEE divide — exact
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_ngram_fraction_bounds():
+    from rayindex.textops import dup_ngram_fraction
+
+    got = dup_ngram_fraction(SF, n=2).to_pandas()
+    assert ((got["dup_frac"] >= 0) & (got["dup_frac"] <= 1)).all()
+    assert (got["n_dup"] <= got["n_grams"]).all()
