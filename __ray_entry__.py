@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fraction (both SQL-checked, integer-exact) ------------------------
         "related_docs": lambda sf: textops.related_docs(sf, query_doc_id=0, k=10),
         "dup_ngram_fraction": lambda sf: textops.dup_ngram_fraction(sf, n=2),
+        "hybrid_rrf": lambda sf: textops.hybrid_rrf(sf, *_SEARCH_TERMS, query_vec_id=0),
         # --- rows-only (approximate by design; recall pinned by pytest and
         # recorded as a bench metric) --------------------------------------
         "ann_lsh_topk": textops.ann_lsh_topk,
@@ -717,6 +718,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM gc JOIN df USING (gram) GROUP BY gc.doc_id) "
             "SELECT doc_id, n_grams, n_dup, "
             "CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac FROM per"
+        ),
+        "hybrid_rrf": (
+            # RRF fusion of the search_and lexical ranking and the
+            # ann_cosine_topk semantic ranking; scores are 1/(60+rank) from
+            # INTEGER ranks, one fixed-order add — IEEE-exact on both sides
+            f"WITH {_T}, "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term), "
+            f"hits AS (SELECT * FROM tf WHERE term IN ('{ta}','{tb}')), "
+            "per_doc AS (SELECT doc_id, count(DISTINCT term) AS n_terms, sum(tf) AS score FROM hits GROUP BY doc_id), "
+            "co AS (SELECT doc_id, score FROM per_doc WHERE n_terms = 2), "
+            "lexr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM co), "
+            "lex AS (SELECT doc_id, r FROM lexr WHERE r <= 10), "
+            "sems AS (SELECT e.vec_id, list_cosine_similarity(e.embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)) AS score FROM embeddings e), "
+            "semr AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY score DESC, vec_id) AS r FROM sems), "
+            "sem AS (SELECT doc_id, r FROM semr WHERE r <= 10), "
+            "u AS (SELECT doc_id, COALESCE(1.0/(60 + l.r), 0) + COALESCE(1.0/(60 + s.r), 0) AS rrf "
+            "FROM lex l FULL OUTER JOIN sem s USING (doc_id)) "
+            "SELECT doc_id, rrf FROM u ORDER BY rrf DESC, doc_id LIMIT 10"
         ),
         "pmi_bigrams": (
             f"WITH {_TOKL}, "

@@ -1987,3 +1987,39 @@ def dup_ngram_fraction(sf_dir: str, n: int = 2) -> rd.Dataset:
         return t.append_column("dup_frac", pa.array(dup / tot, pa.float64()))
 
     return per_doc.map_batches(frac, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hybrid_rrf(sf_dir: str, term_a: str, term_b: str, query_vec_id: int = 0,
+               k: int = 10, rrf_k: int = 60) -> pd.DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
+    fuse the LEXICAL conjunctive ranking (``search_and`` — the reference's
+    Σtf scorer K1/K4) with the SEMANTIC embedding ranking
+    (``ann_cosine_topk``) by ``rrf(d) = Σ_lists 1/(rrf_k + rank_list(d))``
+    — the standard way a modern engine combines a BM25-family index with a
+    vector index, robust to the two scorers' incomparable scales.
+
+    Scale shape: each constituent ranking is the DISTRIBUTED operator it
+    already is (streaming tf scan + bounded groupby; batched matmul over the
+    broadcast query vector); fusion itself touches only the two k-row lists,
+    so the driver-side join is O(k) regardless of corpus size.  Float-exact
+    for the oracle: every contribution is one IEEE divide of 1.0 by an
+    integer, and the fused score is ONE fixed-order add (lexical term +
+    semantic term), mirroring SQL ``COALESCE(a,0) + COALESCE(b,0)``.
+    Documents and embeddings are row-aligned (vec_id ≡ doc_id in the input
+    hint), which is what makes the two lists joinable."""
+    lex = search_and(sf_dir, term_a, term_b, k=k)
+    sem = ann_cosine_topk(sf_dir, k=k, query_vec_id=query_vec_id)
+    lex_rank = {int(d): i + 1 for i, d in enumerate(lex["doc_id"])}
+    sem_rank = {int(v): int(r) for v, r in zip(sem["vec_id"], sem["rank"])}
+    fused = []
+    for d in sorted(set(lex_rank) | set(sem_rank)):
+        l = 1.0 / (rrf_k + lex_rank[d]) if d in lex_rank else 0.0
+        s = 1.0 / (rrf_k + sem_rank[d]) if d in sem_rank else 0.0
+        fused.append((d, l + s))
+    out = pd.DataFrame(fused, columns=["doc_id", "rrf"])
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return (
+        out.sort_values(["rrf", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -94,3 +94,27 @@ def test_dup_ngram_fraction_bounds():
     got = dup_ngram_fraction(SF, n=2).to_pandas()
     assert ((got["dup_frac"] >= 0) & (got["dup_frac"] <= 1)).all()
     assert (got["n_dup"] <= got["n_grams"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hybrid_rrf_matches_bruteforce_fusion():
+    from rayindex.textops import ann_cosine_topk, hybrid_rrf, search_and
+
+    lex = search_and(SF, "table", "spark", k=10)
+    sem = ann_cosine_topk(SF, k=10, query_vec_id=0)
+    lex_r = {int(d): i + 1 for i, d in enumerate(lex["doc_id"])}
+    sem_r = {int(v): int(r) for v, r in zip(sem["vec_id"], sem["rank"])}
+    want = {}
+    for d in set(lex_r) | set(sem_r):
+        want[d] = (1.0 / (60 + lex_r[d]) if d in lex_r else 0.0) + (
+            1.0 / (60 + sem_r[d]) if d in sem_r else 0.0
+        )
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    got = hybrid_rrf(SF, "table", "spark", query_vec_id=0, k=10)
+    assert list(zip(got["doc_id"], got["rrf"])) == top
+    # a doc in BOTH lists outranks equal-rank docs in one list
+    both = set(lex_r) & set(sem_r)
+    if both:
+        assert max(want[d] for d in both) > 1.0 / 61
+    assert got["rrf"].is_monotonic_decreasing or len(got) <= 1
