@@ -263,6 +263,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engine_fuzzy_terms": __import__(
             "rayindex.pipelines", fromlist=["engine_fuzzy_terms"]
         ).engine_fuzzy_terms,
+        "engine_suffix_terms": __import__(
+            "rayindex.pipelines", fromlist=["engine_suffix_terms"]
+        ).engine_suffix_terms,
         "engine_phrase_pos_topk": __import__(
             "rayindex.pipelines", fromlist=["engine_phrase_pos_topk"]
         ).engine_phrase_pos_topk,
@@ -490,6 +493,13 @@ def oracle_sql() -> dict[str, str]:
         "engine_prefix_terms": (
             f"WITH {_PTOKS} SELECT term, CAST(count(DISTINCT url) AS BIGINT) AS df "
             "FROM pt WHERE term LIKE 'st%' GROUP BY term"
+        ),
+        "engine_suffix_terms": (
+            f"WITH {_PTOKS}, d AS (SELECT term, CAST(count(DISTINCT url) AS BIGINT) AS df "
+            "FROM pt GROUP BY term) "
+            "SELECT 't' AS q, term, df FROM d WHERE term LIKE '%t' "
+            "UNION ALL "
+            "SELECT 'e' AS q, term, df FROM d WHERE term LIKE '%e'"
         ),
         "engine_fuzzy_terms": (
             f"WITH {_PTOKS}, d AS (SELECT term, CAST(count(DISTINCT url) AS BIGINT) AS df "

@@ -47,6 +47,9 @@ PHRASE_QUERIES = [
 # dictionary prefix for the autocomplete-style scan entry
 PREFIX_QUERY = "st"
 
+# dictionary suffixes for the trailing-wildcard (*suffix) entry
+SUFFIX_QUERIES = ["t", "e"]
+
 # misspelled/near-neighbor words for the fuzzy-lookup entry: a word with
 # vocabulary neighbors at distance 0 and 1, and a 2-digit token that matches
 # many id-derived numeric terms within one edit
@@ -234,6 +237,22 @@ def engine_prefix_terms(sf_dir: str, prefix: str | None = None) -> pd.DataFrame:
     index_dir = build_bench_index(sf_dir, repeat=1)
     eng = QueryEngine(index_dir, SIMPLE_SPEC)
     return eng.prefix_terms(prefix or PREFIX_QUERY)
+
+
+def engine_suffix_terms(sf_dir: str, suffixes: list[str] | None = None) -> pd.DataFrame:
+    """Trailing-wildcard dictionary lookup through the built index,
+    ORACLE-CHECKABLE: (q, term, df) for every indexed term ending with
+    each query suffix — the leading-wildcard (``*suffix``) path, served
+    from a reversed-term sorted view of the term_stats dictionary (one
+    binary-search range probe per query, never a vocabulary scan)."""
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    parts = []
+    for s in suffixes or SUFFIX_QUERIES:
+        t = eng.suffix_terms(s)
+        t.insert(0, "q", s)
+        parts.append(t)
+    return pd.concat(parts, ignore_index=True)
 
 
 def engine_fuzzy_terms(sf_dir: str, words: list[str] | None = None) -> pd.DataFrame:

@@ -689,6 +689,37 @@ class QueryEngine:
         out = ts.groupby("term", sort=True)["df"].sum().astype("int64").reset_index()
         return out[out["df"] > 0].reset_index(drop=True)
 
+    def _suffix_index(self) -> tuple[pd.DataFrame, np.ndarray, np.ndarray]:
+        """REVERSED-term sorted view of the dictionary (Lucene's
+        ReverseStringFilter trick for leading wildcards), built lazily ONCE
+        per engine by one vectorized ``str[::-1]`` pass + one argsort.  At
+        10^12-doc scale this is the structure the build would persist as a
+        rev_term-sorted sidecar next to ``term_stats`` per bucket; the probe
+        side below is unchanged either way."""
+        if getattr(self, "_suffix_cache", None) is not None:
+            return self._suffix_cache
+        dic = self.term_df_table()
+        rev = pd.Series(dic["term"].to_numpy(), dtype=object).str[::-1].to_numpy()
+        order = np.argsort(rev, kind="stable")
+        self._suffix_cache = (dic, rev[order], order.astype(np.int64))
+        return self._suffix_cache
+
+    def suffix_terms(self, suffix: str) -> pd.DataFrame:
+        """Trailing-wildcard dictionary lookup (``*suffix`` — engine
+        extension next to ``prefix_terms``): every indexed term ENDING with
+        ``suffix``, with its purge-corrected global df — (term, df),
+        term-ascending.  One binary-search range over the reversed-term
+        array: O(log vocab) per probe, never a vocabulary scan."""
+        dic, rev_sorted, owners = self._suffix_index()
+        if not suffix:
+            return dic
+        key = suffix[::-1]
+        hi = key[:-1] + chr(ord(key[-1]) + 1)
+        lo_i = int(np.searchsorted(rev_sorted, key, side="left"))
+        hi_i = int(np.searchsorted(rev_sorted, hi, side="left"))
+        idx = np.sort(owners[lo_i:hi_i])
+        return dic.iloc[idx].reset_index(drop=True)
+
     def _fuzzy_index(self) -> tuple[pd.DataFrame, np.ndarray, np.ndarray]:
         """SymSpell-style deletion-neighborhood index over the dictionary
         (Garbe 2012): every term is bucketed under itself and each of its

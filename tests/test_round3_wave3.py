@@ -118,3 +118,17 @@ def test_hybrid_rrf_matches_bruteforce_fusion():
     if both:
         assert max(want[d] for d in both) > 1.0 / 61
     assert got["rrf"].is_monotonic_decreasing or len(got) <= 1
+
+
+def test_suffix_terms_matches_dictionary_scan(engine):
+    """*suffix wildcard ≡ a brute-force endswith scan of the dictionary, for
+    every distinct last character in the vocabulary plus multi-char and
+    no-match probes."""
+    dic = engine.term_df_table()
+    suffixes = sorted({t[-1] for t in dic["term"]}) + ["le", "zzz~none"]
+    for s in suffixes:
+        got = engine.suffix_terms(s)
+        want = dic[dic["term"].str.endswith(s)].reset_index(drop=True)
+        assert got.equals(want), s
+    # empty suffix = the whole dictionary
+    assert engine.suffix_terms("").equals(dic)
