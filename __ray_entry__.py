@@ -266,6 +266,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engine_suffix_terms": __import__(
             "rayindex.pipelines", fromlist=["engine_suffix_terms"]
         ).engine_suffix_terms,
+        "engine_search_synonyms": __import__(
+            "rayindex.pipelines", fromlist=["engine_search_synonyms"]
+        ).engine_search_synonyms,
         "engine_phrase_pos_topk": __import__(
             "rayindex.pipelines", fromlist=["engine_phrase_pos_topk"]
         ).engine_phrase_pos_topk,
@@ -500,6 +503,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 't' AS q, term, df FROM d WHERE term LIKE '%t' "
             "UNION ALL "
             "SELECT 'e' AS q, term, df FROM d WHERE term LIKE '%e'"
+        ),
+        "engine_search_synonyms": (
+            # OR within a synonym group (Σtf over the group's terms), AND
+            # across groups (inner join), relevance = one IEEE divide of
+            # integer sums — mirrors QueryEngine.search_synonyms exactly
+            f"WITH {_PTOKS}, "
+            "tf AS (SELECT url, term, count(*) AS tf FROM pt GROUP BY url, term), "
+            "g1a AS (SELECT url, sum(tf) AS s FROM tf WHERE term IN ('table','window') GROUP BY url), "
+            "g1b AS (SELECT url, sum(tf) AS s FROM tf WHERE term IN ('fast','slow') GROUP BY url), "
+            "co1 AS (SELECT g1a.url, CAST(g1a.s + g1b.s AS BIGINT) AS score FROM g1a JOIN g1b USING (url)), "
+            "g2a AS (SELECT url, sum(tf) AS s FROM tf WHERE term IN ('scan','merge') GROUP BY url), "
+            "g2b AS (SELECT url, sum(tf) AS s FROM tf WHERE term IN ('key','row') GROUP BY url), "
+            "co2 AS (SELECT g2a.url, CAST(g2a.s + g2b.s AS BIGINT) AS score FROM g2a JOIN g2b USING (url)) "
+            "SELECT 'table|window fast|slow' AS query, url, score, "
+            "CAST(score AS DOUBLE) / (SELECT max(score) FROM co1) AS relevance FROM co1 "
+            "UNION ALL "
+            "SELECT 'scan|merge key|row' AS query, url, score, "
+            "CAST(score AS DOUBLE) / (SELECT max(score) FROM co2) AS relevance FROM co2"
         ),
         "engine_fuzzy_terms": (
             f"WITH {_PTOKS}, d AS (SELECT term, CAST(count(DISTINCT url) AS BIGINT) AS df "

@@ -50,6 +50,14 @@ PREFIX_QUERY = "st"
 # dictionary suffixes for the trailing-wildcard (*suffix) entry
 SUFFIX_QUERIES = ["t", "e"]
 
+# explicit thesaurus rewrites for the synonym-search entry: (label, groups) —
+# OR within a group, AND across groups; words chosen so groups overlap on
+# some docs and differ on others
+SYNONYM_QUERIES = [
+    ("table|window fast|slow", [["table", "window"], ["fast", "slow"]]),
+    ("scan|merge key|row", [["scan", "merge"], ["key", "row"]]),
+]
+
 # misspelled/near-neighbor words for the fuzzy-lookup entry: a word with
 # vocabulary neighbors at distance 0 and 1, and a 2-digit token that matches
 # many id-derived numeric terms within one edit
@@ -237,6 +245,31 @@ def engine_prefix_terms(sf_dir: str, prefix: str | None = None) -> pd.DataFrame:
     index_dir = build_bench_index(sf_dir, repeat=1)
     eng = QueryEngine(index_dir, SIMPLE_SPEC)
     return eng.prefix_terms(prefix or PREFIX_QUERY)
+
+
+def engine_search_synonyms(sf_dir: str, queries=None) -> pd.DataFrame:
+    """Synonym-expanded search end-to-end through the compressed index,
+    ORACLE-CHECKABLE: for each (label, groups) rewrite, the FULL match set
+    with integer Σtf score over all matched synonym terms and one-divide
+    relevance (QueryEngine.search_synonyms; OR within group, AND across
+    groups)."""
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    rows = []
+    for label, groups in queries or SYNONYM_QUERIES:
+        res = eng.search_synonyms(groups, k=None)
+        ids = [r["doc_id"] for r in res["data"]]
+        meta = eng.doc_meta(ids)
+        for r in res["data"]:
+            rows.append(
+                {
+                    "query": label,
+                    "url": meta[r["doc_id"]]["url"],
+                    "score": int(r["abs"]),
+                    "relevance": float(r["relevance"]),
+                }
+            )
+    return pd.DataFrame(rows, columns=["query", "url", "score", "relevance"])
 
 
 def engine_suffix_terms(sf_dir: str, suffixes: list[str] | None = None) -> pd.DataFrame:

@@ -660,6 +660,55 @@ class QueryEngine:
         ]
         return {"result": True, "count": int(cand.size), "data": data}
 
+    def search_synonyms(self, groups: list[list[str]], k: int | None = 10) -> dict:
+        """Thesaurus query rewrite (engine extension): each group is a set
+        of interchangeable lemmas — OR within a group, AND across groups.
+        A document qualifies iff EVERY group contributes at least one
+        matching term; its score is Σtf over all matched terms of all
+        groups (the reference's Σtf K1 lifted to the rewrite), relevance =
+        score/max, K4 (relevance desc, doc_id asc) tie-break, tombstone
+        discipline identical to :meth:`search`.  No K3 cutoff: the groups
+        arrive as an explicit rewrite, not free text.
+
+        Scores stay integer-exact: tf sums accumulate int64 postings into a
+        float64 (exact below 2^53) and relevance is one IEEE divide."""
+        merged: list[tuple[np.ndarray, np.ndarray]] = []
+        for g in groups:
+            docs_l, tfs_l = [], []
+            for t in dict.fromkeys(g):
+                docs, tfs, _dls = self._decoded(t)
+                if docs.size:
+                    docs_l.append(docs)
+                    tfs_l.append(tfs)
+            if not docs_l:
+                # an unmatched group empties the conjunction
+                return {"result": True, "count": 0, "data": []}
+            alld = np.concatenate(docs_l)
+            ud, inv = np.unique(alld, return_inverse=True)
+            gt = np.zeros(ud.size, dtype=np.int64)
+            np.add.at(gt, inv, np.concatenate(tfs_l).astype(np.int64))
+            merged.append((ud, gt))
+        cand = merged[0][0]
+        for ud, _gt in merged[1:]:
+            cand = cand[np.isin(cand, ud, assume_unique=True)]
+        cand = cand[self._not_excluded(cand)]
+        if cand.size == 0:
+            return {"result": True, "count": 0, "data": []}
+        abs_rel = np.zeros(cand.size, dtype=np.float64)
+        for ud, gt in merged:
+            idx = np.searchsorted(ud, cand)
+            hit = (idx < ud.size) & (ud[np.minimum(idx, ud.size - 1)] == cand)
+            abs_rel[hit] += gt[idx[hit]]
+        rel = abs_rel / abs_rel.max()
+        order = np.lexsort((cand, -rel))
+        if k:
+            order = order[:k]
+        data = [
+            {"doc_id": int(cand[i]), "relevance": float(rel[i]), "abs": float(abs_rel[i])}
+            for i in order
+        ]
+        return {"result": True, "count": int(cand.size), "data": data}
+
     def prefix_terms(self, prefix: str) -> pd.DataFrame:
         """Dictionary prefix scan → (term, df), purge-corrected (engine
         extension: autocomplete / vocabulary exploration).

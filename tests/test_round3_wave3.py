@@ -132,3 +132,42 @@ def test_suffix_terms_matches_dictionary_scan(engine):
         assert got.equals(want), s
     # empty suffix = the whole dictionary
     assert engine.suffix_terms("").equals(dic)
+
+
+def test_search_synonyms_matches_bruteforce(engine, oracle_index):
+    """OR-within-group / AND-across-groups Σtf semantics vs a brute force
+    over the oracle's postings (vocabulary sampled so groups really overlap)."""
+    import numpy as np
+
+    vocab = sorted(oracle_index.postings)
+    cases = [
+        [[vocab[0], vocab[1]], [vocab[2], vocab[3]]],
+        [[vocab[4]], [vocab[5], vocab[6], vocab[7]]],
+        [[vocab[0], vocab[0]], [vocab[1]]],  # duplicate synonym counted once
+        [["no-such-term"], [vocab[0]]],  # unmatched group empties the AND
+    ]
+    for groups in cases:
+        want_scores: dict[int, int] = {}
+        ok_docs: set[int] | None = None
+        for g in groups:
+            gdocs: dict[int, int] = {}
+            for t in dict.fromkeys(g):
+                for d, tf in oracle_index.postings.get(t, {}).items():
+                    gdocs[d] = gdocs.get(d, 0) + tf
+            ok_docs = set(gdocs) if ok_docs is None else ok_docs & set(gdocs)
+            for d, s in gdocs.items():
+                want_scores[d] = want_scores.get(d, 0) + s
+        assert ok_docs is not None
+        got = engine.search_synonyms(groups, k=None)
+        if not ok_docs:
+            assert got["count"] == 0 and got["data"] == []
+            continue
+        mx = max(want_scores[d] for d in ok_docs)
+        want = sorted(
+            ((d, want_scores[d], want_scores[d] / mx) for d in ok_docs),
+            key=lambda x: (-x[2], x[0]),
+        )
+        assert got["count"] == len(ok_docs)
+        assert [(r["doc_id"], int(r["abs"]), r["relevance"]) for r in got["data"]] == [
+            (d, s, r) for d, s, r in want
+        ]
