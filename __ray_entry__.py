@@ -201,6 +201,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": __import__(
             "rayindex.events", fromlist=["range_join_errors"]
         ).range_join_errors,
+        "events_funnel": __import__(
+            "rayindex.events", fromlist=["funnel_steps"]
+        ).funnel_steps,
         # --- distributed statistics: exact quantiles + mergeable KMV sketch
         "doclen_quantiles": textops.doclen_quantiles,
         "kmv_distinct_terms": textops.kmv_distinct_terms,
@@ -918,6 +921,33 @@ def oracle_sql() -> dict[str, str]:
             "AND epoch_us(a.ts) >= epoch_us(b.ts) "
             "AND epoch_us(a.ts) < epoch_us(b.ts) + 3600000000 "
             "AND a.event_id <> b.event_id"
+        ),
+        "events_funnel": (
+            # first-touch funnel view → click → purchase; stage i counts only
+            # events strictly after stage i-1's first hit, "after" on the
+            # (ts, event_id) tuple — mirrors rayindex.events.funnel_steps
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type "
+            "FROM events WHERE event_type IN ('view','click','purchase')), "
+            "s1 AS (SELECT user_id, us, event_id FROM ("
+            "SELECT user_id, us, event_id, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY us, event_id) AS r "
+            "FROM e WHERE event_type = 'view') WHERE r = 1), "
+            "s2 AS (SELECT user_id, us, event_id FROM ("
+            "SELECT e.user_id, e.us, e.event_id, row_number() OVER "
+            "(PARTITION BY e.user_id ORDER BY e.us, e.event_id) AS r "
+            "FROM e JOIN s1 ON e.user_id = s1.user_id "
+            "AND (e.us > s1.us OR (e.us = s1.us AND e.event_id > s1.event_id)) "
+            "WHERE e.event_type = 'click') WHERE r = 1), "
+            "s3 AS (SELECT user_id, us, event_id FROM ("
+            "SELECT e.user_id, e.us, e.event_id, row_number() OVER "
+            "(PARTITION BY e.user_id ORDER BY e.us, e.event_id) AS r "
+            "FROM e JOIN s2 ON e.user_id = s2.user_id "
+            "AND (e.us > s2.us OR (e.us = s2.us AND e.event_id > s2.event_id)) "
+            "WHERE e.event_type = 'purchase') WHERE r = 1) "
+            "SELECT s1.user_id, CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3 "
+            "WHEN s2.user_id IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS reached "
+            "FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id "
+            "LEFT JOIN s3 ON s1.user_id = s3.user_id"
         ),
         "doclen_quantiles": (
             "SELECT source AS site, CAST(count(*) AS BIGINT) AS n_docs, "

@@ -275,3 +275,50 @@ def range_join_errors(sf_dir: str, window_minutes: int = 60) -> rd.Dataset:
         return pa.table({"event_id": out.column("event_id"), "error_id": out.column("error_id")})
 
     return joined.map_batches(in_window, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def funnel_steps(sf_dir: str, steps: tuple[str, ...] = ("view", "click", "purchase")) -> rd.Dataset:
+    """First-touch funnel analysis: for every user with at least one
+    ``steps[0]`` event, the furthest funnel stage reached IN ORDER — stage
+    ``i`` counts only events strictly after the first qualifying stage-
+    ``i-1`` event (the standard product-analytics conversion funnel).
+    Returns (user_id, reached) with ``reached`` in 1..len(steps).
+
+    Determinism: "after" compares the (ts, event_id) TUPLE, so equal
+    timestamps cannot flip the result between runs or partitionings.
+
+    Shape: the scan keeps only funnel event types (filter pushed to the
+    read — non-funnel traffic never leaves storage), ONE user-keyed shuffle
+    (same partitioning as sessionize/as-of), then a vectorized in-group
+    pass of len(steps) numpy scans; per-user history bounds reducer memory,
+    and output is O(users)."""
+    step_list = list(steps)
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+        filter=pc.field("event_type").isin(step_list),
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        ts = g["ts"].to_numpy("datetime64[us]").astype("int64")
+        eid = g["event_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        cur_ts, cur_eid = np.iinfo(np.int64).min, np.iinfo(np.int64).min
+        reached = 0
+        for step in step_list:
+            after = (ts > cur_ts) | ((ts == cur_ts) & (eid > cur_eid))
+            mask = (et == step) & after
+            if not mask.any():
+                break
+            i = int(np.argmax(mask))  # first hit in (ts, event_id) order
+            cur_ts, cur_eid = int(ts[i]), int(eid[i])
+            reached += 1
+        if reached == 0:  # no stage-1 event → not in the funnel population
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "reached": pd.Series(dtype="int64")})
+        return pd.DataFrame(
+            [{"user_id": np.int64(g["user_id"].iloc[0]), "reached": np.int64(reached)}]
+        )
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")

@@ -171,3 +171,36 @@ def test_search_synonyms_matches_bruteforce(engine, oracle_index):
         assert [(r["doc_id"], int(r["abs"]), r["relevance"]) for r in got["data"]] == [
             (d, s, r) for d, s, r in want
         ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_funnel_matches_bruteforce():
+    from rayindex.events import funnel_steps
+
+    t = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    ).to_pandas()
+    t = t[t["event_type"].isin(["view", "click", "purchase"])]
+    t["us"] = t["ts"].to_numpy("datetime64[us]").astype("int64")
+    want = {}
+    for uid, g in t.groupby("user_id"):
+        g = g.sort_values(["us", "event_id"])
+        cur = (float("-inf"), float("-inf"))
+        reached = 0
+        for step in ("view", "click", "purchase"):
+            hits = g[(g["event_type"] == step)]
+            hits = hits[
+                (hits["us"] > cur[0])
+                | ((hits["us"] == cur[0]) & (hits["event_id"] > cur[1]))
+            ]
+            if len(hits) == 0:
+                break
+            first = hits.iloc[0]
+            cur = (first["us"], first["event_id"])
+            reached += 1
+        if reached:
+            want[int(uid)] = reached
+
+    got = funnel_steps(SF).to_pandas().set_index("user_id")["reached"].to_dict()
+    assert {int(k): int(v) for k, v in got.items()} == want
+    assert set(want.values()) <= {1, 2, 3}
