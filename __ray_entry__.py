@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "related_docs": lambda sf: textops.related_docs(sf, query_doc_id=0, k=10),
         "dup_ngram_fraction": lambda sf: textops.dup_ngram_fraction(sf, n=2),
         "hybrid_rrf": lambda sf: textops.hybrid_rrf(sf, *_SEARCH_TERMS, query_vec_id=0),
+        "weighted_sample": textops.weighted_sample,
         # --- rows-only (approximate by design; recall pinned by pytest and
         # recorded as a bench metric) --------------------------------------
         "ann_lsh_topk": textops.ann_lsh_topk,
@@ -752,6 +753,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM gc JOIN df USING (gram) GROUP BY gc.doc_id) "
             "SELECT doc_id, n_grams, n_dup, "
             "CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac FROM per"
+        ),
+        "weighted_sample": (
+            # Duffield-Lund-Thorup priority sample, integer-floored priority
+            # w*2^20 // u with u = 20-bit md5-LE64 slice + 1 — int64-exact
+            "WITH p AS (SELECT doc_id, n_chars, "
+            "CAST((n_chars * 1048576) // (CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) "
+            "% 1048576 AS BIGINT) + 1) AS BIGINT) AS priority FROM documents) "
+            "SELECT doc_id, n_chars, priority FROM p "
+            "ORDER BY priority DESC, doc_id LIMIT 50"
         ),
         "hybrid_rrf": (
             # RRF fusion of the search_and lexical ranking and the

@@ -2023,3 +2023,44 @@ def hybrid_rrf(sf_dir: str, term_a: str, term_b: str, query_vec_id: int = 0,
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def weighted_sample(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Weighted priority sampling (Duffield–Lund–Thorup 2007): keep the ``k``
+    documents with the largest priority ``w / u``, where the weight ``w`` is
+    ``n_chars`` and ``u`` is a deterministic per-doc uniform — the standard
+    way to draw a size-biased, REPRODUCIBLE subsample of a 100 TB corpus
+    (longer documents proportionally more likely, no RNG state, identical
+    output for any partitioning).
+
+    Arithmetic is integer-exact end to end so the SQL oracle matches on the
+    value hash: ``u`` is a 20-bit slice of the md5-LE64 rule (the dedup
+    family's hash primitive), and the priority is the FLOORED int64
+    ``w * 2^20 // u`` — the floor perturbs inclusion odds by < 2^-20
+    relative, and both sides compute the identical integer.  Shape: pure
+    streaming scan (2 pruned columns), per-block top-``k``, driver sees
+    O(k × blocks) rows."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    m = 1 << 20
+
+    def prio(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pandas().astype(str)
+        u = (_md5_le64(list(ids)) % np.uint64(m)).astype(np.int64) + 1
+        w = t.column("n_chars").to_numpy().astype(np.int64)
+        pr = (w * m) // u
+        order = np.lexsort((t.column("doc_id").to_numpy(), -pr))[:k]
+        keep = t.take(pa.array(order))
+        return pa.table(
+            {
+                "doc_id": keep.column("doc_id"),
+                "n_chars": keep.column("n_chars"),
+                "priority": pa.array(pr[order], pa.int64()),
+            }
+        )
+
+    cand = docs.map_batches(prio, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return (
+        cand.sort_values(["priority", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -204,3 +204,33 @@ def test_events_funnel_matches_bruteforce():
     got = funnel_steps(SF).to_pandas().set_index("user_id")["reached"].to_dict()
     assert {int(k): int(v) for k, v in got.items()} == want
     assert set(want.values()) <= {1, 2, 3}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_sample_matches_bruteforce_priorities():
+    import hashlib
+
+    import numpy as np
+
+    from rayindex.textops import weighted_sample
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"]).to_pandas()
+    m = 1 << 20
+
+    def le64(s: str) -> int:
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+    t["priority"] = [
+        (int(w) * m) // ((le64(str(int(d))) % m) + 1)
+        for d, w in zip(t["doc_id"], t["n_chars"])
+    ]
+    want = t.sort_values(["priority", "doc_id"], ascending=[False, True]).head(50)
+
+    got = weighted_sample(SF, k=50)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["priority"].tolist() == want["priority"].tolist()
+    # determinism across runs
+    again = weighted_sample(SF, k=50)
+    assert got.equals(again)
+    # size bias sanity: sampled docs skew longer than the corpus median
+    assert got["n_chars"].median() >= t["n_chars"].median()
