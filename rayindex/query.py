@@ -351,6 +351,7 @@ class QueryEngine:
         self._site_docs_cache: dict[str, "BloomVerifiedSet"] = {}
         self._readers_cache: dict[str, list[BlockReader]] = {}
         self._decoded_cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self._docs_locator_cache: dict[str, tuple] = {}
 
         # U2 soft deletes (tombstones.json + Parquet id sidecars): correct the
         # global stats exactly and exclude the purged docs from every
@@ -518,12 +519,65 @@ class QueryEngine:
             self._site_docs_cache[site] = got
         return got
 
-    def doc_meta(self, doc_ids: list[int]) -> dict[int, dict]:
-        """J4/J5: top-k docid → (url, site, title, text) via pruned read."""
-        want = pc.field("doc_id").isin([int(d) for d in doc_ids])
+    def _docs_locator(self, shard_dir: str) -> tuple["pads.Dataset", np.ndarray, np.ndarray]:
+        """Lazy per-shard doc locator: (dataset, sorted doc_ids, row position
+        of each sorted id in dataset scan order, urls in the same sorted
+        order).  Built ONCE per engine from a 2-skinny-column read, it turns
+        doc_meta from a full docs-store scan per query into a ``take`` of
+        only the row groups that hold the requested ids — and a url-only
+        doc_meta (the serving tier's per-hit lookup) into a pure in-memory
+        binary search that never touches parquet.  At 10^12 docs this is
+        the locator sidecar an index build would persist next to the doc
+        store (ids are url-hash-derived, so parquet min/max stats can never
+        prune for us); per shard it is ~(16 + |url|) B/doc of engine
+        memory, divided by the shard count like every other per-shard
+        structure."""
+        cached = self._docs_locator_cache.get(shard_dir)
+        if cached is not None:
+            return cached
+        ds_ = pads.dataset(os.path.join(shard_dir, "docs"))
+        t = ds_.to_table(columns=["doc_id", "url"])
+        ids = t.column("doc_id").to_numpy()
+        order = np.argsort(ids, kind="stable").astype(np.int64)
+        urls = t.column("url").to_numpy(zero_copy_only=False)[order]
+        got = (ds_, ids[order], order, urls)
+        self._docs_locator_cache[shard_dir] = got
+        return got
+
+    def doc_meta(self, doc_ids: list[int],
+                 columns: list[str] | None = None) -> dict[int, dict]:
+        """J4/J5: top-k docid → (url, site, title, text) — a positional
+        ``take`` through the lazy doc locator, touching only the row groups
+        that contain the requested ids (the docs store is not sorted by
+        doc_id, so predicate pushdown alone cannot prune).  Pass ``columns``
+        to prune the read further — serving paths that only need urls must
+        not decompress the text column of every touched row group."""
+        want = np.array([int(d) for d in doc_ids], dtype=np.int64)
         out: dict[int, dict] = {}
+        if want.size == 0:
+            return out
+        if columns is not None and "doc_id" not in columns:
+            columns = ["doc_id", *columns]
+        url_only = columns is not None and set(columns) <= {"doc_id", "url"}
         for d in self.shard_dirs:
-            t = pads.dataset(os.path.join(d, "docs")).to_table(filter=want)
+            ds_, ids_sorted, rowpos, urls_sorted = self._docs_locator(d)
+            if ids_sorted.size == 0:
+                continue
+            pos = np.searchsorted(ids_sorted, want)
+            pos_c = np.minimum(pos, ids_sorted.size - 1)
+            hit = ids_sorted[pos_c] == want
+            if not hit.any():
+                continue
+            if url_only:
+                # serving fast path: the locator already holds doc_id → url,
+                # so a url lookup never touches parquet at all
+                for i in pos_c[hit]:
+                    out[int(ids_sorted[i])] = {
+                        "doc_id": int(ids_sorted[i]), "url": str(urls_sorted[i])
+                    }
+                continue
+            take_idx = np.unique(rowpos[pos_c[hit]])
+            t = ds_.take(take_idx, columns=columns)
             for row in t.to_pylist():
                 out[int(row["doc_id"])] = row
         return out

@@ -80,7 +80,7 @@ class SearchReplica:
         for q in batch.column("query").to_pylist():
             if self.scorer == "bm25":
                 hits = self.eng.bm25_topk(q, k=self.k or 10)
-                meta = self.eng.doc_meta([d for d, _ in hits])
+                meta = self.eng.doc_meta([d for d, _ in hits], columns=["url"])
                 for doc_id, s in hits:
                     queries.append(q)
                     urls.append(meta[doc_id]["url"])
@@ -99,7 +99,7 @@ class SearchReplica:
                     titles.append(r["title"])
                     snippets.append(r["snippet"])
                 continue
-            meta = self.eng.doc_meta([r["doc_id"] for r in res["data"]])
+            meta = self.eng.doc_meta([r["doc_id"] for r in res["data"]], columns=["url"])
             for r in res["data"]:
                 queries.append(q)
                 urls.append(meta[r["doc_id"]]["url"])
@@ -137,7 +137,13 @@ def batch_search(
     batch boundaries and pool size; only row order varies.
     """
     if not isinstance(queries, rd.Dataset):
-        queries = rd.from_items([{"query": q} for q in queries])
+        items = [{"query": q} for q in queries]
+        # one block per batch: a single-block log would pin the whole stream
+        # to ONE replica (Ray Data schedules per input block, so pool
+        # parallelism is capped by block count, not batch_size)
+        queries = rd.from_items(
+            items, override_num_blocks=max(1, len(items) // batch_size)
+        )
     if concurrency is None:
         from .textops import auto_concurrency
 
