@@ -32,6 +32,7 @@ def run_once() -> dict:
     # real Common-Crawl pages are tens of KB; the synthetic documents are a
     # few hundred bytes — body_repeat approximates realistic page sizes
     body_repeat = int(os.environ.get("RAYINDEX_BENCH_BODY", "8"))
+    codec = os.environ.get("RAYINDEX_BENCH_CODEC", "vb")
 
     import ray
 
@@ -96,7 +97,8 @@ def run_once() -> dict:
         out_dir = f"/tmp/rayindex_bench/idx_{os.getpid()}_{run}"
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.monotonic()
-        m = build_index(pages_dir, out_dir, SIMPLE_SPEC, resume=False, extractor=extractor)
+        m = build_index(pages_dir, out_dir, SIMPLE_SPEC, resume=False,
+                        extractor=extractor, codec=codec)
         sec = time.monotonic() - t0
         if build_sec is None or sec < build_sec:
             build_sec, metrics = sec, m
@@ -189,6 +191,7 @@ def run_once() -> dict:
         "sf": sf_dir,
         "num_cpus": ncpus,
         "extractor": extractor,
+        "codec": codec,
         "n_docs": n_docs,
         "body_repeat": body_repeat,
         "docs_per_sec": round(n_docs / build_sec, 1),

@@ -410,11 +410,13 @@ class _EncodeUnit:
     set, slices its salt, and encodes — identical output to the groupby path.
     """
 
-    def __init__(self, postings_dir: str, heavy_ref, positions: bool = False):
+    def __init__(self, postings_dir: str, heavy_ref, positions: bool = False,
+                 codec: str = "vb"):
         self.postings_dir = postings_dir
         self._heavy_ref = heavy_ref
         self.heavy: dict | None = heavy_ref if isinstance(heavy_ref, dict) else None
         self.positions = positions
+        self.codec = codec
 
     def _get_heavy(self) -> dict:
         if self.heavy is None:
@@ -452,7 +454,7 @@ class _EncodeUnit:
             df = t.filter(pa.array(sel)).to_pandas()
             df["bucket"] = b
             df["salt"] = s
-            out.append(encode_group(df))
+            out.append(encode_group(df, codec=self.codec))
         if not out:
             return MIXED_SCHEMA.empty_table()
         return pa.concat_tables(out)
@@ -634,6 +636,7 @@ def build_index(
     # both produce byte-identical segments
     extractor: str = "parser",  # "parser" | "fast" (vectorized regex path)
     positions: bool = False,  # positional postings (phrase/proximity layer)
+    codec: str = "vb",  # postings stream codec: "vb" (delta+varbyte) | "pfor"
     extract_batch_size: int = 2048,
     lemma_batch_size: int = 2048,
     lemma_concurrency: tuple[int, int] | int | None = None,
@@ -655,6 +658,7 @@ def build_index(
         shuffle_mode=shuffle_mode,
         extractor=extractor,
         positions=positions,
+        codec=codec,
     )
     metrics: dict[str, Any] = {"shard": shard_index, "phases": {}}
     t_start = time.monotonic()
@@ -888,6 +892,7 @@ def build_index(
             "shard_index": shard_index,
             "num_shards": num_shards,
             "positions": bool(positions),
+            "codec": codec,
         }
         with open(os.path.join(shard_dir, "stats.json.tmp"), "w") as f:
             json.dump(stats, f, indent=1)
@@ -935,7 +940,7 @@ def build_index(
                 ]
                 units_ds = rd.from_items(units)
                 segs = units_ds.map_batches(
-                    _EncodeUnit(postings_dir, heavy_ref, positions),
+                    _EncodeUnit(postings_dir, heavy_ref, positions, codec),
                     batch_size=1, batch_format="pyarrow", zero_copy_batch=True,
                 )
                 _write_parquet(segs, tmp, partition_cols=["bucket"])
@@ -951,8 +956,11 @@ def build_index(
                     _AddSalt(heavy_ref),
                     batch_format="pyarrow", zero_copy_batch=True,
                 )
+                import functools
+
                 segs = p.groupby(["bucket", "salt"]).map_groups(
-                    encode_group, batch_format="pandas"
+                    functools.partial(encode_group, codec=codec),
+                    batch_format="pandas",
                 )
                 _write_parquet(segs, tmp, partition_cols=["bucket"])
         commit_phase(

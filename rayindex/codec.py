@@ -1,18 +1,34 @@
-"""Posting-list compression: delta + varbyte with block-max metadata.
+"""Posting-list compression: delta + varbyte OR PForDelta, with block-max
+metadata.
 
 The reference materializes one MySQL row per (page, lemma) posting
 (model/IndexEntity.java:11-23, written row-at-a-time at
 dto/indexing/PageIndexer.java:195-203).  At 10^12 documents that layout is
 impossible; we compress each term's docid-sorted posting list into
-variable-byte blobs with fixed-size blocks and per-block metadata
+compressed blobs with fixed-size blocks and per-block metadata
 (last_doc, max_tf, min_dl) enabling block-max WAND skipping.
 
-Both encode and decode are numpy-vectorized (no per-posting Python loop):
-encode fills at most 10 byte-planes per varint; decode classifies
-continuation bits and reduces ≤10 shifted byte-planes.
+Two interchangeable codecs (``EncodedPostings.codec``), selected per build:
 
-Varbyte format (LEB128-flavoured): 7 payload bits per byte, little-endian
-groups, MSB set on every byte that has a successor.
+* ``"vb"`` — delta + varbyte (LEB128-flavoured): 7 payload bits per byte,
+  little-endian groups, MSB set on every byte that has a successor.  Both
+  encode and decode are numpy-vectorized (no per-posting Python loop):
+  encode fills at most 10 byte-planes per varint; decode classifies
+  continuation bits and reduces ≤10 shifted byte-planes.
+
+* ``"pfor"`` — NewPFD-style patched frame-of-reference: per 128-value block,
+  a bit width ``b`` covering ~90 % of the block's values is chosen from a
+  per-block width histogram; all values' low ``b`` bits are bit-packed
+  (little-endian), and the ≤10 % outliers are "patched" via an exception
+  list (position byte + varbyte-encoded high bits).  Block layout:
+  ``[b:1][n_exc:1][packed ceil(m*b/8)][exc_pos:n_exc][varbyte highs]``.
+  Encoding groups full blocks by chosen width so the bit-packing runs as
+  whole-matrix ``np.packbits`` calls, not a per-value loop.
+
+Both codecs share the same block framing (per-block byte-length sidecars),
+so ``BlockReader`` offsets, block-max metadata and WAND skipping are
+codec-independent.  The positional layer stays varbyte under either codec
+(per-doc lists are tiny and variable-length).
 """
 
 from __future__ import annotations
@@ -79,6 +95,131 @@ def varbyte_decode(buf: bytes | memoryview | np.ndarray, count: int | None = Non
     return out
 
 
+# ---------------------------------------------------------------------------
+# PForDelta (NewPFD-style) stream codec
+
+_PFOR_PCTL = 0.9  # inline-width percentile; outliers beyond it are patched
+
+
+def _bit_widths(v: np.ndarray) -> np.ndarray:
+    """Bits needed per value (0 for 0) — 64 vectorized compares, no loop
+    over values."""
+    w = np.zeros(v.size, dtype=np.uint8)
+    for b in range(64):
+        w += v >= np.uint64(1) << np.uint64(b)
+    return w
+
+
+def pfor_encode_stream(values: np.ndarray, bounds: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode a uint64 stream into independently-decodable PFor blocks.
+
+    ``bounds`` are the block boundaries ``[0, B, 2B, ..., n]`` (the same
+    posting-block bounds the varbyte path uses).  Returns the concatenated
+    blob plus per-block byte counts for the sidecar.  Full blocks are
+    grouped by chosen bit width so the packing is one ``np.packbits`` per
+    distinct width (vectorized across blocks), not a per-block loop.
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return b"", np.empty(0, np.uint32)
+    n_blocks = len(bounds) - 1
+    sizes = np.diff(bounds).astype(np.int64)
+    widths = _bit_widths(v)
+    block_id = np.repeat(np.arange(n_blocks, dtype=np.int64), sizes)
+
+    # per-block width histogram → smallest b covering >= 90 % of the block
+    hist = np.bincount(block_id * 65 + widths, minlength=n_blocks * 65).reshape(
+        n_blocks, 65
+    )
+    cum = hist.cumsum(axis=1)
+    need = np.ceil(_PFOR_PCTL * sizes).astype(np.int64)
+    bsel = (cum < need[:, None]).sum(axis=1).astype(np.uint8)  # 0..64
+
+    b_per_value = bsel[block_id]
+    exc = widths > b_per_value
+    highs = v[exc] >> b_per_value[exc].astype(np.uint64)
+    exc_pos = (np.arange(n, dtype=np.int64) - bounds[:-1][block_id])[exc].astype(np.uint8)
+    exc_block = block_id[exc]
+    n_exc = np.bincount(exc_block, minlength=n_blocks).astype(np.int64)
+    # varbyte the high bits in one pass; per-block slices via the length rule
+    highs_blob = np.frombuffer(varbyte_encode(highs), dtype=np.uint8)
+    high_lens = varbyte_lengths(highs) if highs.size else np.empty(0, np.int64)
+    high_cum = np.concatenate(([0], np.cumsum(high_lens)))
+    high_bounds = np.concatenate(([0], np.cumsum(n_exc)))
+
+    # bit-pack low b bits, grouped by (block length, chosen width)
+    packed: list[np.ndarray | None] = [None] * n_blocks
+    blocks = np.arange(n_blocks)
+    _CHUNK = 512  # blocks per packbits call: caps the bit-matrix at ~34 MB
+    for m in np.unique(sizes):
+        same_m = blocks[sizes == m]
+        for b in np.unique(bsel[same_m]):
+            grp_all = same_m[bsel[same_m] == b]
+            if b == 0:
+                for k in grp_all:
+                    packed[k] = np.empty(0, np.uint8)
+                continue
+            shifts = np.arange(int(b), dtype=np.uint64)
+            for c0 in range(0, len(grp_all), _CHUNK):
+                grp = grp_all[c0 : c0 + _CHUNK]
+                idx = bounds[:-1][grp][:, None] + np.arange(m)
+                mat = v[idx]  # (k, m)
+                bits = ((mat[:, :, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+                rows = np.packbits(bits.reshape(len(grp), -1), axis=1, bitorder="little")
+                for i, k in enumerate(grp):
+                    packed[k] = rows[i]
+
+    parts: list[bytes] = []
+    nbytes = np.empty(n_blocks, dtype=np.uint32)
+    for k in range(n_blocks):
+        e0, e1 = high_bounds[k], high_bounds[k + 1]
+        h = highs_blob[high_cum[e0] : high_cum[e1]] if e1 > e0 else b""
+        blk = (
+            bytes((int(bsel[k]), int(n_exc[k])))
+            + packed[k].tobytes()
+            + exc_pos[e0:e1].tobytes()
+            + (h.tobytes() if isinstance(h, np.ndarray) else h)
+        )
+        parts.append(blk)
+        nbytes[k] = len(blk)
+    return b"".join(parts), nbytes
+
+
+def pfor_decode_block(buf: np.ndarray, m: int) -> np.ndarray:
+    """Decode one PFor block of ``m`` values from its byte slice."""
+    b = int(buf[0])
+    k_exc = int(buf[1])
+    psize = (m * b + 7) // 8
+    if b:
+        bits = np.unpackbits(buf[2 : 2 + psize], bitorder="little")[: m * b]
+        shifts = np.arange(b, dtype=np.uint64)
+        vals = (bits.reshape(m, b).astype(np.uint64) << shifts).sum(
+            axis=1, dtype=np.uint64
+        )
+    else:
+        vals = np.zeros(m, dtype=np.uint64)
+    if k_exc:
+        pos = buf[2 + psize : 2 + psize + k_exc]
+        highs = varbyte_decode(buf[2 + psize + k_exc :], k_exc)
+        vals[pos] |= highs << np.uint64(b)
+    return vals
+
+
+def pfor_decode_stream(
+    blob: bytes | np.ndarray, nbytes: np.ndarray, sizes: np.ndarray
+) -> np.ndarray:
+    """Decode a concatenated PFor stream given per-block byte counts and
+    per-block value counts."""
+    buf = np.frombuffer(blob, dtype=np.uint8) if not isinstance(blob, np.ndarray) else blob
+    off = np.concatenate(([0], np.cumsum(nbytes.astype(np.int64))))
+    out = [
+        pfor_decode_block(buf[off[k] : off[k + 1]], int(sizes[k]))
+        for k in range(len(sizes))
+    ]
+    return np.concatenate(out) if out else np.empty(0, np.uint64)
+
+
 @dataclass
 class EncodedPostings:
     """One term's (or one (term, salt) sub-list's) compressed postings."""
@@ -99,10 +240,13 @@ class EncodedPostings:
     # with per-DOC byte lengths (uint32[n_docs] LE) for O(1) slicing
     pos_nbytes_blob: bytes = b""
     pos_blob: bytes = b""
+    # stream codec: "vb" (delta+varbyte) or "pfor" (NewPFD patched FOR);
+    # block framing / metadata / positional layer are codec-independent
+    codec: str = "vb"
 
 
 def encode_postings(
-    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, codec: str = "vb"
 ) -> EncodedPostings:
     """Encode a docid-sorted posting list into block-max blobs.
 
@@ -117,7 +261,7 @@ def encode_postings(
     dls = np.ascontiguousarray(dls, dtype=np.uint64)
     if n == 0:
         z = b""
-        return EncodedPostings(0, 0, z, z, z, z, z, z, z, z, z)
+        return EncodedPostings(0, 0, z, z, z, z, z, z, z, z, z, codec=codec)
     if not bool(np.all(doc_ids[1:] > doc_ids[:-1])):
         raise ValueError("doc_ids must be strictly increasing")
 
@@ -143,12 +287,18 @@ def encode_postings(
     # the former per-block loop, without n_blocks Python iterations)
     bounds = np.append(head_idx, n)
 
-    def _enc(stream: np.ndarray) -> tuple[bytes, np.ndarray]:
-        blob = varbyte_encode(stream)
-        if n_blocks == 1:  # the common tail-term case: one block = whole blob
-            return blob, np.array([len(blob)], dtype=np.uint32)
-        cum = np.concatenate(([0], np.cumsum(varbyte_lengths(stream))))
-        return blob, np.diff(cum[bounds]).astype(np.uint32)
+    if codec == "pfor":
+        def _enc(stream: np.ndarray) -> tuple[bytes, np.ndarray]:
+            return pfor_encode_stream(stream, bounds)
+    elif codec == "vb":
+        def _enc(stream: np.ndarray) -> tuple[bytes, np.ndarray]:
+            blob = varbyte_encode(stream)
+            if n_blocks == 1:  # the common tail-term case: one block = whole blob
+                return blob, np.array([len(blob)], dtype=np.uint32)
+            cum = np.concatenate(([0], np.cumsum(varbyte_lengths(stream))))
+            return blob, np.diff(cum[bounds]).astype(np.uint32)
+    else:
+        raise ValueError(f"unknown postings codec {codec!r}")
 
     docs_blob, doc_lens = _enc(deltas)
     tfs_blob, tf_lens = _enc(tfs)
@@ -166,7 +316,21 @@ def encode_postings(
         docs_blob=docs_blob,
         tfs_blob=tfs_blob,
         dls_blob=dls_blob,
+        codec=codec,
     )
+
+
+def _block_sizes(n: int) -> np.ndarray:
+    head_idx = np.arange(0, n, BLOCK_SIZE)
+    return np.diff(np.append(head_idx, n))
+
+
+def _decode_stream(enc: EncodedPostings, blob: bytes, nbytes: bytes) -> np.ndarray:
+    if enc.codec == "pfor":
+        return pfor_decode_stream(
+            blob, np.frombuffer(nbytes, dtype=np.uint32), _block_sizes(enc.n_docs)
+        )
+    return varbyte_decode(blob, enc.n_docs)
 
 
 def decode_postings(enc: EncodedPostings) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -177,7 +341,9 @@ def decode_postings(enc: EncodedPostings) -> tuple[np.ndarray, np.ndarray, np.nd
             np.empty(0, dtype=np.uint32),
             np.empty(0, dtype=np.uint32),
         )
-    deltas = varbyte_decode(enc.docs_blob, enc.n_docs)
+    deltas = _decode_stream(enc, enc.docs_blob, enc.b_doc_nbytes)
+    if deltas.size != enc.n_docs:
+        raise ValueError(f"decoded {deltas.size} values, expected {enc.n_docs}")
     n = enc.n_docs
     head_idx = np.arange(0, n, BLOCK_SIZE)
     # cumulative sum within blocks: global cumsum, then re-anchor each block
@@ -190,8 +356,8 @@ def decode_postings(enc: EncodedPostings) -> tuple[np.ndarray, np.ndarray, np.nd
         block_sizes = np.diff(np.append(head_idx, n))
         offsets = np.repeat(np.concatenate(([np.uint64(0)], carry)), block_sizes)
         doc_ids = doc_ids - offsets
-    tfs = varbyte_decode(enc.tfs_blob, n).astype(np.uint32)
-    dls = varbyte_decode(enc.dls_blob, n).astype(np.uint32)
+    tfs = _decode_stream(enc, enc.tfs_blob, enc.b_tf_nbytes).astype(np.uint32)
+    dls = _decode_stream(enc, enc.dls_blob, enc.b_dl_nbytes).astype(np.uint32)
     return doc_ids, tfs, dls
 
 
@@ -219,10 +385,17 @@ class BlockReader:
         got = self._cache.get(k)
         if got is not None:
             return got
-        deltas = varbyte_decode(self._docs_buf[self.doc_off[k] : self.doc_off[k + 1]])
+        if self.enc.codec == "pfor":
+            m = int(min(BLOCK_SIZE, self.enc.n_docs - k * BLOCK_SIZE))
+            dec = pfor_decode_block
+            deltas = dec(self._docs_buf[self.doc_off[k] : self.doc_off[k + 1]], m)
+            tfs = dec(self._tfs_buf[self.tf_off[k] : self.tf_off[k + 1]], m).astype(np.uint32)
+            dls = dec(self._dls_buf[self.dl_off[k] : self.dl_off[k + 1]], m).astype(np.uint32)
+        else:
+            deltas = varbyte_decode(self._docs_buf[self.doc_off[k] : self.doc_off[k + 1]])
+            tfs = varbyte_decode(self._tfs_buf[self.tf_off[k] : self.tf_off[k + 1]]).astype(np.uint32)
+            dls = varbyte_decode(self._dls_buf[self.dl_off[k] : self.dl_off[k + 1]]).astype(np.uint32)
         docs = np.cumsum(deltas, dtype=np.uint64)
-        tfs = varbyte_decode(self._tfs_buf[self.tf_off[k] : self.tf_off[k + 1]]).astype(np.uint32)
-        dls = varbyte_decode(self._dls_buf[self.dl_off[k] : self.dl_off[k + 1]]).astype(np.uint32)
         out = (docs, tfs, dls)
         self._cache[k] = out
         return out

@@ -107,15 +107,19 @@ def incremental_update(
 
 
 def _inherit_positions(index_dir: str, build_kwargs: dict) -> None:
-    """Delta/compact rebuilds of a positional index stay positional unless
-    the caller overrides — otherwise one update would silently downgrade
-    ``QueryEngine.has_positions`` (an all-shards property) to False."""
-    if "positions" in build_kwargs:
-        return
+    """Delta/compact rebuilds inherit the base index's layout flags
+    (positions, codec) unless the caller overrides — otherwise one update
+    would silently downgrade ``QueryEngine.has_positions`` (an all-shards
+    property) or re-encode deltas under a different stream codec."""
     sp = os.path.join(index_dir, "shard=0", "stats.json")
-    if os.path.exists(sp):
-        with open(sp) as f:
-            build_kwargs["positions"] = bool(json.load(f).get("positions", False))
+    if not os.path.exists(sp):
+        return
+    with open(sp) as f:
+        stats = json.load(f)
+    if "positions" not in build_kwargs:
+        build_kwargs["positions"] = bool(stats.get("positions", False))
+    if "codec" not in build_kwargs:
+        build_kwargs["codec"] = stats.get("codec") or "vb"
 
 
 def _tombstones_path(index_dir: str) -> str:

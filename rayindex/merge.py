@@ -328,12 +328,17 @@ class _MergeBucketUnit:
                 cols["kind"].append("df")
                 cols["site"].append(site)
                 cols["df"].append(dfv)
+                cols["codec"].append("vb")
         return pa.table(cols, schema=MIXED_SCHEMA)
 
     def _merge_term(self, bucket: int, term: str, rows: list[dict],
                     purged: np.ndarray, cols: dict[str, list],
                     df_dec: dict[tuple[str, str], int]) -> None:
         encs = [row_to_encoded(r) for r in rows]
+        # re-encode under the sources' codec (first row; merged indexes are
+        # built with one codec — a mixed-codec merge keeps rows decodable
+        # either way since the codec tag is per segment row)
+        codec = encs[0].codec
         parts = [decode_postings(e) for e in encs]
         doc_ids = np.concatenate([p[0] for p in parts])
         tfs = np.concatenate([p[1] for p in parts]).astype(np.uint64)
@@ -376,7 +381,7 @@ class _MergeBucketUnit:
         salts = range_salt(doc_ids, n_salts)
         for s in np.unique(salts):
             sel = salts == s
-            enc = encode_postings(doc_ids[sel], tfs[sel], dls[sel])
+            enc = encode_postings(doc_ids[sel], tfs[sel], dls[sel], codec=codec)
             if pos is not None:
                 blobs = [pos[k] for k in order[sel]]
                 plens = np.fromiter((len(x) for x in blobs), dtype=np.uint32,
@@ -403,6 +408,7 @@ class _MergeBucketUnit:
             cols["kind"].append("seg")
             cols["site"].append("")
             cols["df"].append(0)
+            cols["codec"].append(enc.codec)
 
 
 def merge_indexes(

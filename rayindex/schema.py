@@ -106,6 +106,9 @@ SEGMENT_SCHEMA = pa.schema(
         # delta+varbyte position lists in docid order
         ("pos_nbytes_blob", pa.binary()),
         ("pos_blob", pa.binary()),
+        # stream codec of the three blobs: "vb" (delta+varbyte) or "pfor"
+        # (NewPFD patched frame-of-reference); block framing is shared
+        ("codec", pa.string()),
     ]
 )
 

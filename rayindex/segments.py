@@ -55,7 +55,7 @@ MIXED_SCHEMA = pa.schema(
 # Encoding a shuffle group → segment rows (+ partial df rows)
 
 
-def encode_group(df: pd.DataFrame) -> pa.Table:
+def encode_group(df: pd.DataFrame, codec: str = "vb") -> pa.Table:
     """``groupby(bucket, salt).map_groups`` body: encode every term's postings
     and emit per-(site, term) partial document frequencies.
 
@@ -94,7 +94,7 @@ def encode_group(df: pd.DataFrame) -> pa.Table:
 
     cols: dict[str, list] = {name: [] for name in MIXED_SCHEMA.names}
     for s, e in zip(starts, ends):
-        enc = encode_postings(doc_ids[s:e], tfs[s:e], dls[s:e])
+        enc = encode_postings(doc_ids[s:e], tfs[s:e], dls[s:e], codec=codec)
         if pos is not None:
             blobs = pos[s:e]
             plens = np.fromiter((len(b) for b in blobs), dtype=np.uint32, count=e - s)
@@ -120,6 +120,7 @@ def encode_group(df: pd.DataFrame) -> pa.Table:
         cols["kind"].append("seg")
         cols["site"].append("")
         cols["df"].append(0)
+        cols["codec"].append(enc.codec)
     n_seg = len(cols["term"])
 
     # partial A1: each (doc, term) row is one document occurrence
@@ -138,6 +139,7 @@ def encode_group(df: pd.DataFrame) -> pa.Table:
         cols["kind"].append("df")
         cols["site"].append(site)
         cols["df"].append(int(cnt))
+        cols["codec"].append(codec)
     return pa.table(cols, schema=MIXED_SCHEMA)
 
 
@@ -157,6 +159,8 @@ def row_to_encoded(row: dict) -> EncodedPostings:
         # .get: layout-compat with pre-positional segment files
         pos_nbytes_blob=row.get("pos_nbytes_blob", b"") or b"",
         pos_blob=row.get("pos_blob", b"") or b"",
+        # .get: layout-compat with pre-codec-column segment files (all vb)
+        codec=row.get("codec") or "vb",
     )
 
 

@@ -69,3 +69,88 @@ def test_unsorted_rejected():
             np.ones(2, dtype=np.uint64),
             np.ones(2, dtype=np.uint64),
         )
+
+
+# ---------------------------------------------------------------------------
+# PForDelta codec (NewPFD-style patched frame-of-reference)
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=2**64 - 1), min_size=1, max_size=700),
+    st.randoms(),
+)
+@settings(max_examples=50, deadline=None)
+def test_pfor_postings_roundtrip(doc_set, rnd):
+    docs = np.array(sorted(doc_set), dtype=np.uint64)
+    n = len(docs)
+    rng = np.random.default_rng(rnd.randint(0, 2**31))
+    tfs = rng.integers(1, 50, size=n).astype(np.uint64)
+    dls = rng.integers(1, 500, size=n).astype(np.uint64)
+    enc = encode_postings(docs, tfs, dls, codec="pfor")
+    assert enc.codec == "pfor"
+    d, t, l = decode_postings(enc)
+    assert np.array_equal(d, docs)
+    assert np.array_equal(t, tfs)
+    assert np.array_equal(l, dls.astype(np.uint32))
+
+
+def test_pfor_stream_roundtrip_adversarial():
+    """Skewed blocks: mostly-tiny values with a few huge outliers — the case
+    PFor's patching exists for; plus all-zero, all-equal, and b=64 blocks."""
+    from rayindex.codec import pfor_decode_stream, pfor_encode_stream
+
+    cases = [
+        np.zeros(300, np.uint64),  # b=0, no exceptions
+        np.full(257, 7, np.uint64),  # constant
+        np.r_[np.ones(126, np.uint64), [2**63, 2**64 - 1]],  # outlier patch
+        np.arange(1, 1000, dtype=np.uint64) ** 2,
+        np.array([2**64 - 1] * 128, dtype=np.uint64),  # b=64 everywhere
+        np.array([5], np.uint64),  # single-value stream
+    ]
+    for v in cases:
+        bounds = np.append(np.arange(0, v.size, BLOCK_SIZE), v.size)
+        blob, nbytes = pfor_encode_stream(v, bounds)
+        sizes = np.diff(bounds)
+        got = pfor_decode_stream(blob, nbytes, sizes)
+        assert np.array_equal(got, v)
+
+
+def test_pfor_blockreader_equals_vb():
+    rng = np.random.default_rng(3)
+    docs = np.unique(rng.integers(1, 2**48, 5000, dtype=np.uint64))
+    n = docs.size
+    tfs = rng.integers(1, 30, n).astype(np.uint64)
+    dls = rng.integers(1, 4000, n).astype(np.uint64)
+    e_vb = encode_postings(docs, tfs, dls, codec="vb")
+    e_pf = encode_postings(docs, tfs, dls, codec="pfor")
+    # block-max metadata is codec-independent
+    assert e_vb.b_last_doc == e_pf.b_last_doc
+    assert e_vb.b_max_tf == e_pf.b_max_tf
+    assert e_vb.b_min_dl == e_pf.b_min_dl
+    rv, rp = BlockReader(e_vb), BlockReader(e_pf)
+    assert rv.n_blocks == rp.n_blocks
+    for k in range(rv.n_blocks):
+        for a, b in zip(rv.block(k), rp.block(k)):
+            assert np.array_equal(a, b)
+
+
+def test_pfor_smaller_on_small_value_streams():
+    """tf/doc-len style streams (small ints) pack well below 1 byte/value."""
+    rng = np.random.default_rng(5)
+    docs = np.cumsum(rng.integers(1, 20, 4096, dtype=np.uint64))
+    tfs = rng.integers(1, 8, 4096).astype(np.uint64)
+    dls = rng.integers(100, 200, 4096).astype(np.uint64)
+    e_vb = encode_postings(docs, tfs, dls, codec="vb")
+    e_pf = encode_postings(docs, tfs, dls, codec="pfor")
+    assert len(e_pf.tfs_blob) < len(e_vb.tfs_blob)
+    assert len(e_pf.docs_blob) + len(e_pf.tfs_blob) + len(e_pf.dls_blob) < (
+        len(e_vb.docs_blob) + len(e_vb.tfs_blob) + len(e_vb.dls_blob)
+    )
+
+
+def test_unknown_codec_rejected():
+    with pytest.raises(ValueError):
+        encode_postings(
+            np.array([1], np.uint64), np.ones(1, np.uint64), np.ones(1, np.uint64),
+            codec="zzz",
+        )

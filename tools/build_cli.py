@@ -34,6 +34,8 @@ def main() -> int:
                     help="START:END shard slice for this job (default: all)")
     ap.add_argument("--num-buckets", type=int, default=None)
     ap.add_argument("--no-dedup", action="store_true")
+    ap.add_argument("--codec", default="vb", choices=["vb", "pfor"],
+                    help="postings stream codec (delta+varbyte or PForDelta)")
     ap.add_argument("--url-filter", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="local-mode CPU count (ignored on a real cluster)")
@@ -98,6 +100,7 @@ def main() -> int:
             num_buckets=args.num_buckets or DEFAULT_NUM_BUCKETS,
             dedup_urls=not args.no_dedup,
             url_filter=args.url_filter,
+            codec=args.codec,
         )
         print(json.dumps(m), flush=True)
         metrics.append(m)
