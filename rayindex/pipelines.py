@@ -164,6 +164,35 @@ def engine_search_scores(sf_dir: str, queries: list[str] | None = None) -> pd.Da
     return pd.DataFrame(rows, columns=["query", "url", "score", "relevance"])
 
 
+def engine_search_scores_pfor(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:
+    """``engine_search_scores`` through a PForDelta-encoded index (codec.py
+    ``pfor_encode_stream``): builds with ``codec="pfor"`` into its own cache
+    dir and replays the same reference-semantics search — hash-checked
+    against the SAME DuckDB oracle, proving the patched-FOR read path
+    end-to-end (dictionary → block slicing → decode → scoring)."""
+    index_dir = build_bench_index(
+        sf_dir,
+        repeat=1,
+        out_dir=os.path.join(CACHE_ROOT, f"index_{_sf_name(sf_dir)}_r1_pfor_v{PAGES_GEN_VERSION}"),
+        codec="pfor",
+    )
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    rows = []
+    for q in queries or FLAGSHIP_QUERIES:
+        res = eng.search(q, k=None, with_snippets=False)
+        meta = eng.doc_meta([r["doc_id"] for r in res["data"]])
+        for r in res["data"]:
+            rows.append(
+                {
+                    "query": q,
+                    "url": meta[r["doc_id"]]["url"],
+                    "score": int(r["abs"]),
+                    "relevance": float(r["relevance"]),
+                }
+            )
+    return pd.DataFrame(rows, columns=["query", "url", "score", "relevance"])
+
+
 def engine_term_df(sf_dir: str) -> pd.DataFrame:
     """End-to-end A1 check THROUGH the built index: the engine's loaded global
     term→df dictionary (from the compressed-segment build) as a table."""
