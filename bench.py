@@ -142,6 +142,18 @@ def run_once() -> dict:
     batch_search(out_dir, SIMPLE_SPEC, pool_log, k=10).count()
     pool_qps = len(pool_log) / (time.monotonic() - t_pool)
 
+    # always-on tier: long-lived replicas, caches warm — steady-state qps
+    from rayindex.serve import SearchService
+
+    svc = SearchService(out_dir, SIMPLE_SPEC, k=10)
+    try:
+        svc.warmup(pool_log[:: max(1, len(pool_log) // 32)])
+        t_warm = time.monotonic()
+        svc.search_many(pool_log, chunk_size=16)
+        warm_qps = len(pool_log) / (time.monotonic() - t_warm)
+    finally:
+        svc.shutdown()
+
     # recorded recall of the approximate ANN paths vs the exact scorer (the
     # two remaining rows-only correctness entries; VERDICT r2 ask) — averaged
     # over several query vectors so a single lucky bucket can't flatter it
@@ -182,6 +194,7 @@ def run_once() -> dict:
             "query_bm25_avg": round(bm_avg, 4),
             "query_wand_avg": round(wand_avg, 4),
             "query_pool_qps": round(pool_qps, 1),
+            "query_pool_qps_warm": round(warm_qps, 1),
             "ann_lsh_recall": recall["lsh"],
             "ann_ivf_recall": recall["ivf"],
             "segments_mb": round(seg_bytes / 1e6, 1),

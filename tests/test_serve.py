@@ -133,3 +133,59 @@ def test_batch_search_dataset_input_and_bm25(ray_session, built_index, fixture_c
     want = pd.DataFrame(rows, columns=["query", "url", "score", "relevance"])
     assert len(got) == len(want) > 0
     pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+# ---------------------------------------------------------------------------
+# Always-on serving tier (SearchService)
+
+
+def test_service_equals_sequential(ray_session, built_index, fixture_corpus, query_log):
+    from rayindex.serve import SearchService
+
+    eng = QueryEngine(built_index["out_dir"], fixture_corpus.analyzer_spec)
+    want = _sequential(eng, query_log)
+    svc = SearchService(
+        built_index["out_dir"], fixture_corpus.analyzer_spec, num_replicas=3
+    )
+    try:
+        got = svc.search_many(query_log, chunk_size=4).to_pandas()
+        assert len(got) == len(want) > 0
+        pd.testing.assert_frame_equal(_canon(got), _canon(want))
+        # single-query path agrees with the pooled path
+        one = svc.search(query_log[0]).to_pandas()
+        pd.testing.assert_frame_equal(
+            _canon(one), _canon(want[want["query"] == query_log[0]])
+        )
+    finally:
+        svc.shutdown()
+
+
+def test_service_round_robin_and_warm_latency(
+    ray_session, built_index, fixture_corpus, query_log
+):
+    import time
+
+    from rayindex.serve import SearchService
+
+    svc = SearchService(
+        built_index["out_dir"], fixture_corpus.analyzer_spec, num_replicas=3
+    )
+    try:
+        svc.warmup(query_log[:6])
+        st = svc.stats()
+        assert st["num_replicas"] == 3
+        # warmup hits EVERY replica
+        assert all(c >= 6 for c in st["served_per_replica"])
+        svc.search_many(query_log, chunk_size=2)
+        st2 = svc.stats()
+        # round-robin spread the chunks across all replicas
+        assert all(
+            b > a for a, b in zip(st["served_per_replica"], st2["served_per_replica"])
+        )
+        # warm repeat of one query is fast (caches held across calls)
+        svc.search(query_log[0])
+        t0 = time.monotonic()
+        svc.search(query_log[0])
+        assert time.monotonic() - t0 < 0.5
+    finally:
+        svc.shutdown()
