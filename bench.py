@@ -390,10 +390,63 @@ def scaling() -> None:
     )
 
 
+def serving_scaling() -> None:
+    """Serving-tier R vs 4R replica scaling over one shared index.
+
+    Complements the indexing-throughput scaling protocol: build (or reuse)
+    the 100 k-page cached index, then serve the SAME 1024-query log through
+    a SearchService with R and with 4R replicas (each level warmed first,
+    then timed), in that order, same process.  Efficiency =
+    qps_4R / (4 × qps_R).  Queries are embarrassingly parallel over a
+    read-only artifact, so this models adding serving nodes."""
+    import time
+
+    import ray
+
+    from rayindex.pipelines import FLAGSHIP_QUERIES, SIMPLE_SPEC, WAND_QUERIES, build_bench_index
+    from rayindex.serve import SearchService
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    r_small = int(os.environ.get("RAYINDEX_SERVING_REPLICAS", "2"))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=ncpus, include_dashboard=False,
+                 logging_level="ERROR")
+    index_dir = build_bench_index(sf_dir, repeat=20)
+    words = sorted({w for q in FLAGSHIP_QUERIES + WAND_QUERIES for w in q.split()})
+    log = [f"{a} {b}" for a in words for b in words if a < b]
+    log = (log * (1024 // len(log) + 1))[:1024]
+    qps = {}
+    for n in (r_small, 4 * r_small):
+        svc = SearchService(index_dir, SIMPLE_SPEC, k=10, num_replicas=n)
+        try:
+            svc.warmup(log[:: max(1, len(log) // 32)])
+            t0 = time.monotonic()
+            svc.search_many(log, chunk_size=16)
+            qps[n] = len(log) / (time.monotonic() - t0)
+        finally:
+            svc.shutdown()
+    eff = qps[4 * r_small] / (4 * qps[r_small])
+    print(json.dumps({
+        "metric": "serving_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "model": f"replicas {r_small} vs {4 * r_small}, shared on-disk index, 1024-query log",
+        "qps_R": round(qps[r_small], 1),
+        "qps_4R": round(qps[4 * r_small], 1),
+        "n_queries": len(log),
+        "sf": sf_dir,
+        "num_cpus": ncpus,
+    }))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling-cpus" in sys.argv:
         scaling()  # single-driver CPU model (8 vs 32 in one process)
     elif "--scaling" in sys.argv:
         scaling_jobs()  # node model: concurrent shard jobs (see docstring)
+    elif "--serving-scaling" in sys.argv:
+        serving_scaling()  # R vs 4R replica scaling on the serving tier
     else:
         print(json.dumps(run_once()))
