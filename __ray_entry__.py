@@ -230,6 +230,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engine_search_scores_pfor": __import__(
             "rayindex.pipelines", fromlist=["engine_search_scores_pfor"]
         ).engine_search_scores_pfor,
+        "engine_search_scores_vb": __import__(
+            "rayindex.pipelines", fromlist=["engine_search_scores_vb"]
+        ).engine_search_scores_vb,
         "engine_term_df": __import__(
             "rayindex.pipelines", fromlist=["engine_term_df"]
         ).engine_term_df,
@@ -1028,8 +1031,9 @@ def oracle_sql() -> dict[str, str]:
     # the same scores as one full build over the true pages
     out["engine_upsert_search"] = out["engine_search_scores"]
     # PForDelta ≡ varbyte: both codecs decode to the same posting lists, so
-    # the pfor-built index serves identical scores (tests/test_pfor_build.py)
+    # either codec's index serves identical scores (tests/test_pfor_build.py)
     out["engine_search_scores_pfor"] = out["engine_search_scores"]
+    out["engine_search_scores_vb"] = out["engine_search_scores"]
     # distributed serving tier ≡ single-process engine, row for row
     out["engine_batch_search"] = out["engine_search_scores"]
     out["engine_merged_search"] = out["engine_search_scores"]

@@ -32,7 +32,7 @@ def run_once() -> dict:
     # real Common-Crawl pages are tens of KB; the synthetic documents are a
     # few hundred bytes — body_repeat approximates realistic page sizes
     body_repeat = int(os.environ.get("RAYINDEX_BENCH_BODY", "8"))
-    codec = os.environ.get("RAYINDEX_BENCH_CODEC", "vb")
+    codec = os.environ.get("RAYINDEX_BENCH_CODEC", "pfor")
 
     import ray
 

@@ -411,7 +411,7 @@ class _EncodeUnit:
     """
 
     def __init__(self, postings_dir: str, heavy_ref, positions: bool = False,
-                 codec: str = "vb"):
+                 codec: str = "pfor"):
         self.postings_dir = postings_dir
         self._heavy_ref = heavy_ref
         self.heavy: dict | None = heavy_ref if isinstance(heavy_ref, dict) else None
@@ -636,7 +636,7 @@ def build_index(
     # both produce byte-identical segments
     extractor: str = "parser",  # "parser" | "fast" (vectorized regex path)
     positions: bool = False,  # positional postings (phrase/proximity layer)
-    codec: str = "vb",  # postings stream codec: "vb" (delta+varbyte) | "pfor"
+    codec: str = "pfor",  # postings stream codec: "pfor" (default) | "vb"
     extract_batch_size: int = 2048,
     lemma_batch_size: int = 2048,
     lemma_concurrency: tuple[int, int] | int | None = None,

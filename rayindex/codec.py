@@ -8,7 +8,11 @@ impossible; we compress each term's docid-sorted posting list into
 compressed blobs with fixed-size blocks and per-block metadata
 (last_doc, max_tf, min_dl) enabling block-max WAND skipping.
 
-Two interchangeable codecs (``EncodedPostings.codec``), selected per build:
+Two interchangeable codecs (``EncodedPostings.codec``), selected per build —
+``"pfor"`` is the default (measured both faster to build and ~15 % smaller
+at 500 k pages, BENCH/bench_r3_s7_500k_pfor.json, with bit-identical ranks);
+``"vb"`` remains fully supported and is the implied codec of segment rows
+written before the ``codec`` column existed:
 
 * ``"vb"`` — delta + varbyte (LEB128-flavoured): 7 payload bits per byte,
   little-endian groups, MSB set on every byte that has a successor.  Both
@@ -240,13 +244,14 @@ class EncodedPostings:
     # with per-DOC byte lengths (uint32[n_docs] LE) for O(1) slicing
     pos_nbytes_blob: bytes = b""
     pos_blob: bytes = b""
-    # stream codec: "vb" (delta+varbyte) or "pfor" (NewPFD patched FOR);
-    # block framing / metadata / positional layer are codec-independent
-    codec: str = "vb"
+    # stream codec: "pfor" (NewPFD patched FOR, default) or "vb"
+    # (delta+varbyte); block framing / metadata / positional layer are
+    # codec-independent
+    codec: str = "pfor"
 
 
 def encode_postings(
-    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, codec: str = "vb"
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, codec: str = "pfor"
 ) -> EncodedPostings:
     """Encode a docid-sorted posting list into block-max blobs.
 

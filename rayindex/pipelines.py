@@ -164,17 +164,19 @@ def engine_search_scores(sf_dir: str, queries: list[str] | None = None) -> pd.Da
     return pd.DataFrame(rows, columns=["query", "url", "score", "relevance"])
 
 
-def engine_search_scores_pfor(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:
-    """``engine_search_scores`` through a PForDelta-encoded index (codec.py
-    ``pfor_encode_stream``): builds with ``codec="pfor"`` into its own cache
-    dir and replays the same reference-semantics search — hash-checked
-    against the SAME DuckDB oracle, proving the patched-FOR read path
-    end-to-end (dictionary → block slicing → decode → scoring)."""
+def _engine_search_scores_codec(sf_dir: str, codec: str,
+                                queries: list[str] | None = None) -> pd.DataFrame:
+    """``engine_search_scores`` through an index built with an explicit
+    postings codec, in its own cache dir — hash-checked against the SAME
+    DuckDB oracle, proving that codec's read path end-to-end (dictionary →
+    block slicing → decode → scoring)."""
     index_dir = build_bench_index(
         sf_dir,
         repeat=1,
-        out_dir=os.path.join(CACHE_ROOT, f"index_{_sf_name(sf_dir)}_r1_pfor_v{PAGES_GEN_VERSION}"),
-        codec="pfor",
+        out_dir=os.path.join(
+            CACHE_ROOT, f"index_{_sf_name(sf_dir)}_r1_{codec}_v{PAGES_GEN_VERSION}"
+        ),
+        codec=codec,
     )
     eng = QueryEngine(index_dir, SIMPLE_SPEC)
     rows = []
@@ -191,6 +193,19 @@ def engine_search_scores_pfor(sf_dir: str, queries: list[str] | None = None) -> 
                 }
             )
     return pd.DataFrame(rows, columns=["query", "url", "score", "relevance"])
+
+
+def engine_search_scores_pfor(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:
+    """Flagship search through a PForDelta-encoded index (codec.py
+    ``pfor_encode_stream``; the default codec since round 3)."""
+    return _engine_search_scores_codec(sf_dir, "pfor", queries)
+
+
+def engine_search_scores_vb(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:
+    """Flagship search through a delta+varbyte-encoded index — keeps the
+    legacy-default codec's read path oracle-checked now that new builds
+    default to ``"pfor"``."""
+    return _engine_search_scores_codec(sf_dir, "vb", queries)
 
 
 def engine_term_df(sf_dir: str) -> pd.DataFrame:

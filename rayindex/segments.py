@@ -55,7 +55,7 @@ MIXED_SCHEMA = pa.schema(
 # Encoding a shuffle group → segment rows (+ partial df rows)
 
 
-def encode_group(df: pd.DataFrame, codec: str = "vb") -> pa.Table:
+def encode_group(df: pd.DataFrame, codec: str = "pfor") -> pa.Table:
     """``groupby(bucket, salt).map_groups`` body: encode every term's postings
     and emit per-(site, term) partial document frequencies.
 
