@@ -420,7 +420,11 @@ def serving_scaling() -> None:
     for n in (r_small, 4 * r_small):
         svc = SearchService(index_dir, SIMPLE_SPEC, k=10, num_replicas=n)
         try:
-            svc.warmup(log[:: max(1, len(log) // 32)])
+            # warm EVERY replica on the full distinct query set: otherwise the
+            # 4R level pays 4x more cold postings-decode work during the timed
+            # pass (each replica caches decoded postings independently) and
+            # the measurement conflates cache fill with serving throughput
+            svc.warmup(sorted(set(log)))
             t0 = time.monotonic()
             svc.search_many(log, chunk_size=16)
             qps[n] = len(log) / (time.monotonic() - t0)
