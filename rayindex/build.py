@@ -576,7 +576,8 @@ def _empty_layouts() -> dict[str, pa.Schema]:
 
 def _write_empty_shard(shard_dir: str, num_buckets: int, analyzer_spec: dict,
                        shard_index: int, num_shards: int, key: str,
-                       skip: tuple[str, ...] = ()) -> None:
+                       skip: tuple[str, ...] = (), positions: bool = False,
+                       codec: str = "pfor") -> None:
     """Schema-correct empty outputs for every phase not in ``skip`` (Ray's
     writer emits schema-less files for empty datasets, which breaks every
     reader).  Covers BOTH the zero-page input and the zero-row SHARD (global
@@ -597,10 +598,15 @@ def _write_empty_shard(shard_dir: str, num_buckets: int, analyzer_spec: dict,
             _sh.rmtree(d)
         os.makedirs(d, exist_ok=True)
         pq.write_table(schema.empty_table(), os.path.join(d, "empty.parquet"))
+    # carry the build flags even for a drained shard: QueryEngine's
+    # has_positions is an all() over shards, and _inherit_positions reads
+    # codec/positions from any shard's stats — a flagless empty shard would
+    # silently downgrade the whole index (positional search disabled, delta
+    # rebuilds re-encoded under the wrong codec)
     stats = {
         "n_docs": 0, "total_tf": 0, "avgdl": 0.0, "num_buckets": num_buckets,
         "analyzer": analyzer_spec.get("name"), "shard_index": shard_index,
-        "num_shards": num_shards,
+        "num_shards": num_shards, "positions": bool(positions), "codec": codec,
     }
     with open(os.path.join(shard_dir, "stats.json"), "w") as f:
         json.dump(stats, f)
@@ -664,7 +670,8 @@ def build_index(
     t_start = time.monotonic()
 
     if not (resume and phase_done(shard_dir, "stats", key)) and _count_input_rows(pages_path) == 0:
-        _write_empty_shard(shard_dir, num_buckets, analyzer_spec, shard_index, num_shards, key)
+        _write_empty_shard(shard_dir, num_buckets, analyzer_spec, shard_index,
+                           num_shards, key, positions=positions, codec=codec)
         metrics["phases"] = {p: 0.0 for p in ("docs", "postings", "prestats", "segments", "stats")}
         metrics["total_seconds"] = round(time.monotonic() - t_start, 3)
         return metrics
@@ -805,7 +812,8 @@ def build_index(
         # the whole shard drained (sharding / url_filter / exclude_sites):
         # finish with schema-correct empty phases instead of crashing P2
         _write_empty_shard(shard_dir, num_buckets, analyzer_spec, shard_index,
-                           num_shards, key, skip=("docs",))
+                           num_shards, key, skip=("docs",), positions=positions,
+                           codec=codec)
         for p in ("postings", "prestats", "segments", "stats"):
             metrics["phases"][p] = 0.0
         metrics["total_seconds"] = round(time.monotonic() - t_start, 3)

@@ -385,6 +385,7 @@ class BlockReader:
         self._tfs_buf = np.frombuffer(enc.tfs_blob, dtype=np.uint8)
         self._dls_buf = np.frombuffer(enc.dls_blob, dtype=np.uint8)
         self._cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self._docs_all: np.ndarray | None = None
 
     def block(self, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         got = self._cache.get(k)
@@ -405,6 +406,33 @@ class BlockReader:
         self._cache[k] = out
         return out
 
+    def all_docs(self) -> np.ndarray:
+        """All doc ids of this sub-list, decoding ONLY the docs stream
+        (the tf/dl streams stay compressed), cached on the reader — the
+        phrase/NEAR hot path calls :meth:`positions_map` once per query
+        term and must not pay a full three-stream decode each time."""
+        if self._docs_all is not None:
+            return self._docs_all
+        n = self.enc.n_docs
+        if n == 0:
+            self._docs_all = np.empty(0, dtype=np.uint64)
+            return self._docs_all
+        sizes = np.full(self.n_blocks, BLOCK_SIZE, dtype=np.int64)
+        sizes[-1] = n - (self.n_blocks - 1) * BLOCK_SIZE
+        if self.enc.codec == "pfor":
+            deltas = pfor_decode_stream(self._docs_buf, np.diff(self.doc_off), sizes)
+        else:
+            deltas = varbyte_decode(self._docs_buf, count=n)
+        # segmented cumsum: each block's deltas start from 0 (its first
+        # value is the absolute doc id), matching block()'s per-block cumsum
+        total = np.cumsum(deltas, dtype=np.uint64)
+        if self.n_blocks > 1:
+            block_ends = np.cumsum(sizes)
+            carry = total[block_ends[:-1] - 1]
+            total[BLOCK_SIZE:] -= np.repeat(carry, sizes[1:])
+        self._docs_all = total
+        return total
+
     def positions_map(self, wanted: np.ndarray) -> dict[int, np.ndarray]:
         """Token positions for the WANTED docids only (positional builds).
 
@@ -416,7 +444,7 @@ class BlockReader:
             return {}
         lens = np.frombuffer(self.enc.pos_nbytes_blob, dtype=np.uint32).astype(np.int64)
         off = np.concatenate(([0], np.cumsum(lens)))
-        docs, _tfs, _dls = decode_postings(self.enc)
+        docs = self.all_docs()
         buf = np.frombuffer(self.enc.pos_blob, dtype=np.uint8)
         idx = np.searchsorted(docs, np.asarray(wanted, dtype=np.uint64))
         out: dict[int, np.ndarray] = {}

@@ -467,6 +467,10 @@ def merge_indexes(
     ref = stats_all[0][0]
     num_buckets = ref["num_buckets"]
     positions = bool(ref.get("positions", False))
+    # recorded so post-merge delta/compact rebuilds inherit the codec
+    # (per-segment-row tags keep a mixed-codec merge decodable either way;
+    # the reference shard's codec steers future re-encodes)
+    codec = ref.get("codec") or "vb"
     for shards, root_stats in zip(per_root, stats_all):
         for d, s in zip(shards, root_stats):
             if s["num_buckets"] != num_buckets:
@@ -503,6 +507,7 @@ def merge_indexes(
             analyzer_spec,
             num_buckets=num_buckets,
             positions=positions,
+            codec=codec,
             shard_index=si,
             num_shards=n_shards,
             purged_sites=purged_sites,
@@ -525,6 +530,7 @@ def _merge_shard(
     *,
     num_buckets: int,
     positions: bool,
+    codec: str,
     shard_index: int,
     num_shards: int,
     purged_sites: set[str],
@@ -639,6 +645,7 @@ def _merge_shard(
             "shard_index": shard_index,
             "num_shards": num_shards,
             "positions": positions,
+            "codec": codec,
             "merged_from": len(shard_dirs),
         }
         with open(os.path.join(shard_dir, "stats.json.tmp"), "w") as f:

@@ -879,7 +879,16 @@ class QueryEngine:
         probed with ``np.searchsorted`` against the sorted variant array;
         an exact DP verify then removes the radius-2 collisions the
         neighborhood admits (e.g. transpositions).  Probe cost is
-        O(|word| · log vocab), independent of vocabulary size."""
+        O(|word| · log vocab), independent of vocabulary size.
+
+        Only ``max_edits=1`` is supported: the variant index holds
+        depth-1 deletions, so a larger radius would silently miss
+        candidates (e.g. two substitutions at non-adjacent positions)."""
+        if max_edits != 1:
+            raise ValueError(
+                "fuzzy_terms supports max_edits=1 only (the deletion "
+                f"neighborhood index is depth-1); got {max_edits}"
+            )
         dic, var, own = self._fuzzy_index()
         if len(dic) == 0:
             return pd.DataFrame({"term": pd.Series(dtype=str), "df": pd.Series(dtype="int64")})

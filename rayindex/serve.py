@@ -80,7 +80,11 @@ class SearchReplica:
         titles, snippets = [], []
         for q in batch.column("query").to_pylist():
             if self.scorer == "bm25":
-                hits = self.eng.bm25_topk(q, k=self.k or 10)
+                # k=None means ALL hits (the batch_search contract): force
+                # the exhaustive scorer, whose ranking [:None] is the full
+                # match set (WAND's heap needs a finite k)
+                hits = (self.eng.bm25_topk(q, k=None, algorithm="exhaustive")
+                        if self.k is None else self.eng.bm25_topk(q, k=self.k))
                 meta = self.eng.doc_meta([d for d, _ in hits], columns=["url"])
                 for doc_id, s in hits:
                     queries.append(q)
@@ -221,6 +225,7 @@ class SearchService:
             num_replicas = max(2, auto_concurrency()[1] // 2)
         kwargs = {"site": site, "k": k, "scorer": scorer,
                   "with_snippets": with_snippets}
+        self._schema = SNIPPET_SCHEMA if with_snippets else RESULT_SCHEMA
         self._replicas = [
             _ServiceReplica.options(num_cpus=num_cpus).remote(
                 index_root, analyzer_spec, kwargs
@@ -258,7 +263,7 @@ class SearchService:
         ]
         tables = [t for t in ray.get(refs) if t.num_rows]
         if not tables:
-            return RESULT_SCHEMA.empty_table()
+            return self._schema.empty_table()
         return pa.concat_tables(tables)
 
     def warmup(self, queries: Iterable[str]) -> None:

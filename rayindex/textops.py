@@ -320,6 +320,9 @@ class MinHasher:
         n_bands = self.N_PERM // self.BAND
         doc_ids_in = batch.column("doc_id").to_numpy()
         toks = batch.column("text").to_pandas().str.lower().str.split()
+        # null text -> NaN after to_pandas: treat as an empty doc (emits no
+        # bands) instead of crashing the whole batch on toks.map(len)
+        toks = toks.apply(lambda t: t if isinstance(t, list) else [])
         lens = toks.map(len).to_numpy(dtype=np.int64)
         n_sh = np.maximum(lens - (self.shingle - 1), 0)  # shingles per doc
         keep = n_sh > 0  # docs shorter than the shingle width emit nothing

@@ -34,7 +34,7 @@ def main() -> int:
                     help="START:END shard slice for this job (default: all)")
     ap.add_argument("--num-buckets", type=int, default=None)
     ap.add_argument("--no-dedup", action="store_true")
-    ap.add_argument("--codec", default="vb", choices=["vb", "pfor"],
+    ap.add_argument("--codec", default="pfor", choices=["vb", "pfor"],
                     help="postings stream codec (delta+varbyte or PForDelta)")
     ap.add_argument("--url-filter", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None,
