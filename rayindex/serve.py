@@ -226,13 +226,36 @@ class SearchService:
         kwargs = {"site": site, "k": k, "scorer": scorer,
                   "with_snippets": with_snippets}
         self._schema = SNIPPET_SCHEMA if with_snippets else RESULT_SCHEMA
-        self._replicas = [
-            _ServiceReplica.options(num_cpus=num_cpus).remote(
-                index_root, analyzer_spec, kwargs
-            )
-            for _ in range(num_replicas)
-        ]
+        self._analyzer_spec = analyzer_spec
+        self._kwargs = kwargs
+        self._num_cpus = num_cpus
+        self._replicas = self._spawn(index_root, num_replicas)
         self._rr = 0
+
+    def _spawn(self, index_root: str, n: int) -> list:
+        return [
+            _ServiceReplica.options(num_cpus=self._num_cpus).remote(
+                index_root, self._analyzer_spec, self._kwargs
+            )
+            for _ in range(n)
+        ]
+
+    def swap_index(self, index_root: str, *,
+                   warmup_queries: Iterable[str] | None = None) -> None:
+        """Zero-downtime index swap (the serving analog of the reference's
+        re-index-while-serving, `services/IndexingPageServiceImpl.java`):
+        spin up a full replica set over ``index_root`` (optionally warmed)
+        BEFORE routing to it, then retire the old replicas gracefully —
+        `__ray_terminate__` queues behind their in-flight batches, so
+        outstanding ``submit`` refs still resolve against the old index.
+        Queries issued after the swap see only the new index."""
+        fresh = self._spawn(index_root, len(self._replicas))
+        if warmup_queries is not None:
+            qs = list(warmup_queries)
+            ray.get([r.search_batch.remote(qs) for r in fresh])
+        old, self._replicas = self._replicas, fresh
+        for r in old:
+            r.__ray_terminate__.remote()
 
     @property
     def num_replicas(self) -> int:

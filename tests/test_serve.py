@@ -4,6 +4,7 @@ batch boundaries and pool size."""
 
 import pandas as pd
 import pytest
+import ray
 
 from rayindex.query import QueryEngine
 from rayindex.serve import batch_search
@@ -187,5 +188,45 @@ def test_service_round_robin_and_warm_latency(
         t0 = time.monotonic()
         svc.search(query_log[0])
         assert time.monotonic() - t0 < 0.5
+    finally:
+        svc.shutdown()
+
+
+def test_service_swap_index_zero_downtime(ray_session, built_index, fixture_corpus, tmp_path):
+    """swap_index routes new queries to the new index while in-flight refs
+    against the old replicas still resolve."""
+    from rayindex.build import build_index
+    from rayindex.fixtures import write_pages
+    from rayindex.query import QueryEngine
+    from rayindex.serve import SearchService
+
+    fx = fixture_corpus
+    # second index over HALF the corpus: results visibly differ
+    pdir = str(tmp_path / "pages_half")
+    half_dir = str(tmp_path / "idx_half")
+    write_pages(fx.pages.slice(0, 100), pdir, n_fragments=2)
+    build_index(pdir, half_dir, fx.analyzer_spec, num_buckets=4)
+
+    # pick a term that survives the 80% cutoff on BOTH indexes and whose
+    # match count differs between them (the swap must be observable)
+    full_eng = QueryEngine(built_index["out_dir"], fx.analyzer_spec)
+    half_eng = QueryEngine(half_dir, fx.analyzer_spec)
+    q = want = full_rows = None
+    for lem in fx.lemmas:
+        cand = fx.forms[lem][0]
+        n_full = len(full_eng.search(cand, k=None)["data"])
+        n_half = len(half_eng.search(cand, k=None)["data"])
+        if n_full > 0 and n_half > 0 and n_full != n_half:
+            q, want, full_rows = cand, n_half, n_full
+            break
+    assert q is not None, "fixture corpus yielded no distinguishing term"
+    svc = SearchService(built_index["out_dir"], fx.analyzer_spec, num_replicas=2)
+    try:
+        assert svc.search(q).num_rows == full_rows
+        inflight = svc.submit(q)  # issued against the OLD replicas
+        svc.swap_index(half_dir, warmup_queries=[q])
+        assert ray.get(inflight).num_rows == full_rows  # old ref still resolves
+        got = svc.search(q)
+        assert got.num_rows == want != full_rows
     finally:
         svc.shutdown()
