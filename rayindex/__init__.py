@@ -15,6 +15,7 @@ See SURVEY.md for the full operator inventory and reference citations.
 __version__ = "0.1.0"
 
 from .analyze import make_analyzer, simple_analyzer  # noqa: E402,F401
+from .audit import audit_index  # noqa: E402,F401
 from .build import build_all, build_index  # noqa: E402,F401
 from .incremental import incremental_update, index_page, purge_site  # noqa: E402,F401
 from .query import QueryEngine  # noqa: E402,F401

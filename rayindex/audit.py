@@ -1,0 +1,228 @@
+"""Distributed index integrity audit (fsck for the compressed index).
+
+At 100 TB an index is rebuilt rarely and read constantly; bit-rot, a
+truncated object-store upload, or a codec regression must be detectable
+without a full rebuild.  ``audit_index`` streams every segment row through
+a task pool and verifies the self-describing invariants of the layout
+(rayindex/segments.py docstring), then cross-checks the postings against
+the ``term_df`` dictionary with one distributed groupby — no driver-side
+materialization beyond the (expected-empty) violation list.
+
+The reference has no analog (its integrity story is MySQL constraints,
+model/IndexEntity.java:11-23); this is the operational tool the Ray-native
+layout needs instead.
+
+Checked invariants, per ``kind='seg'`` row:
+
+* decoded stream lengths equal ``n_docs`` (docs/tfs/dls);
+* doc ids strictly increasing (delta coding requires it; WAND assumes it);
+* ``n_blocks == ceil(n_docs / BLOCK_SIZE)`` and every block-metadata
+  sidecar has exactly ``n_blocks`` entries;
+* per-block ``b_last_doc`` / ``b_max_tf`` / ``b_min_dl`` equal the decoded
+  per-block last doc id / max tf / min dl (block-max WAND correctness);
+* ``tf >= 1``, ``dl >= 1`` and ``tf <= dl`` for every posting;
+* positional sidecar (when present): ``pos_nbytes`` has one uint32 per doc,
+  each doc's position list decodes to EXACTLY ``tf`` strictly-increasing
+  token ordinals.
+
+Per ``kind='df'`` row: ``df >= 1`` and empty posting blobs.
+
+Cross-check (``check_df=True``): per term, Σ ``n_docs`` over all shards /
+buckets / salts equals the global df recorded in ``term_df`` — the
+dictionary a query trusts before it ever touches postings.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .codec import BLOCK_SIZE, decode_postings, varbyte_decode
+from .segments import expand_parquet_paths, list_shards, row_to_encoded
+
+VIOLATION_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("salt", pa.int32()),
+        ("bucket", pa.int32()),
+        ("check", pa.string()),
+        ("detail", pa.string()),
+    ]
+)
+
+_SEG_COLUMNS = [
+    "term", "salt", "bucket", "kind", "df", "n_docs", "n_blocks",
+    "b_last_doc", "b_max_tf", "b_min_dl", "b_doc_nbytes", "b_tf_nbytes",
+    "b_dl_nbytes", "docs_blob", "tfs_blob", "dls_blob",
+    "pos_nbytes_blob", "pos_blob", "codec",
+]
+
+
+def _audit_row(row: dict, emit) -> None:
+    if row["kind"] == "df":
+        if not (row["df"] and row["df"] >= 1):
+            emit(row, "df_positive", f"df={row['df']}")
+        if row["docs_blob"] or row["tfs_blob"] or row["dls_blob"]:
+            emit(row, "df_row_blobs_empty", "df row carries posting bytes")
+        return
+    n = int(row["n_docs"])
+    nb = int(row["n_blocks"])
+    if nb != math.ceil(n / BLOCK_SIZE):
+        emit(row, "n_blocks", f"n_docs={n} n_blocks={nb}")
+        return
+    for name, width in (("b_last_doc", 8), ("b_max_tf", 4), ("b_min_dl", 4),
+                        ("b_doc_nbytes", 4), ("b_tf_nbytes", 4),
+                        ("b_dl_nbytes", 4)):
+        if len(row[name] or b"") != width * nb:
+            emit(row, "sidecar_len", f"{name}: {len(row[name] or b'')} != {width * nb}")
+            return
+    try:
+        enc = row_to_encoded(row)
+        docs, tfs, dls = decode_postings(enc)
+    except Exception as exc:  # truncated/corrupt blob
+        emit(row, "decode", repr(exc))
+        return
+    if not (docs.size == tfs.size == dls.size == n):
+        emit(row, "stream_len", f"{docs.size}/{tfs.size}/{dls.size} != {n}")
+        return
+    if n == 0:
+        return
+    if n > 1 and not (docs[1:] > docs[:-1]).all():  # uint64-safe comparison
+        emit(row, "docs_sorted", "doc ids not strictly increasing")
+    if int(tfs.min()) < 1 or int(dls.min()) < 1:
+        emit(row, "tf_dl_positive", f"min tf={tfs.min()} min dl={dls.min()}")
+    if (tfs > dls).any():
+        emit(row, "tf_le_dl", f"{int((tfs > dls).sum())} postings with tf > dl")
+    bounds = np.arange(0, n, BLOCK_SIZE)
+    ends = np.minimum(bounds + BLOCK_SIZE, n) - 1
+    if not np.array_equal(np.frombuffer(row["b_last_doc"], np.uint64), docs[ends]):
+        emit(row, "block_last_doc", "b_last_doc != decoded block last ids")
+    max_tf = np.maximum.reduceat(tfs, bounds)
+    if not np.array_equal(np.frombuffer(row["b_max_tf"], np.uint32), max_tf):
+        emit(row, "block_max_tf", "b_max_tf != decoded block max tf")
+    min_dl = np.minimum.reduceat(dls, bounds)
+    if not np.array_equal(np.frombuffer(row["b_min_dl"], np.uint32), min_dl):
+        emit(row, "block_min_dl", "b_min_dl != decoded block min dl")
+    pos_lens_blob = row["pos_nbytes_blob"] or b""
+    if pos_lens_blob:
+        lens = np.frombuffer(pos_lens_blob, np.uint32).astype(np.int64)
+        if lens.size != n:
+            emit(row, "pos_sidecar_len", f"{lens.size} != n_docs {n}")
+            return
+        buf = np.frombuffer(row["pos_blob"] or b"", np.uint8)
+        if int(lens.sum()) != buf.size:
+            emit(row, "pos_blob_len", f"Σlens {int(lens.sum())} != {buf.size}")
+            return
+        off = np.concatenate(([0], np.cumsum(lens)))
+        for i in range(n):
+            if not lens[i]:
+                emit(row, "pos_missing", f"doc {int(docs[i])} has tf but no positions")
+                continue
+            p = np.cumsum(varbyte_decode(buf[off[i]: off[i + 1]]), dtype=np.uint64)
+            if p.size != tfs[i]:
+                emit(row, "pos_count", f"doc {int(docs[i])}: {p.size} != tf {int(tfs[i])}")
+            elif p.size > 1 and not (np.diff(p.astype(np.int64)) > 0).all():
+                emit(row, "pos_sorted", f"doc {int(docs[i])} positions not increasing")
+            # NOTE: positions are ordinals in the FULL token stream (phrase
+            # adjacency over original tokens) while dl counts kept lemmas
+            # after the particle filter — pos >= dl is legal
+
+
+def _audit_batch(batch: pa.Table) -> pa.Table:
+    """Task-pool body: one batch of segment rows → violation rows."""
+    out: dict[str, list] = {k: [] for k in VIOLATION_SCHEMA.names}
+
+    def emit(row, check, detail):
+        out["term"].append(row["term"])
+        out["salt"].append(int(row["salt"]))
+        # hive partition column: inferred as string from the file path
+        out["bucket"].append(int(row["bucket"]))
+        out["check"].append(check)
+        out["detail"].append(detail)
+
+    for row in batch.to_pylist():
+        _audit_row(row, emit)
+    return pa.table(out, schema=VIOLATION_SCHEMA)
+
+
+def _df_crosscheck(index_root: str, seg_paths: list[str]) -> pd.DataFrame:
+    """Σ n_docs per term over ALL seg rows ≡ term_df global df, as one
+    distributed union + groupby (the site_stats kind-tag shape)."""
+    from ray.data.aggregate import Sum
+
+    seg = rd.read_parquet(seg_paths, columns=["term", "kind", "n_docs"]).map_batches(
+        lambda t: (
+            lambda f: pa.table({
+                "term": f.column("term"),
+                "seg_cnt": f.column("n_docs").cast(pa.int64()),
+                "dic_cnt": pa.array(np.zeros(f.num_rows, np.int64)),
+            })
+        )(t.filter(pc.equal(t.column("kind"), "seg"))),
+        batch_format="pyarrow",
+    )
+    df_paths = expand_parquet_paths(
+        [os.path.join(s, "term_df") for s in list_shards(index_root)]
+    )
+    dic = rd.read_parquet(df_paths, columns=["term", "df"]).map_batches(
+        lambda t: pa.table({
+            "term": t.column("term"),
+            "seg_cnt": pa.array(np.zeros(t.num_rows, np.int64)),
+            "dic_cnt": t.column("df").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    sums = (
+        seg.union(dic)
+        .groupby("term")
+        .aggregate(Sum("seg_cnt"), Sum("dic_cnt"))
+        .map_batches(
+            lambda t: (
+                lambda bad: pa.table({
+                    "term": bad.column("term"),
+                    "salt": pa.array(np.full(bad.num_rows, -1, np.int32)),
+                    "bucket": pa.array(np.full(bad.num_rows, -1, np.int32)),
+                    "check": pa.array(["df_crosscheck"] * bad.num_rows, pa.string()),
+                    "detail": pa.array(
+                        [f"Σ seg n_docs {s} != term_df {d}" for s, d in
+                         zip(bad.column("sum(seg_cnt)").to_pylist(),
+                             bad.column("sum(dic_cnt)").to_pylist())],
+                        pa.string(),
+                    ),
+                })
+            )(t.filter(pc.not_equal(t.column("sum(seg_cnt)"),
+                                    t.column("sum(dic_cnt)")))),
+            batch_format="pyarrow",
+        )
+    )
+    return sums.to_pandas()
+
+
+def audit_index(index_root: str, *, check_df: bool = True) -> pd.DataFrame:
+    """Audit every shard of ``index_root``; returns the violation table
+    (empty = healthy).  Streams segment rows through a task pool — driver
+    memory is O(violations), not O(index)."""
+    seg_paths = expand_parquet_paths(
+        [os.path.join(s, "segments") for s in list_shards(index_root)]
+    )
+    if not seg_paths:
+        raise FileNotFoundError(f"no segment files under {index_root}")
+    vio = (
+        rd.read_parquet(seg_paths, columns=_SEG_COLUMNS)
+        .map_batches(_audit_batch, batch_size=64, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .to_pandas()
+    )
+    parts = [vio]
+    if check_df:
+        parts.append(_df_crosscheck(index_root, seg_paths))
+    cols = list(VIOLATION_SCHEMA.names)
+    # an all-healthy distributed pass yields a columnless empty frame
+    parts = [p.reindex(columns=cols) for p in parts]
+    out = pd.concat(parts, ignore_index=True)
+    return out.sort_values(["check", "term", "salt"]).reset_index(drop=True)
