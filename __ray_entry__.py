@@ -236,6 +236,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engine_term_df": __import__(
             "rayindex.pipelines", fromlist=["engine_term_df"]
         ).engine_term_df,
+        "index_audit": __import__(
+            "rayindex.pipelines", fromlist=["index_audit"]
+        ).index_audit,
         # --- SQL-checked via md5_number_upper (≡ LE64 of md5 bytes) ------
         "minhash_lsh_pairs": textops.minhash_lsh_pairs,
         "simhash": textops.simhash,
@@ -1034,6 +1037,13 @@ def oracle_sql() -> dict[str, str]:
     # either codec's index serves identical scores (tests/test_pfor_build.py)
     out["engine_search_scores_pfor"] = out["engine_search_scores"]
     out["engine_search_scores_vb"] = out["engine_search_scores"]
+    # integrity audit of a freshly-built index: the invariant IS emptiness —
+    # the oracle pins zero rows with the violation-table columns
+    out["index_audit"] = (
+        'SELECT CAST(NULL AS VARCHAR) AS term, CAST(NULL AS INTEGER) AS salt, '
+        'CAST(NULL AS INTEGER) AS bucket, CAST(NULL AS VARCHAR) AS "check", '
+        "CAST(NULL AS VARCHAR) AS detail WHERE FALSE"
+    )
     # distributed serving tier ≡ single-process engine, row for row
     out["engine_batch_search"] = out["engine_search_scores"]
     out["engine_merged_search"] = out["engine_search_scores"]

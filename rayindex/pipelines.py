@@ -208,6 +208,17 @@ def engine_search_scores_vb(sf_dir: str, queries: list[str] | None = None) -> pd
     return _engine_search_scores_codec(sf_dir, "vb", queries)
 
 
+def index_audit(sf_dir: str) -> pd.DataFrame:
+    """Distributed integrity audit of the flagship index (rayindex/audit.py):
+    every segment-row invariant plus the postings-vs-dictionary df
+    cross-check.  A healthy index returns the EMPTY violation table — the
+    oracle pins exactly that (zero rows, same columns)."""
+    from .audit import audit_index
+
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    return audit_index(index_dir)
+
+
 def engine_term_df(sf_dir: str) -> pd.DataFrame:
     """End-to-end A1 check THROUGH the built index: the engine's loaded global
     term→df dictionary (from the compressed-segment build) as a table."""
