@@ -109,13 +109,13 @@ def _audit_row(row: dict, emit) -> None:
     min_dl = np.minimum.reduceat(dls, bounds)
     if not np.array_equal(np.frombuffer(row["b_min_dl"], np.uint32), min_dl):
         emit(row, "block_min_dl", "b_min_dl != decoded block min dl")
-    pos_lens_blob = row["pos_nbytes_blob"] or b""
+    pos_lens_blob = row.get("pos_nbytes_blob") or b""
     if pos_lens_blob:
         lens = np.frombuffer(pos_lens_blob, np.uint32).astype(np.int64)
         if lens.size != n:
             emit(row, "pos_sidecar_len", f"{lens.size} != n_docs {n}")
             return
-        buf = np.frombuffer(row["pos_blob"] or b"", np.uint8)
+        buf = np.frombuffer(row.get("pos_blob") or b"", np.uint8)
         if int(lens.sum()) != buf.size:
             emit(row, "pos_blob_len", f"Σlens {int(lens.sum())} != {buf.size}")
             return
@@ -212,8 +212,14 @@ def audit_index(index_root: str, *, check_df: bool = True) -> pd.DataFrame:
     )
     if not seg_paths:
         raise FileNotFoundError(f"no segment files under {index_root}")
+    # layout compat: indexes written before the positional layer / codec
+    # column lack those fields (readers default them; so does _audit_row)
+    import pyarrow.parquet as pq
+
+    have = set(pq.read_schema(seg_paths[0]).names) | {"bucket"}
+    cols = [c for c in _SEG_COLUMNS if c in have]
     vio = (
-        rd.read_parquet(seg_paths, columns=_SEG_COLUMNS)
+        rd.read_parquet(seg_paths, columns=cols)
         .map_batches(_audit_batch, batch_size=64, batch_format="pyarrow",
                      zero_copy_batch=True)
         .to_pandas()
