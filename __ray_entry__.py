@@ -257,6 +257,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engine_prefix_terms": __import__(
             "rayindex.pipelines", fromlist=["engine_prefix_terms"]
         ).engine_prefix_terms,
+        "engine_complete": __import__(
+            "rayindex.pipelines", fromlist=["engine_complete"]
+        ).engine_complete,
         "engine_phrase_topk": __import__(
             "rayindex.pipelines", fromlist=["engine_phrase_topk"]
         ).engine_phrase_topk,
@@ -505,6 +508,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM hits GROUP BY query, url) "
             "SELECT query, url, score, "
             "CAST(score AS DOUBLE) / max(score) OVER (PARTITION BY query) AS relevance FROM cand"
+        ),
+        "engine_complete": (
+            # autocomplete: the engine's (df desc, term asc) total order
+            f"WITH {_PTOKS}, "
+            "d AS (SELECT term, CAST(count(DISTINCT url) AS BIGINT) AS df "
+            "FROM pt WHERE term LIKE 's%' GROUP BY term) "
+            "SELECT CAST(row_number() OVER (ORDER BY df DESC, term) AS BIGINT) AS rank, "
+            "term, df FROM d ORDER BY df DESC, term LIMIT 5"
         ),
         "engine_prefix_terms": (
             f"WITH {_PTOKS} SELECT term, CAST(count(DISTINCT url) AS BIGINT) AS df "

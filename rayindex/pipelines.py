@@ -302,6 +302,16 @@ def engine_prefix_terms(sf_dir: str, prefix: str | None = None) -> pd.DataFrame:
     return eng.prefix_terms(prefix or PREFIX_QUERY)
 
 
+def engine_complete(sf_dir: str, prefix: str = "s", k: int = 5) -> pd.DataFrame:
+    """Query autocomplete through the built index, ORACLE-CHECKABLE: top-k
+    completions of the demo prefix ranked (df desc, term asc) with a rank
+    column (QueryEngine.complete).  Prefix "s" has 6 vocabulary completions
+    at sf0.01, so the k=5 cut and both sort keys are exercised."""
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    return eng.complete(prefix, k=k)
+
+
 def engine_search_synonyms(sf_dir: str, queries=None) -> pd.DataFrame:
     """Synonym-expanded search end-to-end through the compressed index,
     ORACLE-CHECKABLE: for each (label, groups) rewrite, the FULL match set

@@ -792,6 +792,21 @@ class QueryEngine:
         out = ts.groupby("term", sort=True)["df"].sum().astype("int64").reset_index()
         return out[out["df"] > 0].reset_index(drop=True)
 
+    def complete(self, prefix: str, k: int = 10) -> pd.DataFrame:
+        """Query autocomplete (engine extension): top-``k`` dictionary
+        completions of ``prefix`` as (rank, term, df), ranked by global df
+        desc with term-ascending ties — a total order SQL replays exactly.
+        Same pruned term_stats scan as :meth:`prefix_terms`; never touches
+        postings."""
+        ts = self.prefix_terms(prefix)
+        ts = (
+            ts.sort_values(["df", "term"], ascending=[False, True])
+            .head(k)
+            .reset_index(drop=True)
+        )
+        ts.insert(0, "rank", np.arange(1, len(ts) + 1, dtype=np.int64))
+        return ts
+
     def _suffix_index(self) -> tuple[pd.DataFrame, np.ndarray, np.ndarray]:
         """REVERSED-term sorted view of the dictionary (Lucene's
         ReverseStringFilter trick for leading wildcards), built lazily ONCE

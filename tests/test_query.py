@@ -99,3 +99,19 @@ def test_snippet_phrase_query(engine, oracle_index, fixture_corpus):
     assert top["url"].startswith(SITE_URL)
     assert top["title"]
     assert top["uri"].startswith("/p/")
+
+
+def test_complete_ranked_topk(engine):
+    """complete(prefix, k): (df desc, term asc) total order, k cut, and
+    consistency with the full prefix scan."""
+    full = engine.prefix_terms("")
+    assert len(full) > 3
+    prefix = full["term"].iloc[0][0]  # a single-char prefix with matches
+    all_matches = full[full["term"].str.startswith(prefix)]
+    k = max(1, len(all_matches) - 1)  # force the cut
+    got = engine.complete(prefix, k=k)
+    assert list(got.columns) == ["rank", "term", "df"]
+    assert list(got["rank"]) == list(range(1, len(got) + 1))
+    want = all_matches.sort_values(["df", "term"], ascending=[False, True]).head(k)
+    assert list(got["term"]) == list(want["term"])
+    assert list(got["df"]) == list(want["df"])
