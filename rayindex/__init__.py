@@ -18,4 +18,5 @@ from .analyze import make_analyzer, simple_analyzer  # noqa: E402,F401
 from .audit import audit_index  # noqa: E402,F401
 from .build import build_all, build_index  # noqa: E402,F401
 from .incremental import incremental_update, index_page, purge_site  # noqa: E402,F401
+from .publish import current_record, publish_index, resolve_current  # noqa: E402,F401
 from .query import QueryEngine  # noqa: E402,F401

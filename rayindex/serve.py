@@ -24,6 +24,7 @@ query string, and consumers sort or group by it).
 
 from __future__ import annotations
 
+import os
 from typing import Iterable
 
 import pyarrow as pa
@@ -229,6 +230,7 @@ class SearchService:
         self._analyzer_spec = analyzer_spec
         self._kwargs = kwargs
         self._num_cpus = num_cpus
+        self._index_root = index_root
         self._replicas = self._spawn(index_root, num_replicas)
         self._rr = 0
 
@@ -254,8 +256,24 @@ class SearchService:
             qs = list(warmup_queries)
             ray.get([r.search_batch.remote(qs) for r in fresh])
         old, self._replicas = self._replicas, fresh
+        self._index_root = index_root
         for r in old:
             r.__ray_terminate__.remote()
+
+    def sync(self, versions_root: str, *,
+             warmup_queries: Iterable[str] | None = None) -> bool:
+        """Follow a versioned-publication root (rayindex/publish.py): if the
+        CURRENT pointer names a different index than the one being served,
+        perform the zero-downtime swap; returns whether a swap happened.
+        Poll this from a cron/sidecar and cutover cost stays one pointer
+        read when nothing changed."""
+        from .publish import resolve_current
+
+        target = resolve_current(versions_root)
+        if os.path.realpath(target) == os.path.realpath(self._index_root):
+            return False
+        self.swap_index(target, warmup_queries=warmup_queries)
+        return True
 
     @property
     def num_replicas(self) -> int:

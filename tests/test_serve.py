@@ -230,3 +230,43 @@ def test_service_swap_index_zero_downtime(ray_session, built_index, fixture_corp
         assert got.num_rows == want != full_rows
     finally:
         svc.shutdown()
+
+
+def test_publish_and_sync(ray_session, built_index, fixture_corpus, tmp_path):
+    """publish_index flips an atomic CURRENT pointer after validation;
+    SearchService.sync swaps only when the pointer moved."""
+    from rayindex.build import build_index
+    from rayindex.fixtures import write_pages
+    from rayindex.publish import current_record, publish_index, resolve_current
+    from rayindex.serve import SearchService
+
+    fx = fixture_corpus
+    root = str(tmp_path / "versions")
+    # a half-written index (no manifests) must be rejected BEFORE the flip
+    bogus = str(tmp_path / "bogus" / "shard=0")
+    import os as _os
+    _os.makedirs(bogus)
+    with pytest.raises(ValueError):
+        publish_index(root, str(tmp_path / "bogus"))
+    assert not _os.path.exists(_os.path.join(root, "CURRENT"))
+
+    publish_index(root, built_index["out_dir"], version="v1")
+    assert resolve_current(root) == _os.path.abspath(built_index["out_dir"])
+    assert current_record(root)["version"] == "v1"
+
+    svc = SearchService(built_index["out_dir"], fx.analyzer_spec, num_replicas=2)
+    try:
+        assert svc.sync(root) is False  # already serving CURRENT
+
+        pdir = str(tmp_path / "pages_half")
+        half = str(tmp_path / "idx_half")
+        write_pages(fx.pages.slice(0, 100), pdir, n_fragments=2)
+        build_index(pdir, half, fx.analyzer_spec, num_buckets=4)
+        publish_index(root, half, version="v2")
+        assert svc.sync(root) is True
+        assert svc.sync(root) is False  # idempotent
+        # rollback: republish v1, sync follows
+        publish_index(root, built_index["out_dir"], version="v1")
+        assert svc.sync(root) is True
+    finally:
+        svc.shutdown()
