@@ -111,6 +111,10 @@ def _audit_row(row: dict, emit) -> None:
         emit(row, "block_min_dl", "b_min_dl != decoded block min dl")
     pos_lens_blob = row.get("pos_nbytes_blob") or b""
     if pos_lens_blob:
+        if len(pos_lens_blob) % 4:
+            emit(row, "pos_sidecar_len",
+                 f"{len(pos_lens_blob)} bytes not a whole uint32 array")
+            return
         lens = np.frombuffer(pos_lens_blob, np.uint32).astype(np.int64)
         if lens.size != n:
             emit(row, "pos_sidecar_len", f"{lens.size} != n_docs {n}")
@@ -134,9 +138,22 @@ def _audit_row(row: dict, emit) -> None:
             # after the particle filter — pos >= dl is legal
 
 
-def _audit_batch(batch: pa.Table) -> pa.Table:
-    """Task-pool body: one batch of segment rows → violation rows."""
-    out: dict[str, list] = {k: [] for k in VIOLATION_SCHEMA.names}
+# internal kind tag for per-batch Σ n_docs partials riding the violation
+# stream (lets the df cross-check reuse the main pass instead of a second
+# full parquet scan); filtered out before the user ever sees the table
+_DF_PARTIAL = "__df_partial__"
+
+_AUDIT_SCHEMA = pa.schema(
+    list(VIOLATION_SCHEMA) + [pa.field("seg_cnt", pa.int64())]
+)
+
+
+def _audit_batch(batch: pa.Table, *, with_df_partials: bool) -> pa.Table:
+    """Task-pool body: one batch of segment rows → violation rows (plus,
+    when the df cross-check is on, one ``_DF_PARTIAL`` row per distinct
+    term in the batch carrying its Σ n_docs — a combiner, so the postings
+    blobs are scanned exactly once)."""
+    out: dict[str, list] = {k: [] for k in _AUDIT_SCHEMA.names}
 
     def emit(row, check, detail):
         out["term"].append(row["term"])
@@ -145,25 +162,41 @@ def _audit_batch(batch: pa.Table) -> pa.Table:
         out["bucket"].append(int(row["bucket"]))
         out["check"].append(check)
         out["detail"].append(detail)
+        out["seg_cnt"].append(0)
 
     for row in batch.to_pylist():
-        _audit_row(row, emit)
-    return pa.table(out, schema=VIOLATION_SCHEMA)
+        try:
+            _audit_row(row, emit)
+        except Exception as exc:  # fsck must never die on the rot it hunts
+            emit(row, "audit_error", repr(exc))
+    if with_df_partials:
+        seg = batch.filter(pc.equal(batch.column("kind"), "seg"))
+        if seg.num_rows:
+            part = seg.group_by("term").aggregate([("n_docs", "sum")])
+            out["term"].extend(part.column("term").to_pylist())
+            k = part.num_rows
+            out["salt"].extend([-1] * k)
+            out["bucket"].extend([-1] * k)
+            out["check"].extend([_DF_PARTIAL] * k)
+            out["detail"].extend([""] * k)
+            out["seg_cnt"].extend(
+                part.column("n_docs_sum").cast(pa.int64()).to_pylist())
+    return pa.table(out, schema=_AUDIT_SCHEMA)
 
 
-def _df_crosscheck(index_root: str, seg_paths: list[str]) -> pd.DataFrame:
+def _df_crosscheck(index_root: str, partials: "rd.Dataset") -> pd.DataFrame:
     """Σ n_docs per term over ALL seg rows ≡ term_df global df, as one
-    distributed union + groupby (the site_stats kind-tag shape)."""
+    distributed union + groupby (the site_stats kind-tag shape).  The seg
+    side arrives as the ``_DF_PARTIAL`` combiner rows the main audit pass
+    already emitted — no second scan of the segment files."""
     from ray.data.aggregate import Sum
 
-    seg = rd.read_parquet(seg_paths, columns=["term", "kind", "n_docs"]).map_batches(
-        lambda t: (
-            lambda f: pa.table({
-                "term": f.column("term"),
-                "seg_cnt": f.column("n_docs").cast(pa.int64()),
-                "dic_cnt": pa.array(np.zeros(f.num_rows, np.int64)),
-            })
-        )(t.filter(pc.equal(t.column("kind"), "seg"))),
+    seg = partials.map_batches(
+        lambda t: pa.table({
+            "term": t.column("term"),
+            "seg_cnt": t.column("seg_cnt"),
+            "dic_cnt": pa.array(np.zeros(t.num_rows, np.int64)),
+        }),
         batch_format="pyarrow",
     )
     df_paths = expand_parquet_paths(
@@ -218,15 +251,26 @@ def audit_index(index_root: str, *, check_df: bool = True) -> pd.DataFrame:
 
     have = set(pq.read_schema(seg_paths[0]).names) | {"bucket"}
     cols = [c for c in _SEG_COLUMNS if c in have]
-    vio = (
+    import functools
+
+    stream = (
         rd.read_parquet(seg_paths, columns=cols)
-        .map_batches(_audit_batch, batch_size=64, batch_format="pyarrow",
-                     zero_copy_batch=True)
-        .to_pandas()
+        .map_batches(
+            functools.partial(_audit_batch, with_df_partials=check_df),
+            batch_size=64, batch_format="pyarrow", zero_copy_batch=True)
     )
-    parts = [vio]
     if check_df:
-        parts.append(_df_crosscheck(index_root, seg_paths))
+        # one pass over the blobs; blocks (violations + tiny per-batch term
+        # partials) are pinned in the object store, split, then released
+        stream = stream.materialize()
+        vio = (
+            stream.filter(expr=f"check != '{_DF_PARTIAL}'")
+            .drop_columns(["seg_cnt"]).to_pandas()
+        )
+        partials = stream.filter(expr=f"check == '{_DF_PARTIAL}'")
+        parts = [vio, _df_crosscheck(index_root, partials)]
+    else:
+        parts = [stream.drop_columns(["seg_cnt"]).to_pandas()]
     cols = list(VIOLATION_SCHEMA.names)
     # an all-healthy distributed pass yields a columnless empty frame
     parts = [p.reindex(columns=cols) for p in parts]

@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 
 _CURRENT = "CURRENT"
 
@@ -63,10 +64,18 @@ def publish_index(versions_root: str, index_dir: str,
         "n_shards": n_shards,
         "published_unix": int(time.time()),
     }
-    tmp = os.path.join(versions_root, _CURRENT + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(record, f, indent=1)
-    os.replace(tmp, os.path.join(versions_root, _CURRENT))
+    # unique temp name: concurrent publishers (a rollback racing a CI
+    # publish) must never interleave writes in one file — each writes its
+    # own tmp and the LAST os.replace wins atomically
+    tmp = os.path.join(
+        versions_root, f"{_CURRENT}.tmp.{os.getpid()}.{uuid.uuid4().hex}")
+    try:
+        with open(tmp, "w") as f:
+            json.dump(record, f, indent=1)
+        os.replace(tmp, os.path.join(versions_root, _CURRENT))
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return version
 
 

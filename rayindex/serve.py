@@ -233,6 +233,10 @@ class SearchService:
         self._index_root = index_root
         self._replicas = self._spawn(index_root, num_replicas)
         self._rr = 0
+        # CURRENT-record identity last synced against (version,
+        # published_unix, realpath) — lets sync() detect a rebuild
+        # republished at the SAME path, which a path compare misses
+        self._synced_token: tuple | None = None
 
     def _spawn(self, index_root: str, n: int) -> list:
         return [
@@ -243,20 +247,38 @@ class SearchService:
         ]
 
     def swap_index(self, index_root: str, *,
-                   warmup_queries: Iterable[str] | None = None) -> None:
+                   warmup_queries: Iterable[str] | None = None,
+                   ready_timeout_s: float = 120.0) -> None:
         """Zero-downtime index swap (the serving analog of the reference's
         re-index-while-serving, `services/IndexingPageServiceImpl.java`):
         spin up a full replica set over ``index_root`` (optionally warmed)
         BEFORE routing to it, then retire the old replicas gracefully —
         `__ray_terminate__` queues behind their in-flight batches, so
         outstanding ``submit`` refs still resolve against the old index.
-        Queries issued after the swap see only the new index."""
+        Queries issued after the swap see only the new index.
+
+        The swap needs 2x replica capacity while both sets are alive; if
+        the cluster cannot schedule the replacement set within
+        ``ready_timeout_s`` the fresh actors are killed and RuntimeError is
+        raised (instead of wedging the sync poller forever)."""
         fresh = self._spawn(index_root, len(self._replicas))
+        probe = [r.served.remote() for r in fresh]
+        ready, pending = ray.wait(probe, num_returns=len(probe),
+                                  timeout=ready_timeout_s)
+        if pending:
+            for r in fresh:
+                ray.kill(r)
+            raise RuntimeError(
+                f"swap_index: {len(pending)}/{len(fresh)} replacement "
+                f"replicas not ready within {ready_timeout_s}s — a swap "
+                f"holds BOTH replica sets alive, so it needs 2x capacity; "
+                f"free CPUs or lower num_replicas")
         if warmup_queries is not None:
             qs = list(warmup_queries)
             ray.get([r.search_batch.remote(qs) for r in fresh])
         old, self._replicas = self._replicas, fresh
         self._index_root = index_root
+        self._synced_token = None  # a direct swap detaches from any root
         for r in old:
             r.__ray_terminate__.remote()
 
@@ -266,13 +288,28 @@ class SearchService:
         CURRENT pointer names a different index than the one being served,
         perform the zero-downtime swap; returns whether a swap happened.
         Poll this from a cron/sidecar and cutover cost stays one pointer
-        read when nothing changed."""
-        from .publish import resolve_current
+        read when nothing changed.
 
-        target = resolve_current(versions_root)
-        if os.path.realpath(target) == os.path.realpath(self._index_root):
+        Staleness is judged by the CURRENT record's (version,
+        published_unix, path) — not the path alone — so a rebuild
+        republished INTO THE SAME directory still triggers a swap (the old
+        replicas' segment caches hold the pre-rebuild bytes).  The very
+        first sync against a pointer that already names the served path
+        adopts the record without swapping (the replicas just loaded it)."""
+        from .publish import current_record
+
+        rec = current_record(versions_root)
+        target = rec["path"]
+        token = (rec.get("version"), rec.get("published_unix"),
+                 os.path.realpath(target))
+        if token == self._synced_token:
+            return False
+        if (self._synced_token is None
+                and os.path.realpath(target) == os.path.realpath(self._index_root)):
+            self._synced_token = token
             return False
         self.swap_index(target, warmup_queries=warmup_queries)
+        self._synced_token = token
         return True
 
     @property

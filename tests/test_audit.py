@@ -116,3 +116,26 @@ def test_audit_positional_index_clean(ray_session, fixture_corpus, tmp_path):
                 positions=True)
     v = audit_index(idir)
     assert len(v) == 0, v.to_string()
+
+
+def test_audit_survives_corrupt_pos_sidecar(ray_session, fixture_corpus, tmp_path):
+    """A pos_nbytes_blob whose length is not a whole uint32 array must be
+    REPORTED, not crash the audit run (the fsck has to survive exactly the
+    bit-rot it exists to find)."""
+    from rayindex.audit import audit_index
+    from rayindex.build import build_index
+    from rayindex.fixtures import write_pages
+
+    pdir = str(tmp_path / "p")
+    idir = str(tmp_path / "i")
+    write_pages(fixture_corpus.pages.slice(0, 80), pdir, n_fragments=2)
+    build_index(pdir, idir, fixture_corpus.analyzer_spec, num_buckets=4,
+                positions=True)
+
+    def truncate_pos_lens(cols, i):
+        cols["pos_nbytes_blob"][i] = cols["pos_nbytes_blob"][i][:-1]
+
+    term = _tamper(_first_seg_file(idir), truncate_pos_lens)
+    v = audit_index(idir, check_df=False)  # must not raise
+    bad = v[v["check"] == "pos_sidecar_len"]
+    assert len(bad) and (bad["term"] == term).any()

@@ -270,3 +270,48 @@ def test_publish_and_sync(ray_session, built_index, fixture_corpus, tmp_path):
         assert svc.sync(root) is True
     finally:
         svc.shutdown()
+
+
+def test_sync_detects_same_path_republish(ray_session, built_index, fixture_corpus, tmp_path):
+    """A rebuild republished INTO THE SAME directory must still trigger a
+    swap — replica caches hold pre-rebuild bytes; comparing the served path
+    alone misses it."""
+    from rayindex.publish import publish_index
+    from rayindex.serve import SearchService
+
+    root = str(tmp_path / "versions")
+    publish_index(root, built_index["out_dir"], version="v1")
+    svc = SearchService(built_index["out_dir"], fixture_corpus.analyzer_spec,
+                        num_replicas=2)
+    try:
+        assert svc.sync(root) is False  # first sync adopts the record
+        old = set(id(r) for r in svc._replicas)
+        # simulate an in-place rebuild: republish the SAME path, new record
+        publish_index(root, built_index["out_dir"], version="v1-rebuilt")
+        assert svc.sync(root) is True
+        assert set(id(r) for r in svc._replicas) != old  # fresh replica set
+        assert svc.sync(root) is False
+    finally:
+        svc.shutdown()
+
+
+def test_swap_index_capacity_timeout(ray_session, built_index, fixture_corpus):
+    """When the cluster cannot schedule the replacement replica set, the
+    swap raises instead of hanging forever, and the OLD set keeps serving."""
+    import pytest as _pytest
+
+    from rayindex.serve import SearchService
+
+    fx = fixture_corpus
+    svc = SearchService(built_index["out_dir"], fx.analyzer_spec,
+                        num_replicas=2, num_cpus=0.5)
+    try:
+        q = fx.forms[fx.lemmas[0]][0]
+        before = svc.search(q).num_rows
+        svc._num_cpus = 10_000  # replacement set can never schedule
+        with _pytest.raises(RuntimeError, match="2x capacity"):
+            svc.swap_index(built_index["out_dir"], ready_timeout_s=2.0)
+        svc._num_cpus = 0.5
+        assert svc.search(q).num_rows == before  # old replicas intact
+    finally:
+        svc.shutdown()

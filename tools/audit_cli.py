@@ -2,10 +2,15 @@
 """Index integrity audit entrypoint for ``ray job submit``.
 
     ray job submit --working-dir . -- \
-        python tools/audit_cli.py --index s3://bucket/index [--no-df-check]
+        python tools/audit_cli.py --index /mnt/shared/index [--no-df-check]
 
 Prints a one-line JSON summary and exits non-zero if violations were found
 (the violation table itself goes to --out as Parquet when given).
+
+The index root must be a filesystem path visible to every node (local disk
+on one node, NFS on a cluster): shard discovery walks the directory tree
+(rayindex/segments.py ``list_shards``), which does not speak object-store
+URIs — sync an s3:// index down (or FUSE-mount the bucket) before auditing.
 """
 
 from __future__ import annotations
@@ -31,10 +36,14 @@ def main() -> int:
     import ray
 
     if not ray.is_initialized():
-        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR",
+                  "ignore_reinit_error": True}
+        # like tools/build_cli.py: only force a fresh local instance when
+        # --num-cpus pins one; otherwise auto-connect so `ray job submit`
+        # fans the audit out over the WHOLE cluster it was submitted to
         if args.num_cpus:
-            kwargs["num_cpus"] = args.num_cpus
-        ray.init(address="local", **kwargs)
+            kwargs.update(address="local", num_cpus=args.num_cpus)
+        ray.init(**kwargs)
     from rayindex.audit import audit_index
 
     vio = audit_index(args.index, check_df=not args.no_df_check)
