@@ -247,6 +247,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engine_search_topk": __import__(
             "rayindex.pipelines", fromlist=["engine_search_topk"]
         ).engine_search_topk,
+        "engine_search_after": __import__(
+            "rayindex.pipelines", fromlist=["engine_search_after"]
+        ).engine_search_after,  # cursor deep-pagination ≡ ordered scan
         "engine_wand_topk": __import__(
             "rayindex.pipelines", fromlist=["engine_wand_topk"]
         ).engine_wand_topk,
@@ -458,6 +461,29 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY query ORDER BY score DESC, url) AS rn FROM co) "
             "SELECT query, CAST(rn AS BIGINT) AS rank, url, score, relevance "
             "FROM ranked WHERE rn <= 10"
+        ),
+        "engine_search_after": (
+            # the cursor-paged drain must equal the full ordered scan: page
+            # and rank derive from row_number over (score desc, url), the
+            # exact total order QueryEngine.search_after walks
+            f"WITH {_PTOKS}, "
+            "tf AS (SELECT url, term, count(*) AS tf FROM pt GROUP BY url, term), "
+            "df AS (SELECT term, count(DISTINCT url) AS df FROM pt GROUP BY term), "
+            "q(query, term) AS (VALUES "
+            + ", ".join(f"('{q}', '{t}')" for q, t in _flagship_query_terms())
+            + "), "
+            "kept AS (SELECT q.query, q.term FROM q JOIN df USING (term) "
+            "WHERE 200 * df.df < 159 * (SELECT count(*) FROM documents)), "
+            "nk AS (SELECT query, count(*) AS n_terms FROM kept GROUP BY query), "
+            "hits AS (SELECT k.query, t.url, t.term, t.tf FROM kept k JOIN tf t USING (term)), "
+            "cand AS (SELECT query, url, count(DISTINCT term) AS c, CAST(sum(tf) AS BIGINT) AS score "
+            "FROM hits GROUP BY query, url), "
+            "co AS (SELECT c.query, c.url, c.score FROM cand c JOIN nk USING (query) WHERE c.c = nk.n_terms), "
+            "ranked AS (SELECT query, url, score, "
+            "CAST(score AS DOUBLE) / max(score) OVER (PARTITION BY query) AS relevance, "
+            "row_number() OVER (PARTITION BY query ORDER BY score DESC, url) AS rn FROM co) "
+            "SELECT query, CAST((rn - 1) // 4 + 1 AS BIGINT) AS page, "
+            "CAST(rn AS BIGINT) AS rank, url, score, relevance FROM ranked"
         ),
         "engine_wand_topk": (
             # BM25 mirrored op-for-op: ln ≡ math.log (ULP-verified), literal

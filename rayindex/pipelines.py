@@ -268,6 +268,37 @@ def engine_search_topk(sf_dir: str, queries: list[str] | None = None) -> pd.Data
     return pd.DataFrame(rows, columns=["query", "rank", "url", "score", "relevance"])
 
 
+def engine_search_after(sf_dir: str, queries: list[str] | None = None,
+                        page_size: int = 4) -> pd.DataFrame:
+    """Deep pagination end-to-end, ORACLE-CHECKABLE: every flagship query's
+    FULL match set is drained through ``QueryEngine.search_after`` cursor
+    pages of ``page_size`` rows; emitting (page, rank) per row lets the
+    oracle pin that the union of cursor pages is EXACTLY the ordered scan
+    (row_number / page arithmetic over the same (score desc, url) order) —
+    no dropped, duplicated or reordered rows across page boundaries."""
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    rows = []
+    for q in queries or FLAGSHIP_QUERIES:
+        after = None
+        page = rank = 0
+        while True:
+            df = eng.search_after(q, k=page_size, after=after)
+            if df.empty:
+                break
+            page += 1
+            for r in df.itertuples(index=False):
+                rank += 1
+                rows.append({"query": q, "page": page, "rank": rank,
+                             "url": r.url, "score": int(r.score),
+                             "relevance": float(r.relevance)})
+            if len(df) < page_size:
+                break
+            after = (int(df["score"].iloc[-1]), str(df["url"].iloc[-1]))
+    return pd.DataFrame(
+        rows, columns=["query", "page", "rank", "url", "score", "relevance"])
+
+
 def engine_search_or_scores(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:
     """Disjunctive reference scorer end-to-end through the compressed index,
     ORACLE-CHECKABLE: same shape as :func:`engine_search_scores` but the

@@ -763,6 +763,54 @@ class QueryEngine:
         ]
         return {"result": True, "count": int(cand.size), "data": data}
 
+    def search_after(self, query: str, *, site: str | None = None,
+                     k: int = 10,
+                     after: tuple[int, str] | None = None) -> pd.DataFrame:
+        """Cursor-paged search (engine extension — the serving tier's deep
+        pagination; the reference returns one unpaged list,
+        services/SearchingServiceImpl.java:180-200, and OFFSET pagination
+        re-scores every earlier page).  Results follow the SQL-replayable
+        total order **(score desc, url asc)**; ``after`` is the (score, url)
+        of the LAST row of the previous page (None = first page) and the
+        returned page holds the next ``k`` rows strictly after it.
+
+        Scale shape: scoring is the one vectorized conjunctive pass of
+        :meth:`search` (independent of page depth), and urls are resolved
+        lazily per descending score level through the in-memory doc locator
+        — O(page + ties) lookups, never O(offset).  Scores are integer Σtf;
+        relevance is one IEEE divide by the match-set max, so pages
+        hash-identically to the oracle's window over the full ordered scan.
+
+        Returns columns (url, score, relevance); an empty frame means the
+        cursor is exhausted."""
+        res = self.search(query, site, k=None, with_snippets=False)
+        empty = pd.DataFrame({"url": pd.Series(dtype=str),
+                              "score": pd.Series(dtype="int64"),
+                              "relevance": pd.Series(dtype="float64")})
+        if not res["data"]:
+            return empty
+        ids = np.array([r["doc_id"] for r in res["data"]], dtype=np.int64)
+        scores = np.array([int(r["abs"]) for r in res["data"]], dtype=np.int64)
+        max_abs = float(scores.max())
+        s0, u0 = (None, None) if after is None else (int(after[0]), str(after[1]))
+        rows: list[dict] = []
+        for s in np.unique(scores)[::-1]:
+            if s0 is not None and s > s0:
+                continue
+            lvl = ids[scores == s]
+            meta = self.doc_meta([int(i) for i in lvl], columns=["url"])
+            urls = np.array([meta[int(i)]["url"] for i in lvl], dtype=object)
+            o = np.argsort(urls)
+            urls = urls[o]
+            if s0 is not None and s == s0:
+                urls = urls[urls > u0]
+            for u in urls[: k - len(rows)]:
+                rows.append({"url": str(u), "score": int(s),
+                             "relevance": float(int(s) / max_abs)})
+            if len(rows) >= k:
+                break
+        return pd.DataFrame(rows) if rows else empty
+
     def prefix_terms(self, prefix: str) -> pd.DataFrame:
         """Dictionary prefix scan → (term, df), purge-corrected (engine
         extension: autocomplete / vocabulary exploration).

@@ -115,3 +115,33 @@ def test_complete_ranked_topk(engine):
     want = all_matches.sort_values(["df", "term"], ascending=[False, True]).head(k)
     assert list(got["term"]) == list(want["term"])
     assert list(got["df"]) == list(want["df"])
+
+
+def test_search_after_pages_equal_ordered_scan(engine, fixture_corpus):
+    """Draining cursor pages reproduces the one-shot (score desc, url asc)
+    ordered match set exactly — no dropped / duplicated / reordered rows at
+    any page boundary, including boundaries inside a score-tie group."""
+    q = next(
+        q["query"] for q in fixture_corpus.queries
+        if engine.search(q["query"], k=None, with_snippets=False)["count"] > 7
+    )
+    full = engine.search(q, k=None, with_snippets=False)
+    meta = engine.doc_meta([r["doc_id"] for r in full["data"]], columns=["url"])
+    want = sorted(
+        ((int(r["abs"]), meta[r["doc_id"]]["url"]) for r in full["data"]),
+        key=lambda x: (-x[0], x[1]),
+    )
+    for page_size in (1, 3, len(want)):  # ties split across pages at 1 and 3
+        got, after = [], None
+        while True:
+            df = engine.search_after(q, k=page_size, after=after)
+            if df.empty:
+                break
+            got.extend((int(s), u) for s, u in zip(df["score"], df["url"]))
+            if len(df) < page_size:
+                break
+            after = (int(df["score"].iloc[-1]), str(df["url"].iloc[-1]))
+        assert got == want, page_size
+    # relevance is normalized by the FULL match-set max on every page
+    first = engine.search_after(q, k=2)
+    assert list(first["relevance"]) == [s / want[0][0] for s, _u in want[:2]]
