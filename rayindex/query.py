@@ -638,24 +638,50 @@ class QueryEngine:
         kept = self._query_terms(query, site)
         if not kept:
             return {"result": True, "count": 0, "data": []}
-        decoded: list[tuple[str, np.ndarray, np.ndarray]] = []
+        tf_parts: list[np.ndarray] = []
+        pos_parts: list[np.ndarray] = []
         cand: np.ndarray | None = None
         for t, _df in kept:
             docs, tfs, _dls = self._decoded(t)
-            decoded.append((t, docs, tfs))
-            cand = docs if cand is None else cand[np.isin(cand, docs, assume_unique=True)]
+            tf_parts.append(tfs)
+            if cand is None:
+                cand = docs
+                pos_parts.append(np.arange(docs.size, dtype=np.int64))
+            else:
+                # both sides sorted: binary-search membership beats the
+                # sort-based np.isin on the rarest-first shrinking cand;
+                # carrying each term's postings POSITIONS through the
+                # intersection means scoring below never re-searches the
+                # big decoded arrays
+                idx = np.searchsorted(docs, cand)
+                hit = idx < docs.size
+                hit[hit] = docs[idx[hit]] == cand[hit]
+                cand = cand[hit]
+                pos_parts = [p[hit] for p in pos_parts]
+                pos_parts.append(idx[hit])
         assert cand is not None
         if site is not None:
-            cand = cand[self._site_membership(site).contains(cand)]
-        cand = cand[self._not_excluded(cand)]
+            m = self._site_membership(site).contains(cand)
+            cand = cand[m]
+            pos_parts = [p[m] for p in pos_parts]
+        if len(self.tombstones):
+            m = self._not_excluded(cand)
+            cand = cand[m]
+            pos_parts = [p[m] for p in pos_parts]
         if cand.size == 0:
             return {"result": True, "count": 0, "data": []}
         abs_rel = np.zeros(cand.size, dtype=np.float64)
-        for _t, docs, tfs in decoded:
-            idx = np.searchsorted(docs, cand)
-            hit = (idx < docs.size) & (docs[np.minimum(idx, docs.size - 1)] == cand)
-            abs_rel[hit] += tfs[idx[hit]]
+        for tfs, pos in zip(tf_parts, pos_parts):
+            # integer tf sums in float64: exact, order-independent
+            abs_rel += tfs[pos]
+        count = int(cand.size)
         rel = abs_rel / abs_rel.max()
+        if k and cand.size > 4 * k:
+            # keep every row that ties-or-beats the k-th score, then order
+            # only those — (relevance desc, doc_id asc) ranking unchanged
+            kth = np.partition(abs_rel, cand.size - k)[cand.size - k]
+            sel = abs_rel >= kth
+            cand, rel, abs_rel = cand[sel], rel[sel], abs_rel[sel]
         order = np.lexsort((cand, -rel))
         if k:
             order = order[:k]
@@ -676,7 +702,7 @@ class QueryEngine:
                     snippet=create_snippet(query, m["text"]) if with_snippets else NO_MATCH_SNIPPET,
                 )
             data.append(row)
-        return {"result": True, "count": int(cand.size), "data": data}
+        return {"result": True, "count": count, "data": data}
 
     # -- engine extensions (beyond the reference's AND-only scorer) ---------
     def search_or(self, query: str, site: str | None = None, k: int | None = 10) -> dict:
@@ -692,7 +718,13 @@ class QueryEngine:
         if not kept:
             return {"result": True, "count": 0, "data": []}
         parts = [self._decoded(t)[:2] for t, _df in kept]
-        cand = np.unique(np.concatenate([docs for docs, _tfs in parts]))
+        if len(parts) == 1:
+            cand = parts[0][0]
+        else:
+            # sorted runs → stable (timsort) sort is near-linear
+            cand = np.concatenate([docs for docs, _tfs in parts])
+            cand.sort(kind="stable")
+            cand = cand[np.concatenate(([True], cand[1:] != cand[:-1]))]
         if site is not None:
             cand = cand[self._site_membership(site).contains(cand)]
         cand = cand[self._not_excluded(cand)]
@@ -1252,15 +1284,23 @@ class QueryEngine:
                 continue
             idf = self._idf(df)
             docs, tfs, dls = self._decoded(t)
-            live = self._not_excluded(docs)
-            docs, tfs, dls = docs[live], tfs[live], dls[live]
+            if len(self.tombstones):  # fast path: no full-array copies
+                live = self._not_excluded(docs)
+                docs, tfs, dls = docs[live], tfs[live], dls[live]
             doc_parts.append(docs)
             contrib_parts.append(
                 self._contrib(idf, tfs.astype(np.float64), dls.astype(np.float64))
             )
         if not doc_parts:
             return []
-        uniq = np.unique(np.concatenate(doc_parts))
+        if len(doc_parts) == 1:
+            uniq = doc_parts[0]
+        else:
+            # each part is sorted: a stable (timsort) sort of concatenated
+            # runs is near-linear, unlike np.unique's introsort
+            allc = np.concatenate(doc_parts)
+            allc.sort(kind="stable")
+            uniq = allc[np.concatenate(([True], allc[1:] != allc[:-1]))]
         scores = np.zeros(len(uniq), dtype=np.float64)
         # accumulate term-by-term with fancy indexing: within one term each
         # doc occurs once, so `+=` is safe, and per-doc accumulation order is
@@ -1269,6 +1309,13 @@ class QueryEngine:
         for docs, contrib in zip(doc_parts, contrib_parts):
             pos = np.searchsorted(uniq, docs)
             scores[pos] += contrib
+        if k and uniq.size > 4 * k:
+            # preselect every doc that can reach the top k — all rows whose
+            # score ties-or-beats the k-th largest — then order only those;
+            # the (score desc, doc asc) ranking is unchanged, ties included
+            kth = np.partition(scores, uniq.size - k)[uniq.size - k]
+            sel = scores >= kth
+            uniq, scores = uniq[sel], scores[sel]
         order = np.lexsort((uniq, -scores))[:k]
         return [(int(uniq[i]), float(scores[i])) for i in order]
 
