@@ -544,6 +544,24 @@ class QueryEngine:
         self._docs_locator_cache[shard_dir] = got
         return got
 
+    def _urls_for(self, want: np.ndarray) -> np.ndarray:
+        """Vectorized docid → url over the in-memory locator (object array,
+        same order as ``want``; None for unknown ids).  The array-level
+        sibling of the ``doc_meta`` url fast path — score-level consumers
+        (:meth:`search_after`) must not pay a Python dict per hit."""
+        # exact: doc ids are hash>>(1+B) (schema.py), always below 2^63
+        want = want.astype(np.int64, copy=False)
+        out = np.empty(want.size, dtype=object)
+        for d in self.shard_dirs:
+            _ds, ids_sorted, _rowpos, urls_sorted = self._docs_locator(d)
+            if not ids_sorted.size:
+                continue
+            pos = np.searchsorted(ids_sorted, want)
+            pos_c = np.minimum(pos, ids_sorted.size - 1)
+            hit = ids_sorted[pos_c] == want
+            out[hit] = urls_sorted[pos_c[hit]]
+        return out
+
     def doc_meta(self, doc_ids: list[int],
                  columns: list[str] | None = None) -> dict[int, dict]:
         """J4/J5: top-k docid → (url, site, title, text) — a positional
@@ -630,14 +648,19 @@ class QueryEngine:
         return kept
 
     # -- reference scorer (K1 conjunctive) ----------------------------------
-    def search(self, query: str, site: str | None = None, k: int | None = 10,
-               with_snippets: bool = True) -> dict:
-        """Full reference-semantics search → SearchingResponse-shaped dict."""
+    def _conjunctive_match(
+        self, query: str, site: str | None
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        """Full conjunctive match as ARRAYS (sorted doc ids, integer Σtf in
+        float64) — the shared core of :meth:`search` and the array-level
+        consumers (:meth:`search_after`, :meth:`search_not`,
+        :meth:`facet_sites`), which must never pay a Python dict per match.
+        Returns ``None`` when nothing matches."""
         if site is not None and site in self.purged_sites:
-            return {"result": True, "count": 0, "data": []}
+            return None
         kept = self._query_terms(query, site)
         if not kept:
-            return {"result": True, "count": 0, "data": []}
+            return None
         tf_parts: list[np.ndarray] = []
         pos_parts: list[np.ndarray] = []
         cand: np.ndarray | None = None
@@ -669,22 +692,22 @@ class QueryEngine:
             cand = cand[m]
             pos_parts = [p[m] for p in pos_parts]
         if cand.size == 0:
-            return {"result": True, "count": 0, "data": []}
+            return None
         abs_rel = np.zeros(cand.size, dtype=np.float64)
         for tfs, pos in zip(tf_parts, pos_parts):
             # integer tf sums in float64: exact, order-independent
             abs_rel += tfs[pos]
+        return cand, abs_rel
+
+    def search(self, query: str, site: str | None = None, k: int | None = 10,
+               with_snippets: bool = True) -> dict:
+        """Full reference-semantics search → SearchingResponse-shaped dict."""
+        got = self._conjunctive_match(query, site)
+        if got is None:
+            return {"result": True, "count": 0, "data": []}
+        cand, abs_rel = got
         count = int(cand.size)
-        rel = abs_rel / abs_rel.max()
-        if k and cand.size > 4 * k:
-            # keep every row that ties-or-beats the k-th score, then order
-            # only those — (relevance desc, doc_id asc) ranking unchanged
-            kth = np.partition(abs_rel, cand.size - k)[cand.size - k]
-            sel = abs_rel >= kth
-            cand, rel, abs_rel = cand[sel], rel[sel], abs_rel[sel]
-        order = np.lexsort((cand, -rel))
-        if k:
-            order = order[:k]
+        cand, rel, abs_rel, order = self._topk_order(cand, abs_rel, k)
         top_ids = cand[order]
         meta = self.doc_meta([int(d) for d in top_ids]) if with_snippets else {}
         data = []
@@ -703,6 +726,23 @@ class QueryEngine:
                 )
             data.append(row)
         return {"result": True, "count": count, "data": data}
+
+    @staticmethod
+    def _topk_order(cand: np.ndarray, abs_rel: np.ndarray, k: int | None):
+        """Shared (relevance desc, doc_id asc) ranking with a partition
+        preselect: when ``k`` is set and the candidate set is large, keep
+        only rows tying-or-beating the k-th score before the lexsort —
+        identical ranking (ties included), O(n) select instead of an
+        O(n log n) sort of the full match set."""
+        rel = abs_rel / abs_rel.max()
+        if k and cand.size > 4 * k:
+            kth = np.partition(abs_rel, cand.size - k)[cand.size - k]
+            sel = abs_rel >= kth
+            cand, rel, abs_rel = cand[sel], rel[sel], abs_rel[sel]
+        order = np.lexsort((cand, -rel))
+        if k:
+            order = order[:k]
+        return cand, rel, abs_rel, order
 
     # -- engine extensions (beyond the reference's AND-only scorer) ---------
     def search_or(self, query: str, site: str | None = None, k: int | None = 10) -> dict:
@@ -736,15 +776,13 @@ class QueryEngine:
             idx_c = np.minimum(idx, cand.size - 1)
             hit = cand[idx_c] == docs
             np.add.at(abs_rel, idx_c[hit], tfs[hit])
-        rel = abs_rel / abs_rel.max()
-        order = np.lexsort((cand, -rel))
-        if k:
-            order = order[:k]
+        count = int(cand.size)
+        cand, rel, abs_rel, order = self._topk_order(cand, abs_rel, k)
         data = [
             {"doc_id": int(cand[i]), "relevance": float(rel[i]), "abs": float(abs_rel[i])}
             for i in order
         ]
-        return {"result": True, "count": int(cand.size), "data": data}
+        return {"result": True, "count": count, "data": data}
 
     def search_synonyms(self, groups: list[list[str]], k: int | None = 10) -> dict:
         """Thesaurus query rewrite (engine extension): each group is a set
@@ -776,7 +814,11 @@ class QueryEngine:
             merged.append((ud, gt))
         cand = merged[0][0]
         for ud, _gt in merged[1:]:
-            cand = cand[np.isin(cand, ud, assume_unique=True)]
+            # sorted-array membership (see :meth:`search`)
+            idx = np.searchsorted(ud, cand)
+            hit = idx < ud.size
+            hit[hit] = ud[idx[hit]] == cand[hit]
+            cand = cand[hit]
         cand = cand[self._not_excluded(cand)]
         if cand.size == 0:
             return {"result": True, "count": 0, "data": []}
@@ -785,15 +827,13 @@ class QueryEngine:
             idx = np.searchsorted(ud, cand)
             hit = (idx < ud.size) & (ud[np.minimum(idx, ud.size - 1)] == cand)
             abs_rel[hit] += gt[idx[hit]]
-        rel = abs_rel / abs_rel.max()
-        order = np.lexsort((cand, -rel))
-        if k:
-            order = order[:k]
+        count = int(cand.size)
+        cand, rel, abs_rel, order = self._topk_order(cand, abs_rel, k)
         data = [
             {"doc_id": int(cand[i]), "relevance": float(rel[i]), "abs": float(abs_rel[i])}
             for i in order
         ]
-        return {"result": True, "count": int(cand.size), "data": data}
+        return {"result": True, "count": count, "data": data}
 
     def search_after(self, query: str, *, site: str | None = None,
                      k: int = 10,
@@ -815,30 +855,38 @@ class QueryEngine:
 
         Returns columns (url, score, relevance); an empty frame means the
         cursor is exhausted."""
-        res = self.search(query, site, k=None, with_snippets=False)
+        got = self._conjunctive_match(query, site)
         empty = pd.DataFrame({"url": pd.Series(dtype=str),
                               "score": pd.Series(dtype="int64"),
                               "relevance": pd.Series(dtype="float64")})
-        if not res["data"]:
+        if got is None:
             return empty
-        ids = np.array([r["doc_id"] for r in res["data"]], dtype=np.int64)
-        scores = np.array([int(r["abs"]) for r in res["data"]], dtype=np.int64)
-        max_abs = float(scores.max())
+        ids, abs_rel = got
+        scores = abs_rel.astype(np.int64)  # exact: integer Σtf
+        max_abs = float(abs_rel.max())
         s0, u0 = (None, None) if after is None else (int(after[0]), str(after[1]))
+        # one descending int sort + level boundaries: O(n log n) on ints
+        # once, then each level is a SLICE (never an O(n) mask per level)
+        o = np.argsort(-scores, kind="stable")
+        ids_s, scores_s = ids[o], scores[o]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], scores_s[1:] != scores_s[:-1])))
+        bounds = np.concatenate((bounds, [scores_s.size]))
+        # skip levels above the cursor score entirely
+        start = 0
+        if s0 is not None:
+            start = int(np.searchsorted(-scores_s[bounds[:-1]], -s0, side="left"))
         rows: list[dict] = []
-        for s in np.unique(scores)[::-1]:
-            if s0 is not None and s > s0:
-                continue
-            lvl = ids[scores == s]
-            meta = self.doc_meta([int(i) for i in lvl], columns=["url"])
-            urls = np.array([meta[int(i)]["url"] for i in lvl], dtype=object)
-            o = np.argsort(urls)
-            urls = urls[o]
+        for bi in range(start, bounds.size - 1):
+            lo, hi = int(bounds[bi]), int(bounds[bi + 1])
+            s = int(scores_s[lo])
+            urls = self._urls_for(ids_s[lo:hi])
+            urls = urls[np.argsort(urls)]
             if s0 is not None and s == s0:
                 urls = urls[urls > u0]
             for u in urls[: k - len(rows)]:
-                rows.append({"url": str(u), "score": int(s),
-                             "relevance": float(int(s) / max_abs)})
+                rows.append({"url": str(u), "score": s,
+                             "relevance": float(s / max_abs)})
             if len(rows) >= k:
                 break
         return pd.DataFrame(rows) if rows else empty
@@ -1006,34 +1054,32 @@ class QueryEngine:
         user excluding a frequent word means it); unknown exclusion words
         exclude nothing.  Scores stay Σtf of the positive kept terms;
         relevance renormalizes over the post-exclusion set; K4 tie-break
-        unchanged."""
-        res = self.search(query, site=site, k=None, with_snippets=False)
-        if not res["data"]:
-            return res
-        ex_terms = list(self.analyzer.collect_lemmas(exclude).keys())
-        if ex_terms:
-            # uint64 to match decoded postings: an int64/uint64 mix promotes
-            # to float64 and doc ids above 2^53 would compare lossily.
-            cand = np.array([r["doc_id"] for r in res["data"]], dtype=np.uint64)
-            drop = np.zeros(cand.size, dtype=bool)
-            for t in ex_terms:
-                if self.term_global_df(t) == 0:
-                    continue
-                docs, _tfs, _dls = self._decoded(t)
-                idx = np.searchsorted(docs, cand)
-                idx_c = np.minimum(idx, max(docs.size - 1, 0))
-                if docs.size:
-                    drop |= docs[idx_c] == cand
-            data = [r for r, d in zip(res["data"], drop) if not d]
-        else:
-            data = res["data"]
-        if not data:
+        unchanged.  Array-level throughout — no per-match Python rows."""
+        got = self._conjunctive_match(query, site)
+        if got is None:
             return {"result": True, "count": 0, "data": []}
-        mx = max(r["abs"] for r in data)
-        for r in data:
-            r["relevance"] = r["abs"] / mx
-        data.sort(key=lambda r: (-r["relevance"], r["doc_id"]))
-        return {"result": True, "count": len(data), "data": data[:k] if k else data}
+        cand, abs_rel = got  # cand is uint64: doc ids above 2^53 stay exact
+        ex_terms = list(self.analyzer.collect_lemmas(exclude).keys())
+        drop = np.zeros(cand.size, dtype=bool)
+        for t in ex_terms:
+            if self.term_global_df(t) == 0:
+                continue
+            docs, _tfs, _dls = self._decoded(t)
+            if docs.size:
+                idx = np.searchsorted(docs, cand)
+                idx_c = np.minimum(idx, docs.size - 1)
+                drop |= docs[idx_c] == cand
+        if drop.any():
+            cand, abs_rel = cand[~drop], abs_rel[~drop]
+        if cand.size == 0:
+            return {"result": True, "count": 0, "data": []}
+        count = int(cand.size)
+        cand, rel, abs_rel, order = self._topk_order(cand, abs_rel, k)
+        data = [
+            {"doc_id": int(cand[i]), "relevance": float(rel[i]), "abs": float(abs_rel[i])}
+            for i in order
+        ]
+        return {"result": True, "count": count, "data": data}
 
     def facet_sites(self, query: str, k: int | None = None) -> pd.DataFrame:
         """Per-site match counts for a conjunctive query (engine extension —
@@ -1045,10 +1091,10 @@ class QueryEngine:
         doc store (with its text payload) is never touched.  At cluster
         scale the same lookup is a map_batches over doclen with the
         candidate set broadcast."""
-        res = self.search(query, k=None, with_snippets=False)
-        ids = [int(r["doc_id"]) for r in res["data"]]
-        if not ids:
+        got = self._conjunctive_match(query, None)
+        if got is None:
             return pd.DataFrame({"site": pd.Series(dtype=str), "n": pd.Series(dtype="int64")})
+        ids = [int(d) for d in got[0]]
         want = pc.field("doc_id").isin(ids)
         counts: dict[str, int] = {}
         for d in self.shard_dirs:
