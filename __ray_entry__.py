@@ -250,6 +250,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engine_search_after": __import__(
             "rayindex.pipelines", fromlist=["engine_search_after"]
         ).engine_search_after,  # cursor deep-pagination ≡ ordered scan
+        "engine_search_bool": __import__(
+            "rayindex.pipelines", fromlist=["engine_search_bool"]
+        ).engine_search_bool,  # boolean language: a AND (b OR c) NOT d
         "engine_wand_topk": __import__(
             "rayindex.pipelines", fromlist=["engine_wand_topk"]
         ).engine_wand_topk,
@@ -484,6 +487,25 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY query ORDER BY score DESC, url) AS rn FROM co) "
             "SELECT query, CAST((rn - 1) // 4 + 1 AS BIGINT) AS page, "
             "CAST(rn AS BIGINT) AS rank, url, score, relevance FROM ranked"
+        ),
+        "engine_search_bool": (
+            # table AND (customer OR spark) NOT join — flags via bool_or,
+            # score = Σtf over the POSITIVE terms present (branch-blind),
+            # relevance normalized by the match-set max
+            f"WITH {_PTOKS}, "
+            "tf AS (SELECT url, term, count(*) AS tf FROM pt GROUP BY url, term), "
+            "g AS (SELECT url, "
+            "bool_or(term = 'table') AS h_table, "
+            "bool_or(term = 'customer') AS h_customer, "
+            "bool_or(term = 'spark') AS h_spark, "
+            "bool_or(term = 'join') AS h_join, "
+            "CAST(sum(CASE WHEN term IN ('table','customer','spark') "
+            "THEN tf ELSE 0 END) AS BIGINT) AS score "
+            "FROM tf GROUP BY url), "
+            "m AS (SELECT url, score FROM g "
+            "WHERE h_table AND (h_customer OR h_spark) AND NOT h_join) "
+            "SELECT url, score, "
+            "CAST(score AS DOUBLE) / max(score) OVER () AS relevance FROM m"
         ),
         "engine_wand_topk": (
             # BM25 mirrored op-for-op: ln ≡ math.log (ULP-verified), literal

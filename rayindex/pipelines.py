@@ -299,6 +299,30 @@ def engine_search_after(sf_dir: str, queries: list[str] | None = None,
         rows, columns=["query", "page", "rank", "url", "score", "relevance"])
 
 
+BOOL_QUERY = "table AND (customer OR spark) NOT join"
+BOOL_POSITIVES = ("table", "customer", "spark")
+BOOL_NOT = "join"
+
+
+def engine_search_bool(sf_dir: str, expr: str | None = None) -> pd.DataFrame:
+    """Boolean query language end-to-end, ORACLE-CHECKABLE: the full match
+    set of ``table AND (customer OR spark) NOT join`` through
+    ``QueryEngine.search_bool`` — parser, sorted-set algebra and the
+    Σtf-of-positive-lemmas scoring all pinned by one conditional-aggregation
+    SQL (bool_or flags per term, score over the positive set)."""
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    res = eng.search_bool(expr or BOOL_QUERY, k=None)
+    ids = [r["doc_id"] for r in res["data"]]
+    meta = eng.doc_meta(ids)
+    rows = [
+        {"url": meta[r["doc_id"]]["url"], "score": int(r["abs"]),
+         "relevance": float(r["relevance"])}
+        for r in res["data"]
+    ]
+    return pd.DataFrame(rows, columns=["url", "score", "relevance"])
+
+
 def engine_search_or_scores(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:
     """Disjunctive reference scorer end-to-end through the compressed index,
     ORACLE-CHECKABLE: same shape as :func:`engine_search_scores` but the

@@ -56,6 +56,9 @@ import re as _re
 # [^a-z0-9]+ after lower(), which is what the DuckDB phrase oracle uses.
 _NON_ALNUM_RE = _re.compile(r"[\W_]+", _re.UNICODE)
 
+# boolean query language tokens: parens or any run of non-space/non-paren
+_BOOL_TOKEN = _re.compile(r"\(|\)|[^\s()]+")
+
 
 class ChainCursor:
     """WAND cursor over a term's ordered sub-lists (salt/shard concatenation).
@@ -1073,6 +1076,175 @@ class QueryEngine:
             cand, abs_rel = cand[~drop], abs_rel[~drop]
         if cand.size == 0:
             return {"result": True, "count": 0, "data": []}
+        count = int(cand.size)
+        cand, rel, abs_rel, order = self._topk_order(cand, abs_rel, k)
+        data = [
+            {"doc_id": int(cand[i]), "relevance": float(rel[i]), "abs": float(abs_rel[i])}
+            for i in order
+        ]
+        return {"result": True, "count": count, "data": data}
+
+    # -- boolean query language ---------------------------------------------
+    # grammar: or := and ('OR' and)* ; and := unary (('AND')? unary)* ;
+    # unary := 'NOT' unary | '(' or ')' | WORD — keywords case-insensitive,
+    # adjacency is implicit AND, NOT binds tightest
+    @staticmethod
+    def parse_bool(expr: str):
+        """Parse a boolean query into the AST :meth:`search_bool` evaluates
+        (exposed for tests / query tooling)."""
+        toks = _BOOL_TOKEN.findall(expr)
+        if not toks:
+            raise ValueError("empty boolean expression")
+        pos = 0
+
+        def peek():
+            return toks[pos] if pos < len(toks) else None
+
+        def kw(t):
+            u = t.upper() if isinstance(t, str) else None
+            return u if u in ("AND", "OR", "NOT") else None
+
+        def parse_or():
+            nonlocal pos
+            parts = [parse_and()]
+            while kw(peek()) == "OR":
+                pos += 1
+                parts.append(parse_and())
+            return parts[0] if len(parts) == 1 else ("or", parts)
+
+        def parse_and():
+            nonlocal pos
+            parts = [parse_unary()]
+            while True:
+                t = peek()
+                if t is None or t == ")" or kw(t) == "OR":
+                    break
+                if kw(t) == "AND":
+                    pos += 1
+                parts.append(parse_unary())
+            return ("and", parts)
+
+        def parse_unary():
+            nonlocal pos
+            t = peek()
+            if t is None or t == ")":
+                raise ValueError(f"dangling operator in {expr!r}")
+            if kw(t) == "NOT":
+                pos += 1
+                return ("not", parse_unary())
+            if t == "(":
+                pos += 1
+                node = parse_or()
+                if peek() != ")":
+                    raise ValueError(f"unbalanced parentheses in {expr!r}")
+                pos += 1
+                return node
+            if kw(t):
+                raise ValueError(f"misplaced {t} in {expr!r}")
+            pos += 1
+            return ("term", t)
+
+        ast = parse_or()
+        if pos != len(toks):
+            raise ValueError(f"trailing tokens after {toks[pos - 1]!r} in {expr!r}")
+        return ast
+
+    def search_bool(self, expr: str, site: str | None = None,
+                    k: int | None = 10) -> dict:
+        """Full boolean retrieval over ONE expression (engine extension —
+        unifies the AND/OR/NOT family the reference lacks entirely):
+        ``a AND (b OR c) NOT d``.
+
+        Grammar (case-insensitive keywords, parentheses, implicit AND
+        between adjacent words): NOT binds tightest, then AND, then OR.
+        Every conjunction must keep at least one positive clause — pure
+        negation is rejected (the Lucene MUST_NOT rule): the complement of
+        a postings set is O(corpus) and never what a user means.
+
+        Semantics: words are analyzed to lemmas (an unknown positive word
+        is the empty set; NOT over an unknown word excludes nothing).
+        Score = Σtf over the expression's distinct POSITIVE leaf lemmas
+        present in a matching doc (the :meth:`search_or` lift of K1 —
+        independent of which branch matched), relevance = score/max, K4
+        (relevance desc, doc_id asc) ties.  No K3 cutoff: an explicit
+        boolean expression is intent, like :meth:`search_synonyms`.  All
+        set algebra is sorted-array numpy (binary-search intersect/minus,
+        near-linear stable-sort union) over the decoded postings — the
+        same primitives as the flagship scorer."""
+        ast = self.parse_bool(expr)
+        pos_terms: dict[str, None] = {}  # ordered set of positive lemmas
+
+        def lemmas_of(word: str) -> list[str]:
+            return list(self.analyzer.collect_lemmas(word).keys())
+
+        def union(parts: list[np.ndarray]) -> np.ndarray:
+            parts = [p for p in parts if p.size]
+            if not parts:
+                return np.array([], dtype=np.uint64)
+            if len(parts) == 1:
+                return parts[0]
+            allc = np.concatenate(parts)
+            allc.sort(kind="stable")
+            return allc[np.concatenate(([True], allc[1:] != allc[:-1]))]
+
+        def member(cand: np.ndarray, docs: np.ndarray) -> np.ndarray:
+            if not (cand.size and docs.size):
+                return np.zeros(cand.size, dtype=bool)
+            idx = np.searchsorted(docs, cand)
+            hit = idx < docs.size
+            hit[hit] = docs[idx[hit]] == cand[hit]
+            return hit
+
+        def eval_node(node) -> np.ndarray:
+            kind = node[0]
+            if kind == "not":
+                raise ValueError(
+                    "negation must sit directly inside a conjunction "
+                    "(NOT NOT / OR of a bare NOT is not a query)")
+            if kind == "term":
+                sets = []
+                for lem in lemmas_of(node[1]):
+                    pos_terms.setdefault(lem)
+                    sets.append(self._decoded(lem)[0])
+                return union(sets)
+            if kind == "or":
+                return union([eval_node(c) for c in node[1]])
+            # AND group: positives intersect, then negated sets subtract
+            pos, neg = [], []
+            for c in node[1]:
+                (neg if c[0] == "not" else pos).append(c)
+            if not pos:
+                raise ValueError(
+                    f"pure negation is not a query: {expr!r} has a "
+                    f"conjunction with no positive clause")
+            cand = None
+            for c in sorted((eval_node(c) for c in pos), key=lambda a: a.size):
+                cand = c if cand is None else cand[member(cand, c)]
+            for c in neg:
+                saved = dict(pos_terms)
+                ex = eval_node(c[1])  # negated subtree: NO score credit
+                pos_terms.clear()
+                pos_terms.update(saved)
+                if ex.size:
+                    cand = cand[~member(cand, ex)]
+            return cand
+
+        cand = eval_node(ast)
+        if site is not None:
+            if site in self.purged_sites:
+                return {"result": True, "count": 0, "data": []}
+            cand = cand[self._site_membership(site).contains(cand)]
+        if len(self.tombstones):
+            cand = cand[self._not_excluded(cand)]
+        if cand.size == 0:
+            return {"result": True, "count": 0, "data": []}
+        abs_rel = np.zeros(cand.size, dtype=np.float64)
+        for lem in pos_terms:
+            docs, tfs, _dls = self._decoded(lem)
+            hit = member(cand, docs)
+            if hit.any():
+                idx = np.searchsorted(docs, cand[hit])
+                abs_rel[hit] += tfs[idx]
         count = int(cand.size)
         cand, rel, abs_rel, order = self._topk_order(cand, abs_rel, k)
         data = [

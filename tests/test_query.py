@@ -2,6 +2,7 @@
 reference-semantics oracle on the whole query set; WAND ≡ exhaustive BM25."""
 
 import numpy as np
+import pytest
 
 from rayindex.oracle import oracle_bm25, oracle_search
 from rayindex.fixtures import SITE_URL
@@ -145,3 +146,68 @@ def test_search_after_pages_equal_ordered_scan(engine, fixture_corpus):
     # relevance is normalized by the FULL match-set max on every page
     first = engine.search_after(q, k=2)
     assert list(first["relevance"]) == [s / want[0][0] for s, _u in want[:2]]
+
+
+def test_search_bool_matches_bruteforce(engine, oracle_index, fixture_corpus):
+    """search_bool over `A AND (B OR C) NOT D` (and friends) equals a set-
+    algebra brute force over the oracle postings, scores = Σtf of positive
+    lemmas, (rel desc, doc_id) order."""
+    fx = fixture_corpus
+    lems = [l for l in fx.lemmas[20:80] if l in oracle_index.postings][:4]
+    assert len(lems) == 4
+    a, b, c, d = lems
+    fa, fb, fc, fd = (fx.forms[x][0] for x in lems)
+    P = oracle_index.postings
+
+    def brute(match_ids, positives):
+        scores = {
+            doc: sum(P[t].get(doc, 0) for t in positives) for doc in match_ids
+        }
+        mx = max(scores.values())
+        return sorted(
+            ((doc, s / mx) for doc, s in scores.items()),
+            key=lambda x: (-x[1], x[0]),
+        )
+
+    cases = [
+        (f"{fa} AND ({fb} OR {fc}) NOT {fd}",
+         (set(P[a]) & (set(P[b]) | set(P[c]))) - set(P[d]), [a, b, c]),
+        (f"{fa} {fb}", set(P[a]) & set(P[b]), [a, b]),  # implicit AND
+        (f"{fa} or {fb} and {fc}",  # case-insensitive; AND binds over OR
+         set(P[a]) | (set(P[b]) & set(P[c])), [a, b, c]),
+        (f"({fa} OR {fb}) AND ({fc} OR {fd})",
+         (set(P[a]) | set(P[b])) & (set(P[c]) | set(P[d])), [a, b, c, d]),
+    ]
+    for expr, match, positives in cases:
+        got = engine.search_bool(expr, k=None)
+        assert got["count"] == len(match), expr
+        want = brute(match, positives)
+        assert [(r["doc_id"], r["relevance"]) for r in got["data"]] == [
+            (doc, pytest.approx(rel)) for doc, rel in want
+        ], expr
+        # k cut is a prefix of the full ranking
+        top = engine.search_bool(expr, k=3)
+        assert [r["doc_id"] for r in top["data"]] == [
+            r["doc_id"] for r in got["data"][:3]
+        ]
+
+
+def test_search_bool_rejects_bad_expressions(engine, fixture_corpus):
+    fa = fixture_corpus.forms[fixture_corpus.lemmas[30]][0]
+    for bad in (f"NOT {fa}", "", f"({fa}", f"{fa} AND", f"{fa} OR OR {fa}",
+                f"NOT NOT {fa} AND {fa}"):
+        with pytest.raises(ValueError):
+            engine.search_bool(bad, k=5)
+
+
+def test_search_bool_unknown_words(engine, fixture_corpus):
+    fa = fixture_corpus.forms[fixture_corpus.lemmas[30]][0]
+    base = engine.search_bool(fa, k=None)
+    assert base["count"] > 0
+    # NOT over an unknown word excludes nothing
+    got = engine.search_bool(f"{fa} NOT zzzzunknownzzz", k=None)
+    assert got == base
+    # an unknown POSITIVE conjunct empties the conjunction (strict boolean)
+    assert engine.search_bool(f"{fa} AND zzzzunknownzzz", k=None)["count"] == 0
+    # ... but an unknown OR branch is just the other branch
+    assert engine.search_bool(f"{fa} OR zzzzunknownzzz", k=None) == base
