@@ -235,16 +235,31 @@ def wand_topk(
                         contrib_fn(idf, tfs.astype(np.float64), dls.astype(np.float64))
                     )
             if doc_parts:
-                uniq = np.unique(np.concatenate(doc_parts))
+                allc = np.concatenate(doc_parts)
+                if len(doc_parts) > 1:
+                    allc.sort(kind="stable")  # sorted runs → near-linear
+                uniq = allc[np.concatenate(([True], allc[1:] != allc[:-1]))]
                 scores = np.zeros(len(uniq), dtype=np.float64)
                 for docs, contrib in zip(doc_parts, contrib_parts):
                     pos = np.searchsorted(uniq, docs)
                     scores[pos] += contrib
-                items = heap + [(float(s), -int(d)) for d, s in zip(uniq, scores)]
+                if heap:
+                    # heap docs are disjoint from the remainder (already
+                    # passed by every cursor) — append, don't merge
+                    uniq = np.concatenate(
+                        [uniq, np.array([-nd for _s, nd in heap], np.uint64)])
+                    scores = np.concatenate(
+                        [scores, np.array([s for s, _nd in heap])])
+                if uniq.size > 4 * k:
+                    # preselect ties-or-beats-kth before ordering: never
+                    # sort the full remainder as Python tuples
+                    kth = np.partition(scores, uniq.size - k)[uniq.size - k]
+                    sel = scores >= kth
+                    uniq, scores = uniq[sel], scores[sel]
+                top = np.lexsort((uniq, -scores))[:k]  # score desc, doc asc
+                heap = [(float(scores[i]), -int(uniq[i])) for i in top]
             else:
-                items = list(heap)
-            items.sort(reverse=True)  # (score desc, -doc desc ⇔ doc asc)
-            heap = items[:k]
+                heap = sorted(heap, reverse=True)[:k]
             break
         live = [i for i in order if cursors[i][1].doc < _DONE]
         if not live:
