@@ -1099,6 +1099,61 @@ class QueryEngine:
         ]
         return {"result": True, "count": count, "data": data}
 
+    def explain(self, query: str, site: str | None = None) -> dict:
+        """Query diagnostics (engine extension — the EXPLAIN every ops
+        surface needs; the reference's only introspection is wall-clock
+        printouts, services/SearchingServiceImpl.java:31): per-lemma
+        dictionary state and K3 verdicts, the candidate count after every
+        K2-ordered intersection step, the final match/score summary, and
+        which BM25 algorithm the auto scorer would pick.  Read-only over
+        the same caches the scorers use."""
+        import time as _time
+
+        t0 = _time.monotonic()
+        lemmas = list(self.analyzer.collect_lemmas(query).keys())
+        pages = (self.n_docs if site is None
+                 else int(self.site_pages.get(site, 0)))
+        rows = []
+        for t in lemmas:
+            df = (self.term_global_df(t) if site is None
+                  else int(self._term_site_df(t).get(site, 0)))
+            if df <= 0:
+                rows.append({"term": t, "df": 0, "kept": False,
+                             "reason": "unknown"})
+            elif pages and java_round(100.0 * df / pages) >= 80:
+                rows.append({"term": t, "df": df, "kept": False,
+                             "reason": "cutoff_80pct"})
+            else:
+                rows.append({"term": t, "df": df, "kept": True, "reason": "ok"})
+        kept = sorted((r for r in rows if r["kept"]),
+                      key=lambda r: (r["df"], r["term"]))
+        steps = []
+        cand = None
+        for r in kept:
+            docs = self._decoded(r["term"])[0]
+            if cand is None:
+                cand = docs
+            else:
+                idx = np.searchsorted(docs, cand)
+                hit = idx < docs.size
+                hit[hit] = docs[idx[hit]] == cand[hit]
+                cand = cand[hit]
+            steps.append({"term": r["term"], "postings": int(docs.size),
+                          "candidates_after": int(cand.size)})
+        got = self._conjunctive_match(query, site) if kept else None
+        total_df = sum(r["df"] for r in rows if r["kept"])
+        return {
+            "query": query,
+            "site": site,
+            "lemmas": rows,
+            "intersection_order": steps,  # K2 rarest-first
+            "count": 0 if got is None else int(got[0].size),
+            "max_score": 0 if got is None else int(got[1].max()),
+            "bm25_algorithm": ("bulk" if total_df <= self.DENSE_TOPK_THRESHOLD
+                               else "wand"),
+            "elapsed_ms": round((_time.monotonic() - t0) * 1000, 3),
+        }
+
     # -- boolean query language ---------------------------------------------
     # grammar: or := and ('OR' and)* ; and := unary (('AND')? unary)* ;
     # unary := 'NOT' unary | '(' or ')' | WORD — keywords case-insensitive,

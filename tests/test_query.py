@@ -211,3 +211,26 @@ def test_search_bool_unknown_words(engine, fixture_corpus):
     assert engine.search_bool(f"{fa} AND zzzzunknownzzz", k=None)["count"] == 0
     # ... but an unknown OR branch is just the other branch
     assert engine.search_bool(f"{fa} OR zzzzunknownzzz", k=None) == base
+
+
+def test_explain_matches_search(engine, fixture_corpus):
+    """explain() agrees with the scorers it describes: count/max_score match
+    search(), kept/cut verdicts match the K3 rule, intersection steps are
+    rarest-first and end at the match count."""
+    fx = fixture_corpus
+    head = fx.forms[fx.lemmas[0]][0]   # cut by the 80% rule
+    known = fx.forms[fx.lemmas[30]][0]
+    q = f"{known} {head} ыыыыыы"
+    ex = engine.explain(q)
+    by_reason = {r["reason"] for r in ex["lemmas"]}
+    assert by_reason == {"ok", "cutoff_80pct", "unknown"}
+    want = engine.search(q, k=None, with_snippets=False)
+    assert ex["count"] == want["count"]
+    assert ex["max_score"] == max(int(r["abs"]) for r in want["data"])
+    assert ex["intersection_order"][-1]["candidates_after"] == ex["count"]
+    dfs = [s["postings"] for s in ex["intersection_order"]]
+    assert dfs == sorted(dfs) or len(dfs) == 1  # K2 rarest-first
+    assert ex["bm25_algorithm"] in ("bulk", "wand")
+
+    none = engine.explain("ыыыыыы")
+    assert none["count"] == 0 and none["intersection_order"] == []
