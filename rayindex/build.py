@@ -56,6 +56,7 @@ import hashlib
 import inspect
 import json
 import os
+import shutil
 import time
 from typing import Any
 
@@ -367,6 +368,32 @@ class _SideEffectDocsWriter:
         return batch
 
 
+class _SideEffectDoclenWriter:
+    """P2→P3 fusion companion to :class:`_SideEffectDocsWriter`: persist each
+    postings batch's ``first`` rows (doc_id, site, doc_len — exactly the rows
+    P3's doclen filter-scan extracts) as a skinny Parquet fragment, passing
+    the batch through unchanged.  P3 then sorts the ~16 B/row side table
+    directly instead of re-scanning the full exploded postings — that scan
+    decoded hundreds of millions of pruned rows just to keep one per doc and
+    grew superlinearly (7.9 s at 500 k docs → 28.6 s at 1 M, object-store
+    pressure).  Each doc's ``first`` row lives in exactly one batch, so the
+    min-doc_id fragment naming is collision-free and a retried task
+    overwrites its own fragment (idempotent), same as the docs writer."""
+
+    def __init__(self, doclen_tmp: str):
+        self.dir = doclen_tmp
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sel = batch.filter(batch.column("first")).select(["doc_id", "site", "doc_len"])
+        if sel.num_rows:
+            mn = int(pc.min(sel.column("doc_id")).as_py())
+            name = f"dl_{mn & 0xFFFFFFFFFFFFFFFF:016x}_{sel.num_rows}.parquet"
+            tmp = os.path.join(self.dir, f".{name}.{os.getpid()}.tmp")
+            pq.write_table(sel, tmp)
+            os.replace(tmp, os.path.join(self.dir, name))
+        return batch
+
+
 class _AddBucket:
     def __init__(self, num_buckets: int):
         self.num_buckets = num_buckets
@@ -458,6 +485,99 @@ class _EncodeUnit:
         if not out:
             return MIXED_SCHEMA.empty_table()
         return pa.concat_tables(out)
+
+
+class _DfAggUnit:
+    """P5 reduce task: one term-hash bucket per call.  A term hashes to
+    exactly ONE bucket (``term_bucket``), so BOTH the per-(site, term) df
+    roll-up and the global term df are bucket-local — the previous
+    all-to-all ``groupby`` over every df row (the superlinear phase at 1 M
+    docs: 4.5 s at 500 k → 16.3 s) is replaced by an embarrassingly-parallel
+    per-bucket aggregation with identical rows.  Each unit also writes its
+    bucket's global-df ``term_df`` fragment as a side effect (fragment name
+    keyed by bucket → a retried task overwrites itself, idempotent)."""
+
+    def __init__(self, seg_dir: str, term_df_tmp: str):
+        self.seg_dir = seg_dir
+        self.term_df_tmp = term_df_tmp
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        out = []
+        for unit in batch.to_pylist():
+            b = int(unit["bucket"])
+            d = os.path.join(self.seg_dir, f"bucket={b}")
+            t = pads.dataset(d, format="parquet").to_table(
+                columns=["term", "site", "df", "kind"]
+            )
+            t = t.filter(pc.equal(t.column("kind"), "df"))
+            g = t.group_by(["site", "term"], use_threads=False).aggregate(
+                [("df", "sum")]
+            )
+            gt = g.group_by("term", use_threads=False).aggregate([("df_sum", "sum")])
+            frag = pa.table(
+                {
+                    "term": gt.column("term"),
+                    "df": gt.column("df_sum_sum").cast(pa.int64()),
+                }
+            )
+            name = f"term_df_{b:06d}.parquet"
+            tmpf = os.path.join(self.term_df_tmp, f".{name}.{os.getpid()}.tmp")
+            pq.write_table(frag, tmpf)
+            os.replace(tmpf, os.path.join(self.term_df_tmp, name))
+            out.append(
+                pa.table(
+                    {
+                        "bucket": pa.array(np.full(g.num_rows, b, np.int32)),
+                        "site": g.column("site"),
+                        "term": g.column("term"),
+                        "df": g.column("df_sum").cast(pa.int64()),
+                    }
+                )
+            )
+        if not out:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int32()),
+                    "site": pa.array([], pa.string()),
+                    "term": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(out)
+
+
+def write_term_stats(shard_dir: str) -> None:
+    """Shared P5 (build AND merge): the bucketed, shuffle-free df
+    dictionaries — ``term_stats/bucket=B`` (per-site df, A1) and ``term_df``
+    (global roll-up), both aggregated bucket-locally by :class:`_DfAggUnit`."""
+    from .schema import TERM_STATS_SCHEMA
+
+    seg_dir = os.path.join(shard_dir, "segments")
+    present = sorted(
+        int(n.split("=", 1)[1])
+        for n in os.listdir(seg_dir)
+        if n.startswith("bucket=")
+    )
+    with phase_output(os.path.join(shard_dir, "term_df")) as tdf_tmp, phase_output(
+        os.path.join(shard_dir, "term_stats")
+    ) as tmp:
+        if present:
+            units = rd.from_items([{"bucket": b} for b in present])
+            stats_rows = units.map_batches(
+                _DfAggUnit(seg_dir, tdf_tmp), batch_size=1,
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+            _write_parquet(stats_rows, tmp, partition_cols=["bucket"])
+        else:
+            pq.write_table(
+                TERM_STATS_SCHEMA.empty_table(), os.path.join(tmp, "empty.parquet")
+            )
+            pq.write_table(
+                pa.schema([("term", pa.string()), ("df", pa.int64())]).empty_table(),
+                os.path.join(tdf_tmp, "empty.parquet"),
+            )
 
 
 def _detect_dup_ids(pages_path, shard_index: int, num_shards: int,
@@ -688,8 +808,6 @@ def build_index(
     seg_dir = os.path.join(shard_dir, "segments")
     doclen_dir = os.path.join(shard_dir, "doclen")
     sites_dir = os.path.join(shard_dir, "sites")
-    term_stats_dir = os.path.join(shard_dir, "term_stats")
-    term_df_dir = os.path.join(shard_dir, "term_df")
 
     def docs_stream(dup_ids: np.ndarray, dup_ref) -> rd.Dataset:
         """P1 plan: pages → url/shard filters + dedup + extract → DOCS rows.
@@ -770,18 +888,26 @@ def build_index(
     # phases.  Resumable builds keep the two-phase shape (the docs
     # materialization IS the checkpoint being resumed from).
     fused = not resume
+    dl_side = os.path.join(shard_dir, "doclen_side.tmp")
     if fused:
         dup_ids = np.empty(0, np.int64)
         if dedup_urls:
             dup_ids = _detect_dup_ids(pages_path, shard_index, num_shards, url_filter)
         dup_ref = ray.put(_DupMembership(dup_ids))
+        if os.path.exists(dl_side):
+            shutil.rmtree(dl_side)
+        os.makedirs(dl_side, exist_ok=True)
         with phase_output(docs_dir) as dtmp, phase_output(postings_dir) as ptmp:
             stream = docs_stream(dup_ids, dup_ref).map_batches(
                 _SideEffectDocsWriter(dtmp), batch_format="pyarrow", zero_copy_batch=True
             )
             # map-side shuffle write: one directory per term-hash bucket, so
             # the encode phase can run as independent per-bucket work units
-            _write_parquet(lemma_stage(stream), ptmp, partition_cols=["bucket"])
+            plan = lemma_stage(stream).map_batches(
+                _SideEffectDoclenWriter(dl_side), batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            _write_parquet(plan, ptmp, partition_cols=["bucket"])
             if _dir_rows(dtmp) == 0:
                 _pin_empty_docs(dtmp)
         commit_phase(
@@ -816,6 +942,7 @@ def build_index(
                            codec=codec)
         for p in ("postings", "prestats", "segments", "stats"):
             metrics["phases"][p] = 0.0
+        shutil.rmtree(dl_side, ignore_errors=True)
         metrics["total_seconds"] = round(time.monotonic() - t_start, 3)
         return metrics
 
@@ -838,12 +965,26 @@ def build_index(
     t2 = time.monotonic()
     if not (resume and phase_done(shard_dir, "prestats", key)):
         with phase_output(doclen_dir) as tmp:
-            p = rd.read_parquet(postings_dir, columns=["doc_id", "site", "doc_len", "first"])
-            dl = p.map_batches(
-                lambda t: t.filter(t.column("first")).select(["doc_id", "site", "doc_len"]),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
+            side_ok = (
+                fused
+                and os.path.isdir(dl_side)
+                and any(f.endswith(".parquet") for f in os.listdir(dl_side))
             )
+            if side_ok:
+                # fused build: the skinny one-row-per-doc side table was
+                # written during P1/P2 — sort it directly, no postings scan
+                dl = rd.read_parquet(dl_side)
+            else:
+                p = rd.read_parquet(
+                    postings_dir, columns=["doc_id", "site", "doc_len", "first"]
+                )
+                dl = p.map_batches(
+                    lambda t: t.filter(t.column("first")).select(
+                        ["doc_id", "site", "doc_len"]
+                    ),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
             # (site, doc_id)-sorted: row-group statistics then prune BOTH the
             # per-site scans (J5 site filter, purge corrections) and the
             # doc_id point verification behind the query engine's per-site
@@ -908,6 +1049,7 @@ def build_index(
         commit_phase(
             shard_dir, "prestats", key, {"seconds": round(time.monotonic() - t2, 3), **stats}
         )
+    shutil.rmtree(dl_side, ignore_errors=True)
     metrics["phases"]["prestats"] = round(time.monotonic() - t2, 3)
 
     # ---- P4: THE wide shuffle — segments + partial df --------------------
@@ -984,24 +1126,7 @@ def build_index(
     # (init memory independent of vocabulary size).
     t4 = time.monotonic()
     if not (resume and phase_done(shard_dir, "stats", key)):
-        with phase_output(term_stats_dir) as tmp:
-            mixed = rd.read_parquet(seg_dir, columns=["term", "site", "df", "kind", "bucket"])
-            dfrows = mixed.map_batches(
-                lambda t: t.filter(pc.equal(t.column("kind"), "df")).select(
-                    ["bucket", "site", "term", "df"]
-                ),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-            _write_parquet(
-                dfrows.groupby(["bucket", "site", "term"]).aggregate(Sum("df", alias_name="df")),
-                tmp, partition_cols=["bucket"],
-            )
-        with phase_output(term_df_dir) as tmp:
-            # convenience export only — the query engine resolves global df
-            # from the bucketed term_stats, so no hive layout needed here
-            ts = rd.read_parquet(term_stats_dir)
-            _write_parquet(ts.groupby("term").aggregate(Sum("df", alias_name="df")), tmp)
+        write_term_stats(shard_dir)
         commit_phase(shard_dir, "stats", key, {"seconds": round(time.monotonic() - t4, 3)})
     metrics["phases"]["stats"] = round(time.monotonic() - t4, 3)
 

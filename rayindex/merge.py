@@ -683,27 +683,12 @@ def _merge_shard(
                      {"seconds": round(time.monotonic() - t2, 3)})
     metrics["segments"] = round(time.monotonic() - t2, 3)
 
-    # ---- term_stats / term_df: identical to the build's P5 ----------------
+    # ---- term_stats / term_df: the build's shared shuffle-free P5 ---------
     t3 = time.monotonic()
     if not (resume and phase_done(shard_dir, "stats", key)):
-        from ray.data.aggregate import Sum
+        from .build import write_term_stats
 
-        seg_dir = os.path.join(shard_dir, "segments")
-        with phase_output(os.path.join(shard_dir, "term_stats")) as tmp:
-            mixed = rd.read_parquet(seg_dir, columns=["term", "site", "df", "kind", "bucket"])
-            dfrows = mixed.map_batches(
-                lambda t: t.filter(pc.equal(t.column("kind"), "df")).select(
-                    ["bucket", "site", "term", "df"]
-                ),
-                batch_format="pyarrow", zero_copy_batch=True,
-            )
-            _write_parquet(
-                dfrows.groupby(["bucket", "site", "term"]).aggregate(Sum("df", alias_name="df")),
-                tmp, partition_cols=["bucket"],
-            )
-        with phase_output(os.path.join(shard_dir, "term_df")) as tmp:
-            ts = rd.read_parquet(os.path.join(shard_dir, "term_stats"))
-            _write_parquet(ts.groupby("term").aggregate(Sum("df", alias_name="df")), tmp)
+        write_term_stats(shard_dir)
         commit_phase(shard_dir, "stats", key,
                      {"seconds": round(time.monotonic() - t3, 3)})
     metrics["stats"] = round(time.monotonic() - t3, 3)
