@@ -136,6 +136,20 @@ def _phrase_query_phrases() -> list[tuple[str, str]]:
     return [(q, QueryEngine._norm_text(q)) for q in PHRASE_QUERIES]
 
 
+def _dym_query_words() -> list[tuple[str, str]]:
+    """(query, word) pairs for the did-you-mean entry — DISTINCT normalized
+    words per query, matching QueryEngine.suggest's row set."""
+    from rayindex.analyze import simple_analyzer
+    from rayindex.pipelines import DYM_QUERIES
+
+    an = simple_analyzer()
+    out = []
+    for q in DYM_QUERIES:
+        for t in sorted(set(an.collect_lemmas(q))):
+            out.append((q, t))
+    return out
+
+
 def _near_query_terms() -> list[tuple[str, str]]:
     from rayindex.analyze import simple_analyzer
     from rayindex.pipelines import NEAR_QUERIES
@@ -287,6 +301,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engine_suffix_terms": __import__(
             "rayindex.pipelines", fromlist=["engine_suffix_terms"]
         ).engine_suffix_terms,
+        "engine_did_you_mean": __import__(
+            "rayindex.pipelines", fromlist=["engine_did_you_mean"]
+        ).engine_did_you_mean,
         "engine_search_synonyms": __import__(
             "rayindex.pipelines", fromlist=["engine_search_synonyms"]
         ).engine_search_synonyms,
@@ -600,6 +617,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'scan' AS q, term, df FROM d WHERE levenshtein(term, 'scan') <= 1 "
             "UNION ALL "
             "SELECT '77' AS q, term, df FROM d WHERE levenshtein(term, '77') <= 1"
+        ),
+        "engine_did_you_mean": (
+            # known word → itself; unknown → argmax-df Levenshtein-≤1
+            # neighbor (tie: term asc); no neighbor → itself with df 0
+            f"WITH {_PTOKS}, d AS (SELECT term, CAST(count(DISTINCT url) AS BIGINT) AS df "
+            "FROM pt GROUP BY term), "
+            "q(q, word) AS (VALUES "
+            + ", ".join(f"('{q}', '{w}')" for q, w in _dym_query_words())
+            + "), "
+            "sel AS (SELECT q.q, q.word, "
+            "CASE WHEN EXISTS (SELECT 1 FROM d WHERE d.term = q.word) THEN q.word "
+            "ELSE coalesce((SELECT d.term FROM d WHERE levenshtein(d.term, q.word) <= 1 "
+            "ORDER BY d.df DESC, d.term LIMIT 1), q.word) END AS corrected FROM q) "
+            "SELECT sel.q, sel.word, sel.corrected, "
+            "coalesce((SELECT d.df FROM d WHERE d.term = sel.corrected), "
+            "CAST(0 AS BIGINT)) AS df FROM sel"
         ),
         "engine_phrase_topk": (
             # conjunctive candidates + exact-adjacency verification on the

@@ -63,6 +63,10 @@ SYNONYM_QUERIES = [
 # many id-derived numeric terms within one edit
 FUZZY_QUERIES = ["scan", "77"]
 
+# did-you-mean inputs: a known word (stays), 1-edit misspellings (corrected
+# to the highest-df neighbor), and gibberish with no neighbor (stays, df 0)
+DYM_QUERIES = ["merge scann tabl zzzzqq", "querry 778"]
+
 # two-word proximity queries for the NEAR entry (slop NEAR_SLOP): pairs that
 # co-occur at varying distances so the window actually separates results
 NEAR_QUERIES = ["slow query", "customer order", "table merge", "key row"]
@@ -420,6 +424,24 @@ def engine_fuzzy_terms(sf_dir: str, words: list[str] | None = None) -> pd.DataFr
     for w in words or FUZZY_QUERIES:
         t = eng.fuzzy_terms(w)
         t.insert(0, "q", w)
+        parts.append(t)
+    return pd.concat(parts, ignore_index=True)
+
+
+def engine_did_you_mean(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:
+    """Did-you-mean spell correction through the built index,
+    ORACLE-CHECKABLE: (q, word, corrected, df) for every distinct
+    analyzer-normalized word of each query — known words stay, unknown
+    words map to the Levenshtein-≤1 dictionary neighbor with the highest
+    global df (tie → term ascending), no-neighbor words stay with df 0
+    (oracle: DuckDB ``levenshtein`` + correlated argmax over the same
+    page-token dictionary)."""
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    parts = []
+    for q in queries or DYM_QUERIES:
+        t = eng.suggest(q)
+        t.insert(0, "q", q)
         parts.append(t)
     return pd.concat(parts, ignore_index=True)
 

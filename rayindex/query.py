@@ -1064,6 +1064,48 @@ class QueryEngine:
         out = dic.iloc[keep].sort_values("term").reset_index(drop=True)
         return out[["term", "df"]]
 
+    def suggest(self, query: str) -> pd.DataFrame:
+        """Did-you-mean (engine extension composing :meth:`fuzzy_terms`): per
+        analyzer-normalized query word — a word the dictionary knows (global
+        df > 0) stays itself; an unknown word is replaced by the
+        Levenshtein-distance-≤1 candidate with the highest global df (tie →
+        term ascending); a word with no candidates stays itself with df 0.
+        One row per DISTINCT word, word-ascending: (word, corrected, df)
+        where df is the corrected term's purge-corrected global df."""
+        words = sorted(self.analyzer.collect_lemmas(query).keys())
+        rows = []
+        for w in words:
+            df = self.term_global_df(w)
+            if df > 0:
+                rows.append((w, w, int(df)))
+                continue
+            cand = self.fuzzy_terms(w)
+            if len(cand):
+                best = cand.sort_values(
+                    ["df", "term"], ascending=[False, True]
+                ).iloc[0]
+                rows.append((w, str(best["term"]), int(best["df"])))
+            else:
+                rows.append((w, w, 0))
+        return pd.DataFrame(rows, columns=["word", "corrected", "df"]).astype(
+            {"df": "int64"}
+        )
+
+    def search_corrected(self, query: str, site: str | None = None,
+                         k: int | None = 10) -> dict:
+        """Spell-tolerant search: run :meth:`search` on the query with every
+        unknown word replaced by its :meth:`suggest` correction (original
+        token order and multiplicity preserved).  The response carries the
+        ``corrected_query`` actually searched so a UI can render the
+        'did you mean …' banner."""
+        sug = self.suggest(query)
+        mapping = dict(zip(sug["word"], sug["corrected"]))
+        toks = [t for t, _pos in self.analyzer.lemma_positions(query)]
+        corrected = " ".join(mapping.get(t, t) for t in toks)
+        out = self.search(corrected, site=site, k=k)
+        out["corrected_query"] = corrected
+        return out
+
     def search_not(self, query: str, exclude: str, site: str | None = None,
                    k: int | None = 10) -> dict:
         """Conjunctive search MINUS documents matching any lemma of

@@ -470,3 +470,64 @@ def test_fuzzy_terms_includes_exact_word_and_respects_df(engine):
     assert w in set(got["term"])  # distance 0
     row = got[got["term"] == w].iloc[0]
     assert row["df"] == int(dic[dic["term"] == w]["df"].iloc[0])
+
+
+# --- did-you-mean spell correction (suggest / search_corrected) -------------
+
+
+def test_suggest_matches_bruteforce(engine):
+    from rayindex.query import QueryEngine
+
+    dic = engine.term_df_table()
+    known = dic["term"].iloc[len(dic) // 3]
+    # a 1-edit misspelling of a dictionary term that is NOT itself a term
+    base = max(dic.itertuples(), key=lambda r: (r.df, r.term)).term
+    missp = base + "q"
+    assert missp not in set(dic["term"])
+    query = f"{known} {missp} zzzzqq"
+    got = engine.suggest(query)
+    for _, row in got.iterrows():
+        w = row["word"]
+        in_dic = dic[dic["term"] == w]
+        if len(in_dic):
+            assert row["corrected"] == w
+            assert row["df"] == int(in_dic["df"].iloc[0])
+        else:
+            mask = dic["term"].map(lambda t: QueryEngine._levenshtein(w, t) <= 1)
+            cand = dic[mask]
+            if len(cand):
+                best = cand.sort_values(["df", "term"],
+                                        ascending=[False, True]).iloc[0]
+                assert row["corrected"] == best["term"], w
+                assert row["df"] == int(best["df"])
+            else:
+                assert row["corrected"] == w and row["df"] == 0
+    assert got["word"].tolist() == sorted(set(got["word"]))
+
+
+def test_search_corrected_equals_search_on_corrected_query(engine):
+    dic = engine.term_df_table()
+    a = dic["term"].iloc[len(dic) // 4]
+    b = dic["term"].iloc[len(dic) // 2]
+    misspelled = f"{a}q {b}"
+    out = engine.search_corrected(misspelled, k=None)
+    sug = engine.suggest(misspelled)
+    mapping = dict(zip(sug["word"], sug["corrected"]))
+    toks = [t for t, _ in engine.analyzer.lemma_positions(misspelled)]
+    corrected = " ".join(mapping.get(t, t) for t in toks)
+    assert out["corrected_query"] == corrected
+    want = engine.search(corrected, k=None)
+    assert [(r["doc_id"], r["abs"]) for r in out["data"]] == [
+        (r["doc_id"], r["abs"]) for r in want["data"]
+    ]
+
+
+def test_search_corrected_known_query_unchanged(engine, fixture_corpus):
+    q = next(x["query"] for x in fixture_corpus.queries if x["site"] is None)
+    out = engine.search_corrected(q, k=None)
+    toks = [t for t, _ in engine.analyzer.lemma_positions(q)]
+    # every analyzed token of a real fixture query may not be in the dict
+    # (cutoff-independent): only assert tokens WITH df>0 survive unchanged
+    for t in toks:
+        if engine.term_global_df(t) > 0:
+            assert f" {t} " in f" {out['corrected_query']} "
