@@ -150,6 +150,18 @@ def _dym_query_words() -> list[tuple[str, str]]:
     return out
 
 
+def _boost_query_terms() -> list[tuple[str, str]]:
+    from rayindex.analyze import simple_analyzer
+    from rayindex.pipelines import BOOST_QUERIES
+
+    an = simple_analyzer()
+    out = []
+    for q in BOOST_QUERIES:
+        for t in an.collect_lemmas(q):
+            out.append((q, t))
+    return out
+
+
 def _near_query_terms() -> list[tuple[str, str]]:
     from rayindex.analyze import simple_analyzer
     from rayindex.pipelines import NEAR_QUERIES
@@ -292,6 +304,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engine_search_site": __import__(
             "rayindex.pipelines", fromlist=["engine_search_site"]
         ).engine_search_site,
+        "engine_search_collapsed": __import__(
+            "rayindex.pipelines", fromlist=["engine_search_collapsed"]
+        ).engine_search_collapsed,
+        "engine_search_dated": __import__(
+            "rayindex.pipelines", fromlist=["engine_search_dated"]
+        ).engine_search_dated,
+        "engine_facet_dates": __import__(
+            "rayindex.pipelines", fromlist=["engine_facet_dates"]
+        ).engine_facet_dates,
+        "engine_search_boosted": __import__(
+            "rayindex.pipelines", fromlist=["engine_search_boosted"]
+        ).engine_search_boosted,
         "engine_facet_sites": __import__(
             "rayindex.pipelines", fromlist=["engine_facet_sites"]
         ).engine_facet_sites,
@@ -504,6 +528,112 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY query ORDER BY score DESC, url) AS rn FROM co) "
             "SELECT query, CAST((rn - 1) // 4 + 1 AS BIGINT) AS page, "
             "CAST(rn AS BIGINT) AS rank, url, score, relevance FROM ranked"
+        ),
+        "engine_search_collapsed": (
+            # per-(query, site) top-COLLAPSE_PER_SITE under (score desc,
+            # url), then a global rank over the collapsed set; relevance
+            # normalizes by the PRE-collapse per-query max
+            f"WITH {_PTOKS}, "
+            "tf AS (SELECT url, term, count(*) AS tf FROM pt GROUP BY url, term), "
+            "df AS (SELECT term, count(DISTINCT url) AS df FROM pt GROUP BY term), "
+            "q(query, term) AS (VALUES "
+            + ", ".join(f"('{q}', '{t}')" for q, t in _flagship_query_terms())
+            + "), "
+            "kept AS (SELECT q.query, q.term FROM q JOIN df USING (term) "
+            "WHERE 200 * df.df < 159 * (SELECT count(*) FROM documents)), "
+            "nk AS (SELECT query, count(*) AS n_terms FROM kept GROUP BY query), "
+            "hits AS (SELECT k.query, t.url, t.term, t.tf FROM kept k JOIN tf t USING (term)), "
+            "cand AS (SELECT query, url, count(DISTINCT term) AS c, CAST(sum(tf) AS BIGINT) AS score "
+            "FROM hits GROUP BY query, url), "
+            "co AS (SELECT c.query, c.url, c.score FROM cand c JOIN nk USING (query) WHERE c.c = nk.n_terms), "
+            "r AS (SELECT query, url, score, "
+            "CAST(score AS DOUBLE) / max(score) OVER (PARTITION BY query) AS relevance, "
+            "regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)', 1) AS site FROM co), "
+            "coll AS (SELECT *, row_number() OVER (PARTITION BY query, site "
+            "ORDER BY score DESC, url) AS srn FROM r), "
+            "kp AS (SELECT * FROM coll WHERE srn <= 2) "
+            "SELECT query, CAST(row_number() OVER (PARTITION BY query "
+            "ORDER BY score DESC, url) AS BIGINT) AS rank, "
+            "site, url, score, relevance FROM kp"
+        ),
+        "engine_search_dated": (
+            # warc_ts reconstruction: pages_from_documents(repeat=1) stamps
+            # EPOCH(2020-01-01) + doc_id seconds (doc_id ≡ row index);
+            # half-open window, relevance over the SURVIVING set
+            f"WITH {_PTOKS}, "
+            "tf AS (SELECT url, term, count(*) AS tf FROM pt GROUP BY url, term), "
+            "df AS (SELECT term, count(DISTINCT url) AS df FROM pt GROUP BY term), "
+            "q(query, term) AS (VALUES "
+            + ", ".join(f"('{q}', '{t}')" for q, t in _flagship_query_terms())
+            + "), "
+            "kept AS (SELECT q.query, q.term FROM q JOIN df USING (term) "
+            "WHERE 200 * df.df < 159 * (SELECT count(*) FROM documents)), "
+            "nk AS (SELECT query, count(*) AS n_terms FROM kept GROUP BY query), "
+            "hits AS (SELECT k.query, t.url, t.term, t.tf FROM kept k JOIN tf t USING (term)), "
+            "cand AS (SELECT query, url, count(DISTINCT term) AS c, CAST(sum(tf) AS BIGINT) AS score "
+            "FROM hits GROUP BY query, url), "
+            "co AS (SELECT c.query, c.url, c.score FROM cand c JOIN nk USING (query) WHERE c.c = nk.n_terms), "
+            "pts AS (SELECT 'https://' || source || '.bench.example/d/' || "
+            "lpad(CAST(doc_id AS VARCHAR), 8, '0') || '/0' AS url, "
+            "CAST(1577836800000000 + doc_id * 1000000 AS BIGINT) AS ts FROM documents), "
+            "w AS (SELECT co.query, co.url, pts.ts, co.score FROM co JOIN pts USING (url) "
+            "WHERE pts.ts >= 1577836900000000 AND pts.ts < 1577837200000000) "
+            "SELECT query, CAST(row_number() OVER (PARTITION BY query "
+            "ORDER BY score DESC, url) AS BIGINT) AS rank, url, ts, score, "
+            "CAST(score AS DOUBLE) / max(score) OVER (PARTITION BY query) AS relevance FROM w"
+        ),
+        "engine_facet_dates": (
+            # 60 s-bucket histogram of each query's match timestamps
+            f"WITH {_PTOKS}, "
+            "tf AS (SELECT url, term, count(*) AS tf FROM pt GROUP BY url, term), "
+            "df AS (SELECT term, count(DISTINCT url) AS df FROM pt GROUP BY term), "
+            "q(query, term) AS (VALUES "
+            + ", ".join(f"('{q}', '{t}')" for q, t in _flagship_query_terms())
+            + "), "
+            "kept AS (SELECT q.query, q.term FROM q JOIN df USING (term) "
+            "WHERE 200 * df.df < 159 * (SELECT count(*) FROM documents)), "
+            "nk AS (SELECT query, count(*) AS n_terms FROM kept GROUP BY query), "
+            "hits AS (SELECT k.query, t.url, t.term FROM kept k JOIN tf t USING (term)), "
+            "cand AS (SELECT query, url, count(DISTINCT term) AS c FROM hits GROUP BY query, url), "
+            "co AS (SELECT c.query, c.url FROM cand c JOIN nk USING (query) WHERE c.c = nk.n_terms), "
+            "pts AS (SELECT 'https://' || source || '.bench.example/d/' || "
+            "lpad(CAST(doc_id AS VARCHAR), 8, '0') || '/0' AS url, "
+            "CAST(1577836800000000 + doc_id * 1000000 AS BIGINT) AS ts FROM documents) "
+            "SELECT co.query, CAST((pts.ts // 60000000) * 60000000 AS BIGINT) AS bucket, "
+            "CAST(count(*) AS BIGINT) AS n FROM co JOIN pts USING (url) "
+            "GROUP BY co.query, bucket"
+        ),
+        "engine_search_boosted": (
+            # fielded scoring: body Σtf + TITLE_BOOST × title Σtf over the
+            # kept terms; titles follow the fixture template 'doc {id} rep 0'
+            f"WITH {_PTOKS}, "
+            "tf AS (SELECT url, term, count(*) AS tf FROM pt GROUP BY url, term), "
+            "df AS (SELECT term, count(DISTINCT url) AS df FROM pt GROUP BY term), "
+            "q(query, term) AS (VALUES "
+            + ", ".join(f"('{q}', '{t}')" for q, t in _boost_query_terms())
+            + "), "
+            "kept AS (SELECT q.query, q.term FROM q JOIN df USING (term) "
+            "WHERE 200 * df.df < 159 * (SELECT count(*) FROM documents)), "
+            "nk AS (SELECT query, count(*) AS n_terms FROM kept GROUP BY query), "
+            "hits AS (SELECT k.query, t.url, t.term, t.tf FROM kept k JOIN tf t USING (term)), "
+            "cand AS (SELECT query, url, count(DISTINCT term) AS c, CAST(sum(tf) AS BIGINT) AS score "
+            "FROM hits GROUP BY query, url), "
+            "co AS (SELECT c.query, c.url, c.score FROM cand c JOIN nk USING (query) WHERE c.c = nk.n_terms), "
+            "tl AS (SELECT 'https://' || source || '.bench.example/d/' || "
+            "lpad(CAST(doc_id AS VARCHAR), 8, '0') || '/0' AS url, "
+            "unnest(string_split_regex(trim(regexp_replace("
+            "'doc ' || doc_id || ' rep 0', '[^a-z0-9]', ' ', 'g')), ' +')) AS term "
+            "FROM documents), "
+            f"tlt AS (SELECT url, term FROM tl WHERE term <> '' AND term NOT IN {_STOP_SQL}), "
+            "ttf AS (SELECT url, term, count(*) AS tf FROM tlt GROUP BY url, term), "
+            "tb AS (SELECT k.query, t.url, CAST(sum(t.tf) AS BIGINT) AS btf "
+            "FROM kept k JOIN ttf t USING (term) GROUP BY k.query, t.url), "
+            "b AS (SELECT co.query, co.url, co.score + 3 * coalesce(tb.btf, 0) AS score "
+            "FROM co LEFT JOIN tb ON tb.query = co.query AND tb.url = co.url) "
+            "SELECT query, CAST(row_number() OVER (PARTITION BY query "
+            "ORDER BY score DESC, url) AS BIGINT) AS rank, url, "
+            "CAST(score AS BIGINT) AS score, "
+            "CAST(score AS DOUBLE) / max(score) OVER (PARTITION BY query) AS relevance FROM b"
         ),
         "engine_search_bool": (
             # table AND (customer OR spark) NOT join — flags via bool_or,

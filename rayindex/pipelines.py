@@ -67,6 +67,26 @@ FUZZY_QUERIES = ["scan", "77"]
 # to the highest-df neighbor), and gibberish with no neighbor (stays, df 0)
 DYM_QUERIES = ["merge scann tabl zzzzqq", "querry 778"]
 
+# site-collapse width for the collapsed-search entry (2 keeps real per-site
+# competition visible; 1 would reduce every site to its single best doc)
+COLLAPSE_PER_SITE = 2
+
+# half-open [from, to) warc_ts window for the date-range entry, epoch-µs:
+# pages_from_documents(repeat=1) stamps EPOCH + doc_id seconds, so this keeps
+# docs 100..399 — a strict subset of every query's match set
+DATED_WINDOW_US = (1_577_836_800_000_000 + 100 * 1_000_000,
+                   1_577_836_800_000_000 + 400 * 1_000_000)
+
+# date-facet bucket width: 60 s spans the sf0.01 corpus (~500 s of stamps)
+# across ~9 non-trivial buckets
+FACET_DATES_GRAN_US = 60_000_000
+
+# title-boost queries: digit terms appear in exactly one page TITLE
+# ("doc {id} rep 0") plus any body occurrences, so the boost reorders real
+# ties; the last query has no title hits (control — boost is a no-op)
+BOOST_QUERIES = ["42 table", "137 merge", "table merge"]
+TITLE_BOOST = 3
+
 # two-word proximity queries for the NEAR entry (slop NEAR_SLOP): pairs that
 # co-occur at varying distances so the window actually separates results
 NEAR_QUERIES = ["slow query", "customer order", "table merge", "key row"]
@@ -580,6 +600,68 @@ def engine_facet_sites(sf_dir: str, queries: list[str] | None = None) -> pd.Data
         for site, n in zip(f["site"], f["n"]):
             rows.append({"query": q, "site": site, "n": int(n)})
     return pd.DataFrame(rows, columns=["query", "site", "n"])
+
+
+def engine_search_collapsed(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:
+    """Site-collapsed search end-to-end, ORACLE-CHECKABLE: at most
+    COLLAPSE_PER_SITE best docs per site survive each flagship query's
+    conjunctive match, ranked under (score desc, url asc); relevance
+    normalizes by the PRE-collapse match-set max (oracle: two row_number
+    windows over the same reconstruction)."""
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    parts = []
+    for q in queries or FLAGSHIP_QUERIES:
+        t = eng.search_collapsed(q, per_site=COLLAPSE_PER_SITE)
+        t.insert(0, "query", q)
+        parts.append(t)
+    return pd.concat(parts, ignore_index=True)
+
+
+def engine_search_dated(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:
+    """Date-range search end-to-end, ORACLE-CHECKABLE: flagship conjunctive
+    matches filtered to warc_ts ∈ [DATED_WINDOW_US), ranked (score desc,
+    url asc) with relevance over the surviving set; ts resolves through the
+    pruned positional take (oracle: the fixture's EPOCH + doc_id·1s stamp
+    rule, SQL-reconstructed from the documents table)."""
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    lo, hi = DATED_WINDOW_US
+    parts = []
+    for q in queries or FLAGSHIP_QUERIES:
+        t = eng.search_dated(q, ts_from=lo, ts_to=hi)
+        t.insert(0, "query", q)
+        parts.append(t)
+    return pd.concat(parts, ignore_index=True)
+
+
+def engine_facet_dates(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:
+    """Date-histogram facets end-to-end, ORACLE-CHECKABLE: (query, bucket, n)
+    for each flagship query's match set at FACET_DATES_GRAN_US buckets
+    (bucket = epoch-µs window start)."""
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    parts = []
+    for q in queries or FLAGSHIP_QUERIES:
+        t = eng.facet_dates(q, granularity_us=FACET_DATES_GRAN_US)
+        t.insert(0, "query", q)
+        parts.append(t)
+    return pd.concat(parts, ignore_index=True)
+
+
+def engine_search_boosted(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:
+    """Title-boosted search end-to-end, ORACLE-CHECKABLE: score = body Σtf +
+    TITLE_BOOST × title Σtf over the kept terms, ranked (score desc, url
+    asc) (oracle: the fixture's 'doc {id} rep 0' title template tokenized in
+    SQL, joined to the same kept-term set)."""
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    parts = []
+    for q in queries or BOOST_QUERIES:
+        t = eng.search_boosted(q, title_boost=TITLE_BOOST)
+        t.insert(0, "query", q)
+        parts.append(t)
+    return pd.concat(parts, ignore_index=True)
 
 
 def engine_search_not(sf_dir: str, queries: list[tuple[str, str]] | None = None) -> pd.DataFrame:

@@ -37,6 +37,7 @@ from heapq import heappush, heappushpop
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
@@ -578,6 +579,32 @@ class QueryEngine:
             pos_c = np.minimum(pos, ids_sorted.size - 1)
             hit = ids_sorted[pos_c] == want
             out[hit] = urls_sorted[pos_c[hit]]
+        return out
+
+    def _ts_for(self, want: np.ndarray) -> np.ndarray:
+        """Vectorized docid → warc_ts (int64 µs; -1 for unknown ids), aligned
+        with ``want``.  The timestamp sibling of :meth:`_urls_for`: positions
+        come from the in-memory locator, the ts column itself is a positional
+        ``take`` of only the row groups that hold the requested ids — the
+        text payload is never decompressed.  At cluster scale the same
+        lookup is a map_batches over a skinny (doc_id, warc_ts) sidecar with
+        the candidate set broadcast."""
+        want = want.astype(np.int64, copy=False)
+        out = np.full(want.size, -1, dtype=np.int64)
+        for d in self.shard_dirs:
+            ds_, ids_sorted, rowpos, _urls = self._docs_locator(d)
+            if not ids_sorted.size:
+                continue
+            pos = np.searchsorted(ids_sorted, want)
+            pos_c = np.minimum(pos, ids_sorted.size - 1)
+            hit = ids_sorted[pos_c] == want
+            if not hit.any():
+                continue
+            take_idx = rowpos[pos_c[hit]]
+            uniq, inv = np.unique(take_idx, return_inverse=True)
+            t = ds_.take(uniq, columns=["warc_ts"])
+            ts_us = t.column("warc_ts").cast(pa.int64()).to_numpy()
+            out[hit] = ts_us[inv]
         return out
 
     def doc_meta(self, doc_ids: list[int],
@@ -1392,6 +1419,151 @@ class QueryEngine:
             {"site": list(counts.keys()), "n": np.array(list(counts.values()), dtype=np.int64)}
         ).sort_values("site").reset_index(drop=True)
         return out.head(k) if k else out
+
+    _SITE_OF_URL = _re.compile(r"^[a-z][a-z0-9+.-]*://([^/]+)")
+
+    def search_collapsed(self, query: str, per_site: int = 1,
+                         k: int | None = None) -> pd.DataFrame:
+        """Site-collapsed search (engine extension — the one-result-per-host
+        diversification every web SERP applies): conjunctive match, then at
+        most ``per_site`` best documents per site survive, ranked under the
+        SQL-replayable **(score desc, url asc)** total order.
+
+        Sites are derived from the url host with the build's `_SITE_RE`
+        (build.py) over the in-memory locator urls — no doc-store or doclen
+        scan.  Relevance normalizes by the max over the FULL pre-collapse
+        match set (consistent with :meth:`search`); scores are integer Σtf so
+        rows hash-identically to the oracle's row_number window.
+
+        Returns (rank, site, url, score, relevance); rank is 1-based over
+        the collapsed set, cut at ``k`` when given."""
+        cols = ["rank", "site", "url", "score", "relevance"]
+        got = self._conjunctive_match(query, None)
+        if got is None:
+            return pd.DataFrame(columns=cols).astype(
+                {"rank": "int64", "score": "int64", "relevance": "float64"})
+        cand, abs_rel = got
+        urls = self._urls_for(cand).astype(str)
+        scores = abs_rel.astype(np.int64)
+        max_abs = float(abs_rel.max())
+        d = pd.DataFrame({"site": pd.Series(urls).str.extract(
+            self._SITE_OF_URL, expand=False).fillna(""), "url": urls,
+            "score": scores})
+        d = d.sort_values(["score", "url"], ascending=[False, True],
+                          kind="stable")
+        d = d[d.groupby("site").cumcount() < per_site]
+        d = d.reset_index(drop=True)
+        d.insert(0, "rank", np.arange(1, len(d) + 1, dtype=np.int64))
+        d["relevance"] = d["score"].to_numpy(dtype=np.float64) / max_abs
+        if k:
+            d = d.head(k)
+        return d[cols]
+
+    def search_dated(self, query: str, ts_from: int | None = None,
+                     ts_to: int | None = None,
+                     k: int | None = None) -> pd.DataFrame:
+        """Date-range search (engine extension — the crawl-window filter a
+        temporal corpus needs): conjunctive match, then only documents whose
+        ``warc_ts`` falls in the half-open window **[ts_from, ts_to)**
+        (int64 epoch-µs; None = unbounded) survive, ranked (score desc,
+        url asc).  Timestamps resolve through :meth:`_ts_for` — a pruned
+        positional take over the candidate set only, O(matches) like the
+        phrase verify, never a doc-store scan.  Relevance normalizes by the
+        max over the SURVIVING (in-window) set: the window is a hard filter,
+        so ranking is self-contained among what it returns.
+
+        Returns (rank, url, ts, score, relevance) with ts in epoch-µs."""
+        cols = ["rank", "url", "ts", "score", "relevance"]
+        empty = pd.DataFrame(columns=cols).astype(
+            {"rank": "int64", "ts": "int64", "score": "int64",
+             "relevance": "float64"})
+        got = self._conjunctive_match(query, None)
+        if got is None:
+            return empty
+        cand, abs_rel = got
+        ts = self._ts_for(cand)
+        m = ts >= 0
+        if ts_from is not None:
+            m &= ts >= int(ts_from)
+        if ts_to is not None:
+            m &= ts < int(ts_to)
+        if not m.any():
+            return empty
+        cand, abs_rel, ts = cand[m], abs_rel[m], ts[m]
+        scores = abs_rel.astype(np.int64)
+        urls = self._urls_for(cand).astype(str)
+        d = pd.DataFrame({"url": urls, "ts": ts, "score": scores})
+        d = d.sort_values(["score", "url"], ascending=[False, True],
+                          kind="stable").reset_index(drop=True)
+        d.insert(0, "rank", np.arange(1, len(d) + 1, dtype=np.int64))
+        d["relevance"] = d["score"].to_numpy(dtype=np.float64) / float(abs_rel.max())
+        if k:
+            d = d.head(k)
+        return d[cols]
+
+    def facet_dates(self, query: str, granularity_us: int = 60_000_000
+                    ) -> pd.DataFrame:
+        """Date histogram over a conjunctive query's matches (engine
+        extension — the timeline facet next to :meth:`facet_sites`): match
+        timestamps are floored to ``granularity_us`` buckets, one row per
+        non-empty bucket, bucket-ascending.  Same O(matches) pruned-take
+        resolve as :meth:`search_dated`.
+
+        Returns (bucket, n): bucket = epoch-µs of the window start."""
+        got = self._conjunctive_match(query, None)
+        if got is None:
+            return pd.DataFrame({"bucket": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        ts = self._ts_for(got[0])
+        ts = ts[ts >= 0]
+        g = int(granularity_us)
+        buckets = (ts // g) * g
+        uniq, counts = np.unique(buckets, return_counts=True)
+        return pd.DataFrame({"bucket": uniq.astype(np.int64),
+                             "n": counts.astype(np.int64)})
+
+    def search_boosted(self, query: str, title_boost: int = 2,
+                       k: int | None = None) -> pd.DataFrame:
+        """Title-boosted search (engine extension — the fielded scoring of
+        Lucene's qf/boost, reference scorer is body-only Σtf,
+        services/SearchingServiceImpl.java:78-107): score = Σ body tf +
+        ``title_boost`` × Σ title tf over the kept query terms, ranked
+        (score desc, url asc).  Integer boost on integer tfs keeps scores
+        exact, so rows hash-identically to the SQL oracle.
+
+        Title term frequencies resolve from the doc store's title column via
+        a pruned positional take over the CANDIDATE set only (titles are
+        tens of bytes; the text payload is never read).  At 10^12 docs the
+        same lookup is a bucket-partitioned (doc_id, term, tf) title sidecar
+        written at build — the per-query analyze of matched titles here is
+        the bounded, sidecar-free equivalent.
+
+        Returns (rank, url, score, relevance)."""
+        cols = ["rank", "url", "score", "relevance"]
+        got = self._conjunctive_match(query, None)
+        if got is None:
+            return pd.DataFrame(columns=cols).astype(
+                {"rank": "int64", "score": "int64", "relevance": "float64"})
+        cand, abs_rel = got
+        kept = {t for t, _df in self._query_terms(query, None)}
+        meta = self.doc_meta([int(x) for x in cand], columns=["title"])
+        boost = np.zeros(cand.size, dtype=np.int64)
+        for i, did in enumerate(cand):
+            m = meta.get(int(did))
+            if not m:
+                continue
+            tf = self.analyzer.collect_lemmas(m.get("title") or "")
+            boost[i] = sum(n for t, n in tf.items() if t in kept)
+        scores = abs_rel.astype(np.int64) + int(title_boost) * boost
+        urls = self._urls_for(cand).astype(str)
+        d = pd.DataFrame({"url": urls, "score": scores})
+        d = d.sort_values(["score", "url"], ascending=[False, True],
+                          kind="stable").reset_index(drop=True)
+        d.insert(0, "rank", np.arange(1, len(d) + 1, dtype=np.int64))
+        d["relevance"] = d["score"].to_numpy(dtype=np.float64) / float(scores.max())
+        if k:
+            d = d.head(k)
+        return d[cols]
 
     @staticmethod
     def _norm_text(s: str) -> str:

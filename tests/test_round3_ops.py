@@ -531,3 +531,126 @@ def test_search_corrected_known_query_unchanged(engine, fixture_corpus):
     for t in toks:
         if engine.term_global_df(t) > 0:
             assert f" {t} " in f" {out['corrected_query']} "
+
+
+# --- collapsed / dated / boosted search + date facets ------------------------
+
+
+def _drained(engine, query):
+    """Full (url, score) match set of the reference scorer as a DataFrame."""
+    import pandas as pd
+
+    res = engine.search(query, k=None, with_snippets=False)
+    ids = [r["doc_id"] for r in res["data"]]
+    meta = engine.doc_meta(ids, columns=["url"])
+    return pd.DataFrame(
+        {
+            "doc_id": ids,
+            "url": [meta[d]["url"] for d in ids],
+            "score": [int(r["abs"]) for r in res["data"]],
+        }
+    )
+
+
+def _ts_us_of(engine, ids):
+    import pandas as pd
+
+    meta = engine.doc_meta(list(ids), columns=["warc_ts"])
+    return {d: int(pd.Timestamp(m["warc_ts"]).value // 1000) for d, m in meta.items()}
+
+
+@pytest.fixture(scope="module")
+def collapse_query(engine, fixture_corpus):
+    for q in fixture_corpus.queries:
+        if q["site"] is None and engine.search(q["query"], k=None)["count"] >= 5:
+            return q["query"]
+    raise AssertionError("no query with >=5 matches in fixture")
+
+
+def test_search_collapsed_bruteforce(engine, collapse_query):
+    got = engine.search_collapsed(collapse_query, per_site=2)
+    d = _drained(engine, collapse_query)
+    d["site"] = d["url"].str.extract(r"^[a-z][a-z0-9+.-]*://([^/]+)", expand=False)
+    mx = d["score"].max()
+    d = d.sort_values(["score", "url"], ascending=[False, True], kind="stable")
+    d = d[d.groupby("site").cumcount() < 2].reset_index(drop=True)
+    assert got["url"].tolist() == d["url"].tolist()
+    assert got["score"].tolist() == d["score"].tolist()
+    assert got["rank"].tolist() == list(range(1, len(d) + 1))
+    assert got["relevance"].tolist() == [s / mx for s in d["score"]]
+
+
+def test_search_collapsed_per_site_cap(engine, collapse_query):
+    got = engine.search_collapsed(collapse_query, per_site=1)
+    assert got["site"].is_unique
+    # the survivor per site is that site's (score desc, url asc) winner
+    full = engine.search_collapsed(collapse_query, per_site=10**9)
+    for site, grp in full.groupby("site"):
+        w = grp.sort_values(["score", "url"], ascending=[False, True]).iloc[0]
+        mine = got[got["site"] == site].iloc[0]
+        assert (mine["url"], mine["score"]) == (w["url"], w["score"])
+
+
+def test_search_dated_window_bruteforce(engine, collapse_query):
+    epoch = 1_577_836_800_000_000
+    lo, hi = epoch + 50 * 1_000_000, epoch + 150 * 1_000_000
+    got = engine.search_dated(collapse_query, ts_from=lo, ts_to=hi)
+    d = _drained(engine, collapse_query)
+    ts = _ts_us_of(engine, d["doc_id"])
+    d["ts"] = d["doc_id"].map(ts)
+    d = d[(d["ts"] >= lo) & (d["ts"] < hi)]
+    d = d.sort_values(["score", "url"], ascending=[False, True],
+                      kind="stable").reset_index(drop=True)
+    assert got["url"].tolist() == d["url"].tolist()
+    assert got["ts"].tolist() == d["ts"].tolist()
+    assert got["score"].tolist() == d["score"].tolist()
+    if len(d):
+        mx = d["score"].max()
+        assert got["relevance"].tolist() == [s / mx for s in d["score"]]
+    # the window is a strict subset of the fixture's stamp range → non-trivial
+    assert 0 < len(got) < engine.search(collapse_query, k=None)["count"]
+
+
+def test_search_dated_unbounded_equals_search(engine, collapse_query):
+    got = engine.search_dated(collapse_query)
+    assert len(got) == engine.search(collapse_query, k=None)["count"]
+
+
+def test_facet_dates_histogram_bruteforce(engine, collapse_query):
+    gran = 30_000_000
+    got = engine.facet_dates(collapse_query, granularity_us=gran)
+    d = _drained(engine, collapse_query)
+    ts = _ts_us_of(engine, d["doc_id"])
+    want = {}
+    for t in ts.values():
+        b = (t // gran) * gran
+        want[b] = want.get(b, 0) + 1
+    assert dict(zip(got["bucket"], got["n"])) == want
+    assert int(got["n"].sum()) == len(d)
+    assert got["bucket"].is_monotonic_increasing
+
+
+def test_search_boosted_bruteforce(engine, collapse_query):
+    boost = 5
+    got = engine.search_boosted(collapse_query, title_boost=boost)
+    d = _drained(engine, collapse_query)
+    kept = {t for t, _df in engine._query_terms(collapse_query, None)}
+    meta = engine.doc_meta([int(x) for x in d["doc_id"]], columns=["title"])
+    def btf(did):
+        tf = engine.analyzer.collect_lemmas(meta[did]["title"] or "")
+        return sum(n for t, n in tf.items() if t in kept)
+    d["score"] = d["score"] + boost * d["doc_id"].map(btf)
+    d = d.sort_values(["score", "url"], ascending=[False, True],
+                      kind="stable").reset_index(drop=True)
+    assert got["url"].tolist() == d["url"].tolist()
+    assert got["score"].tolist() == d["score"].tolist()
+    mx = d["score"].max()
+    assert got["relevance"].tolist() == [s / mx for s in d["score"]]
+
+
+def test_search_boosted_zero_boost_is_base_order(engine, collapse_query):
+    got = engine.search_boosted(collapse_query, title_boost=0)
+    base = _drained(engine, collapse_query).sort_values(
+        ["score", "url"], ascending=[False, True], kind="stable")
+    assert got["url"].tolist() == base["url"].tolist()
+    assert got["score"].tolist() == base["score"].tolist()
