@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_per_site": textops.top_terms_per_site,
         "redact_regex": textops.redact_regex,
         "bigram_counts": textops.bigram_counts,
+        "lm_score": textops.lm_score,
         # --- round-3 second wave: repetition / decontamination / stratified
         # sampling / collocations (all SQL-checked) ------------------------
         "repetition_signals": textops.repetition_signals,
@@ -936,6 +937,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM toks WHERE len(l) >= 2) "
             "SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg "
             "GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50"
+        ),
+        "lm_score": (
+            # self-trained add-1 bigram LM: P(w2|w1) = (C(w1w2)+1)/(C(w1·)+V);
+            # per-doc Σ n·ln(P) as an ORDERED aggregate (bigram asc) — the
+            # engine accumulates sequentially in the same order, so the
+            # doubles are bit-identical; avg is one IEEE divide
+            f"WITH {_TOKL}, "
+            "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(l)), "
+            "i -> l[i] || ' ' || l[i+1])) AS bigram FROM tokl WHERE len(l) >= 2), "
+            "gc AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS n "
+            "FROM bg GROUP BY doc_id, bigram), "
+            "cb AS (SELECT bigram, CAST(sum(n) AS BIGINT) AS cb FROM gc GROUP BY bigram), "
+            "cbw AS (SELECT bigram, cb, string_split(bigram, ' ')[1] AS w1 FROM cb), "
+            "cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM cbw GROUP BY w1), "
+            "v AS (SELECT count(DISTINCT x) AS v FROM (SELECT unnest(l) AS x FROM tokl)), "
+            "sc AS (SELECT cbw.bigram, ln((cbw.cb + 1) / (cu.cu + 1 * (SELECT v FROM v))) AS logp "
+            "FROM cbw JOIN cu USING (w1)), "
+            "per AS (SELECT gc.doc_id, CAST(sum(gc.n) AS BIGINT) AS n_bigrams, "
+            "sum(CAST(gc.n AS DOUBLE) * sc.logp ORDER BY gc.bigram) AS logp_sum "
+            "FROM gc JOIN sc USING (bigram) GROUP BY gc.doc_id) "
+            "SELECT doc_id, n_bigrams, logp_sum, logp_sum / n_bigrams AS avg_logp FROM per"
         ),
         "repetition_signals": (
             f"WITH {_TOKL}, "

@@ -1316,6 +1316,133 @@ def bigram_counts(sf_dir: str, k: int = 50) -> rd.Dataset:
     return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
 
 
+def lm_score(sf_dir: str, add_k: int = 1) -> rd.Dataset:
+    """CCNet-style n-gram language-model quality score per document — the
+    perplexity-proxy filter a pretraining pipeline runs corpus-wide (CCNet
+    trains a KenLM; this is the self-trained bigram equivalent, no model
+    container needed).  Per doc: ``logp_sum = Σ_b n_b · ln P(w2|w1)`` over
+    the doc's DISTINCT bigrams, with add-k smoothing
+    ``P = (C(w1 w2) + k) / (C(w1 ·) + k·V)`` where ``C(w1 ·)`` is the
+    corpus count of w1 as a bigram left-context and ``V`` the corpus
+    distinct-token count; ``avg_logp = logp_sum / n_bigrams`` (higher =
+    more typical text).  Docs with < 2 tokens emit no row.
+
+    Float discipline (hash-exact vs the DuckDB oracle): each smoothed P is
+    one IEEE divide of exact integers, ``ln`` is ``math.log`` per DISTINCT
+    bigram (ULP-identical to DuckDB ``ln``; numpy.log is not), each
+    contribution is one IEEE multiply, and the per-doc sum accumulates
+    SEQUENTIALLY in bigram-ascending order — matching the oracle's
+    ``sum(... ORDER BY bigram)`` ordered aggregate (numpy pairwise sums
+    would differ in the last bits).
+
+    Distributed shape: per-batch (doc, bigram, n) partials (docs never
+    split across rows, so per-doc counts are batch-local and exact) →
+    vocabulary-bounded ``groupby(bigram)`` / ``groupby(w1)`` model tables →
+    the model hash-JOINs back onto the doc-bigram stream (nothing
+    broadcast, nothing driver-materialized except the O(1) scalar V) →
+    one doc-keyed ``map_groups`` for the ordered reduction."""
+    import math
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _toklists(t: pa.Table):
+        return (
+            t.column("text")
+            .to_pandas()
+            .str.lower()
+            .str.replace(_SURFACE_NON_ALNUM, " ", regex=True)
+            .str.split()
+        )
+
+    _EMPTY_DB = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "bigram": pa.array([], pa.string()),
+         "n": pa.array([], pa.int64())}
+    )
+
+    def doc_bigrams(t: pa.Table) -> pa.Table:
+        toks = _toklists(t)
+        ids = t.column("doc_id").to_numpy()
+        lens = toks.str.len().to_numpy()
+        nz = lens > 0
+        if lens[nz].sum() <= nz.sum():  # no doc has 2+ tokens
+            return _EMPTY_DB
+        flat = np.concatenate([v for v in toks.to_numpy() if len(v)])
+        ends = np.cumsum(lens[nz]) - 1  # each doc's last token: not a start
+        starts = np.ones(len(flat), dtype=bool)
+        starts[ends] = False
+        keep = starts[:-1]
+        left = pd.Series(flat[:-1], dtype=object)
+        right = pd.Series(flat[1:], dtype=object)
+        bg = left.str.cat(right, sep=" ").to_numpy()[keep]
+        did = np.repeat(ids[nz], lens[nz] - 1)
+        tab = pa.table(
+            {"doc_id": pa.array(did, pa.int64()), "bigram": pa.array(bg, pa.string())}
+        )
+        g = tab.group_by(["doc_id", "bigram"]).aggregate([("bigram", "count")])
+        return pa.table(
+            {"doc_id": g.column("doc_id"), "bigram": g.column("bigram"),
+             "n": g.column("bigram_count").cast(pa.int64())}
+        )
+
+    def distinct_toks(t: pa.Table) -> pa.Table:
+        toks = _toklists(t)
+        parts = [v for v in toks.to_numpy() if len(v)]
+        if not parts:
+            return pa.table({"tok": pa.array([], pa.string())})
+        u = np.unique(np.concatenate(parts))
+        return pa.table({"tok": pa.array(u, pa.string())})
+
+    # V: corpus distinct-token count — the one driver-side value, O(1)
+    vocab = int(
+        docs.map_batches(distinct_toks, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tok")
+        .count()
+        .count()
+    )
+
+    db = docs.map_batches(doc_bigrams, batch_format="pyarrow", zero_copy_batch=True)
+    cb = db.groupby("bigram").aggregate(Sum("n", alias_name="cb"))
+
+    def add_w1(t: pa.Table) -> pa.Table:
+        w1 = t.column("bigram").to_pandas().str.split(" ", n=1).str[0]
+        return t.append_column("w1", pa.array(w1, pa.string()))
+
+    cbw = cb.map_batches(add_w1, batch_format="pyarrow", zero_copy_batch=True)
+    cu = cbw.groupby("w1").aggregate(Sum("cb", alias_name="cu"))
+    nparts = max(2, _task_cpus() // 2)
+    model = cbw.join(cu, join_type="inner", num_partitions=nparts, on=("w1",))
+
+    k = int(add_k)
+
+    def add_logp(t: pa.Table) -> pa.Table:
+        cbv = t.column("cb").to_numpy()
+        cuv = t.column("cu").to_numpy()
+        lp = np.array(
+            [math.log((int(a) + k) / (int(b) + k * vocab)) for a, b in zip(cbv, cuv)],
+            dtype=np.float64,
+        )
+        return pa.table({"bigram": t.column("bigram"), "logp": pa.array(lp, pa.float64())})
+
+    scored = model.map_batches(add_logp, batch_format="pyarrow", zero_copy_batch=True)
+    joined = db.join(scored, join_type="inner", num_partitions=nparts, on=("bigram",))
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bigram", kind="stable")
+        contrib = g["n"].to_numpy(dtype=np.float64) * g["logp"].to_numpy()
+        s = 0.0
+        for v in contrib:  # sequential: bit-parity with the ordered aggregate
+            s += float(v)
+        nb = int(g["n"].sum())
+        return pd.DataFrame(
+            {"doc_id": np.array([int(g["doc_id"].iloc[0])], dtype=np.int64),
+             "n_bigrams": np.array([nb], dtype=np.int64),
+             "logp_sum": np.array([s], dtype=np.float64),
+             "avg_logp": np.array([s / nb], dtype=np.float64)}
+        )
+
+    return joined.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
+
+
 def tfidf(sf_dir: str) -> rd.Dataset:
     """Per-(doc, term) TF-IDF weights over the documents table — the
     feature-weighting step of a classical training-data / retrieval

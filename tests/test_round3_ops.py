@@ -654,3 +654,61 @@ def test_search_boosted_zero_boost_is_base_order(engine, collapse_query):
         ["score", "url"], ascending=[False, True], kind="stable")
     assert got["url"].tolist() == base["url"].tolist()
     assert got["score"].tolist() == base["score"].tolist()
+
+
+# --- bigram language-model quality score (lm_score) --------------------------
+
+
+def test_lm_score_bruteforce(ray_session, curation_sf):
+    import math
+
+    import duckdb
+
+    from rayindex.textops import lm_score
+
+    got = lm_score(curation_sf).to_pandas().set_index("doc_id").sort_index()
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{curation_sf}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    toks = {d: re.sub(r"[^a-z0-9]+", " ", t.lower()).split() for d, t in texts}
+    vocab = len({w for ws in toks.values() for w in ws})
+    cb: dict[str, int] = {}
+    cu: dict[str, int] = {}
+    per_doc: dict[int, dict[str, int]] = {}
+    for d, ws in toks.items():
+        g = {}
+        for a, b in zip(ws, ws[1:]):
+            bg = f"{a} {b}"
+            g[bg] = g.get(bg, 0) + 1
+            cb[bg] = cb.get(bg, 0) + 1
+            cu[a] = cu.get(a, 0) + 1
+        if g:
+            per_doc[d] = g
+    assert set(got.index) == set(per_doc)  # <2-token docs emit no row
+    for d, g in per_doc.items():
+        s = 0.0
+        for bg in sorted(g):
+            w1 = bg.split(" ", 1)[0]
+            s += float(g[bg]) * math.log((cb[bg] + 1) / (cu[w1] + vocab))
+        nb = sum(g.values())
+        row = got.loc[d]
+        assert int(row["n_bigrams"]) == nb
+        assert row["logp_sum"] == s, d  # bit-exact sequential sum
+        assert row["avg_logp"] == s / nb
+
+
+def test_lm_score_ranks_repetitive_text_higher(ray_session, tmp_path):
+    """A doc made of the corpus's most common bigram scores higher (less
+    surprising) than a doc of unique gibberish bigrams."""
+    import pyarrow.parquet as pq_
+
+    from rayindex.textops import lm_score
+
+    texts = ["the cat sat on the mat"] * 20 + ["zq xv qj kp wy bn"]
+    docs = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    pq_.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = lm_score(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert got.loc[0, "avg_logp"] > got.loc[20, "avg_logp"]
