@@ -304,6 +304,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engine_search_site": __import__(
             "rayindex.pipelines", fromlist=["engine_search_site"]
         ).engine_search_site,
+        "engine_wildcard_terms": __import__(
+            "rayindex.pipelines", fromlist=["engine_wildcard_terms"]
+        ).engine_wildcard_terms,
+        "engine_scan_regex": __import__(
+            "rayindex.pipelines", fromlist=["engine_scan_regex"]
+        ).engine_scan_regex,
         "engine_search_collapsed": __import__(
             "rayindex.pipelines", fromlist=["engine_search_collapsed"]
         ).engine_search_collapsed,
@@ -365,6 +371,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_regex": textops.redact_regex,
         "bigram_counts": textops.bigram_counts,
         "lm_score": textops.lm_score,
+        "next_words": lambda sf: textops.next_words(
+            sf, __import__("rayindex.pipelines", fromlist=["NEXT_WORD"]).NEXT_WORD
+        ),
         # --- round-3 second wave: repetition / decontamination / stratified
         # sampling / collocations (all SQL-checked) ------------------------
         "repetition_signals": textops.repetition_signals,
@@ -529,6 +538,39 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY query ORDER BY score DESC, url) AS rn FROM co) "
             "SELECT query, CAST((rn - 1) // 4 + 1 AS BIGINT) AS page, "
             "CAST(rn AS BIGINT) AS rank, url, score, relevance FROM ranked"
+        ),
+        "engine_wildcard_terms": (
+            # glob → LIKE (terms are [a-z0-9]+: '*'→'%' is the whole mapping)
+            f"WITH {_PTOKS}, d AS (SELECT term, CAST(count(DISTINCT url) AS BIGINT) AS df "
+            "FROM pt GROUP BY term), "
+            "p(pattern, like_p) AS (VALUES "
+            + ", ".join(
+                f"('{q}', '{q.replace('*', '%')}')"
+                for q in __import__(
+                    "rayindex.pipelines", fromlist=["WILDCARD_QUERIES"]
+                ).WILDCARD_QUERIES
+            )
+            + ") "
+            "SELECT p.pattern, d.term, d.df FROM p JOIN d ON d.term LIKE p.like_p"
+        ),
+        "engine_scan_regex": (
+            # RE2 on both sides; non-overlapping global match count
+            f"WITH {_PAGES}, "
+            "g AS (SELECT url, CAST(len(regexp_extract_all(full_text, '1[0-9]{2}')) AS BIGINT) "
+            "AS n_hits FROM pages) "
+            "SELECT url, n_hits FROM g WHERE n_hits > 0"
+        ),
+        "next_words": (
+            # successors of NEXT_WORD in the surface stream, top-10 by
+            # (n desc, w2 asc) with a rank the engine stamps identically
+            f"WITH {_TOKL}, "
+            "w2s AS (SELECT unnest(list_transform(range(1, len(l)), "
+            "i -> CASE WHEN l[i] = 'table' THEN l[i+1] ELSE NULL END)) AS w2 "
+            "FROM tokl WHERE len(l) >= 2), "
+            "g AS (SELECT w2, CAST(count(*) AS BIGINT) AS n FROM w2s "
+            "WHERE w2 IS NOT NULL GROUP BY w2) "
+            "SELECT * FROM (SELECT CAST(row_number() OVER (ORDER BY n DESC, w2) AS BIGINT) "
+            "AS rank, w2, n FROM g) WHERE rank <= 10"
         ),
         "engine_search_collapsed": (
             # per-(query, site) top-COLLAPSE_PER_SITE under (score desc,

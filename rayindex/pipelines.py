@@ -67,6 +67,17 @@ FUZZY_QUERIES = ["scan", "77"]
 # to the highest-df neighbor), and gibberish with no neighbor (stays, df 0)
 DYM_QUERIES = ["merge scann tabl zzzzqq", "querry 778"]
 
+# glob patterns for the wildcard-lookup entry: literal-head, literal-tail,
+# head+tail, middle-only, and a no-match control
+WILDCARD_QUERIES = ["sc*", "*ble", "s*n", "*4*", "zz*qq"]
+
+# left-context word for the next-word-suggestion entry
+NEXT_WORD = "table"
+
+# RE2 pattern for the distributed doc-store grep entry (3-digit runs
+# starting with 1 — page ids and body numbers both hit)
+SCAN_REGEX_PATTERN = "1[0-9]{2}"
+
 # site-collapse width for the collapsed-search entry (2 keeps real per-site
 # competition visible; 1 would reduce every site to its single best doc)
 COLLAPSE_PER_SITE = 2
@@ -600,6 +611,31 @@ def engine_facet_sites(sf_dir: str, queries: list[str] | None = None) -> pd.Data
         for site, n in zip(f["site"], f["n"]):
             rows.append({"query": q, "site": site, "n": int(n)})
     return pd.DataFrame(rows, columns=["query", "site", "n"])
+
+
+def engine_wildcard_terms(sf_dir: str, patterns: list[str] | None = None) -> pd.DataFrame:
+    """Glob dictionary lookup through the built index, ORACLE-CHECKABLE:
+    (pattern, term, df) for every indexed term matching each glob (oracle:
+    SQL LIKE with * → %)."""
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    parts = []
+    for p in patterns or WILDCARD_QUERIES:
+        t = eng.wildcard_terms(p)
+        t.insert(0, "pattern", p)
+        parts.append(t)
+    return pd.concat(parts, ignore_index=True)
+
+
+def engine_scan_regex(sf_dir: str, pattern: str | None = None):
+    """Distributed doc-store regex grep, ORACLE-CHECKABLE: (url, n_hits) of
+    every stored page whose extracted text matches the RE2 pattern (oracle:
+    DuckDB regexp_extract_all over the reconstructed page text — both
+    engines are RE2, the redact_regex discipline)."""
+    from .segments import scan_regex
+
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    return scan_regex(index_dir, pattern or SCAN_REGEX_PATTERN)
 
 
 def engine_search_collapsed(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:

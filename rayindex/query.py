@@ -1011,6 +1011,34 @@ class QueryEngine:
         idx = np.sort(owners[lo_i:hi_i])
         return dic.iloc[idx].reset_index(drop=True)
 
+    def wildcard_terms(self, pattern: str) -> pd.DataFrame:
+        """General glob dictionary lookup (``sc*n``, ``7*``, ``*ab*`` — the
+        engine extension unifying :meth:`prefix_terms` / :meth:`suffix_terms`
+        into Lucene WildcardQuery semantics): every indexed term matching
+        ``pattern`` (``*`` = any run, including empty; terms are [a-z0-9]+
+        so no other metacharacters exist), with purge-corrected global df —
+        (term, df), term-ascending.
+
+        Candidates come from the CHEAPEST anchored structure: a pruned
+        prefix range when the pattern has a literal head, the reversed-term
+        view when it only has a literal tail, the full dictionary otherwise
+        (the scale path for ``*x*`` is a term n-gram sidecar, same probe
+        shape); an anchored RE2-style fullmatch then verifies the middles in
+        order — never more than the candidate set is scanned."""
+        parts = pattern.split("*")
+        if len(parts) == 1:  # no wildcard: exact dictionary probe
+            dic = self.term_df_table()
+            return dic[dic["term"] == pattern].reset_index(drop=True)
+        if parts[0]:
+            cand = self.prefix_terms(parts[0])
+        elif parts[-1]:
+            cand = self.suffix_terms(parts[-1])
+        else:
+            cand = self.term_df_table()
+        rx = "^" + ".*".join(_re.escape(p) for p in parts) + "$"
+        keep = cand["term"].str.match(rx).to_numpy()
+        return cand[keep].sort_values("term").reset_index(drop=True)
+
     def _fuzzy_index(self) -> tuple[pd.DataFrame, np.ndarray, np.ndarray]:
         """SymSpell-style deletion-neighborhood index over the dictionary
         (Garbe 2012): every term is bucketed under itself and each of its

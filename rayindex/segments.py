@@ -32,6 +32,7 @@ import time
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
 from .codec import BlockReader, EncodedPostings, encode_postings
@@ -315,6 +316,39 @@ class SegmentReader:
 
 # ---------------------------------------------------------------------------
 # index → dataset export (round 3)
+
+
+def scan_regex(index_root: str, pattern: str) -> "ray.data.Dataset":
+    """Distributed regex grep over the doc store — the 'search the raw
+    text' escape hatch next to the inverted index (Elasticsearch routes
+    regexp queries to term-dictionary automata; a full-content scan like
+    this is the map-only corpus job you run when the pattern isn't
+    term-shaped: PII sweeps, leaked-secret audits, markup forensics).
+
+    One pruned per-shard read of (url, site, text) with purged sites
+    excluded AT THE SCAN (purge_site is the only tombstone writer, so
+    site-exclusion equals the engine's doc-id tombstones — same argument as
+    :func:`export_postings`), then Arrow's RE2 ``count_substring_regex``
+    per batch (non-overlapping global matches, the redact_regex
+    discipline).  Returns a streaming (url, n_hits) Dataset of matching
+    docs only; nothing materializes."""
+    import ray.data as rd
+
+    from .incremental import load_tombstones
+
+    docs_dirs = [os.path.join(d, "docs") for d in list_shards(index_root)]
+    purged = sorted(load_tombstones(index_root)["sites"])
+    kw = {}
+    if purged:
+        kw["filter"] = ~pc.field("site").isin(purged)
+    ds = rd.read_parquet(docs_dirs, columns=["url", "site", "text"], **kw)
+
+    def grep(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t.column("text"), pattern)
+        out = pa.table({"url": t.column("url"), "n_hits": n.cast(pa.int64())})
+        return out.filter(pc.greater(out.column("n_hits"), 0))
+
+    return ds.map_batches(grep, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def export_postings(index_root: str) -> "ray.data.Dataset":

@@ -1316,6 +1316,60 @@ def bigram_counts(sf_dir: str, k: int = 50) -> rd.Dataset:
     return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
 
 
+def next_words(sf_dir: str, word: str, k: int = 10) -> rd.Dataset:
+    """Next-word suggestion from the corpus bigram model (the query-builder
+    UX next to :func:`bigram_counts`): the top-``k`` words following
+    ``word`` in the surface token stream, ranked (n desc, w2 asc) with a
+    1-based rank column.
+
+    The ``w1 == word`` filter is applied INSIDE the tokenize batch — only
+    the matching (w2) occurrences ever leave a task, so the shuffle is
+    bounded by that one word's successor vocabulary, not the corpus."""
+    word = word.lower()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = (
+            t.column("text")
+            .to_pandas()
+            .str.lower()
+            .str.replace(_SURFACE_NON_ALNUM, " ", regex=True)
+            .str.split()
+        )
+        lens = toks.str.len().to_numpy()
+        empty = pa.table({"w2": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        if lens.sum() == 0:
+            return empty
+        flat = np.concatenate([v for v in toks.to_numpy() if len(v)])
+        ends = np.cumsum(lens[lens > 0]) - 1
+        starts = np.ones(len(flat), dtype=bool)
+        starts[ends] = False
+        hit = starts[:-1] & (flat[:-1] == word)
+        if not hit.any():
+            return empty
+        w2, n = np.unique(flat[1:][hit], return_counts=True)
+        return pa.table({"w2": pa.array(w2, pa.string()), "n": pa.array(n, pa.int64())})
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("w2")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "w2"], descending=[True, False])
+        .limit(k)
+    )
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"rank": pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64)),
+             "w2": t.column("w2"), "n": t.column("n").cast(pa.int64())}
+        )
+
+    # k rows: one block so the rank stamp is global, not per-batch
+    return agg.repartition(1).map_batches(
+        add_rank, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def lm_score(sf_dir: str, add_k: int = 1) -> rd.Dataset:
     """CCNet-style n-gram language-model quality score per document — the
     perplexity-proxy filter a pretraining pipeline runs corpus-wide (CCNet

@@ -712,3 +712,69 @@ def test_lm_score_ranks_repetitive_text_higher(ray_session, tmp_path):
     pq_.write_table(docs, str(tmp_path / "documents.parquet"))
     got = lm_score(str(tmp_path)).to_pandas().set_index("doc_id")
     assert got.loc[0, "avg_logp"] > got.loc[20, "avg_logp"]
+
+
+# --- wildcard glob lookup / doc-store regex grep / next-word suggestion -----
+
+
+def test_wildcard_terms_matches_fnmatch(engine):
+    import fnmatch
+
+    dic = engine.term_df_table()
+    t = dic["term"].iloc[len(dic) // 2]
+    patterns = [
+        t[:2] + "*", "*" + t[-2:], t[0] + "*" + t[-1], "*" + t[2:4] + "*",
+        t, "zz*qq*zz",
+    ]
+    for p in patterns:
+        got = engine.wildcard_terms(p)
+        want = dic[[fnmatch.fnmatchcase(x, p) for x in dic["term"]]]
+        want = want.sort_values("term").reset_index(drop=True)
+        assert got["term"].tolist() == want["term"].tolist(), p
+        assert got["df"].tolist() == want["df"].tolist(), p
+    # the anchored patterns above must actually match something
+    assert len(engine.wildcard_terms(t[:2] + "*"))
+
+
+def test_scan_regex_matches_bruteforce(ray_session, built_index, fixture_corpus):
+    from rayindex.segments import scan_regex
+
+    got = (
+        scan_regex(built_index["out_dir"], "[0-9]{8}")
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pages = fixture_corpus.pages
+    want = {}
+    for url, text in zip(
+        pages.column("url").to_pylist(), pages.column("text").to_pylist()
+    ):
+        n = len(re.findall(r"[0-9]{8}", text))
+        if n:
+            want[url] = n
+    assert dict(zip(got["url"], got["n_hits"])) == want
+    assert len(got)  # titles carry 8-digit page numbers → non-trivial
+
+
+def test_next_words_matches_bruteforce(ray_session, curation_sf):
+    import duckdb
+
+    from rayindex.textops import next_words
+
+    texts = [
+        t
+        for (t,) in duckdb.sql(
+            f"SELECT text FROM read_parquet('{curation_sf}/documents.parquet')"
+        ).fetchall()
+    ]
+    counts: dict[str, int] = {}
+    for x in texts:
+        ws = re.sub(r"[^a-z0-9]+", " ", x.lower()).split()
+        for a, b in zip(ws, ws[1:]):
+            if a == "run":
+                counts[b] = counts.get(b, 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = next_words(curation_sf, "run", k=10).to_pandas()
+    assert list(zip(got["w2"], got["n"])) == want
+    assert got["rank"].tolist() == list(range(1, len(want) + 1))
