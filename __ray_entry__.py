@@ -400,6 +400,16 @@ def oracle_sql() -> dict[str, str]:
     stop = _STOP_SQL
     ta, tb = _SEARCH_TERMS
     from rayindex.pipelines import RESTRICT_SOURCE as _restrict_src
+    # interpolated (not hardcoded) so editing a pipelines.py constant keeps
+    # engine and oracle in lockstep instead of failing as a hash mismatch
+    from rayindex.pipelines import (
+        COLLAPSE_PER_SITE as _collapse_n,
+        DATED_WINDOW_US as _dated_win,
+        FACET_DATES_GRAN_US as _facet_gran,
+        NEXT_WORD as _next_word,
+        SCAN_REGEX_PATTERN as _scan_rx,
+        TITLE_BOOST as _title_boost,
+    )
     # DuckDB md5_number_upper(s) == int.from_bytes(md5(s)[:8], 'little') —
     # the hash primitive of the whole dedup family (textops._md5_le64), which
     # is what makes minhash/simhash/media oracles exactly expressible.
@@ -556,7 +566,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_scan_regex": (
             # RE2 on both sides; non-overlapping global match count
             f"WITH {_PAGES}, "
-            "g AS (SELECT url, CAST(len(regexp_extract_all(full_text, '1[0-9]{2}')) AS BIGINT) "
+            f"g AS (SELECT url, CAST(len(regexp_extract_all(full_text, '{_scan_rx}')) AS BIGINT) "
             "AS n_hits FROM pages) "
             "SELECT url, n_hits FROM g WHERE n_hits > 0"
         ),
@@ -565,7 +575,7 @@ def oracle_sql() -> dict[str, str]:
             # (n desc, w2 asc) with a rank the engine stamps identically
             f"WITH {_TOKL}, "
             "w2s AS (SELECT unnest(list_transform(range(1, len(l)), "
-            "i -> CASE WHEN l[i] = 'table' THEN l[i+1] ELSE NULL END)) AS w2 "
+            f"i -> CASE WHEN l[i] = '{_next_word}' THEN l[i+1] ELSE NULL END)) AS w2 "
             "FROM tokl WHERE len(l) >= 2), "
             "g AS (SELECT w2, CAST(count(*) AS BIGINT) AS n FROM w2s "
             "WHERE w2 IS NOT NULL GROUP BY w2) "
@@ -594,7 +604,7 @@ def oracle_sql() -> dict[str, str]:
             "regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)', 1) AS site FROM co), "
             "coll AS (SELECT *, row_number() OVER (PARTITION BY query, site "
             "ORDER BY score DESC, url) AS srn FROM r), "
-            "kp AS (SELECT * FROM coll WHERE srn <= 2) "
+            f"kp AS (SELECT * FROM coll WHERE srn <= {_collapse_n}) "
             "SELECT query, CAST(row_number() OVER (PARTITION BY query "
             "ORDER BY score DESC, url) AS BIGINT) AS rank, "
             "site, url, score, relevance FROM kp"
@@ -620,7 +630,7 @@ def oracle_sql() -> dict[str, str]:
             "lpad(CAST(doc_id AS VARCHAR), 8, '0') || '/0' AS url, "
             "CAST(1577836800000000 + doc_id * 1000000 AS BIGINT) AS ts FROM documents), "
             "w AS (SELECT co.query, co.url, pts.ts, co.score FROM co JOIN pts USING (url) "
-            "WHERE pts.ts >= 1577836900000000 AND pts.ts < 1577837200000000) "
+            f"WHERE pts.ts >= {_dated_win[0]} AND pts.ts < {_dated_win[1]}) "
             "SELECT query, CAST(row_number() OVER (PARTITION BY query "
             "ORDER BY score DESC, url) AS BIGINT) AS rank, url, ts, score, "
             "CAST(score AS DOUBLE) / max(score) OVER (PARTITION BY query) AS relevance FROM w"
@@ -642,7 +652,7 @@ def oracle_sql() -> dict[str, str]:
             "pts AS (SELECT 'https://' || source || '.bench.example/d/' || "
             "lpad(CAST(doc_id AS VARCHAR), 8, '0') || '/0' AS url, "
             "CAST(1577836800000000 + doc_id * 1000000 AS BIGINT) AS ts FROM documents) "
-            "SELECT co.query, CAST((pts.ts // 60000000) * 60000000 AS BIGINT) AS bucket, "
+            f"SELECT co.query, CAST((pts.ts // {_facet_gran}) * {_facet_gran} AS BIGINT) AS bucket, "
             "CAST(count(*) AS BIGINT) AS n FROM co JOIN pts USING (url) "
             "GROUP BY co.query, bucket"
         ),
@@ -671,7 +681,7 @@ def oracle_sql() -> dict[str, str]:
             "ttf AS (SELECT url, term, count(*) AS tf FROM tlt GROUP BY url, term), "
             "tb AS (SELECT k.query, t.url, CAST(sum(t.tf) AS BIGINT) AS btf "
             "FROM kept k JOIN ttf t USING (term) GROUP BY k.query, t.url), "
-            "b AS (SELECT co.query, co.url, co.score + 3 * coalesce(tb.btf, 0) AS score "
+            f"b AS (SELECT co.query, co.url, co.score + {_title_boost} * coalesce(tb.btf, 0) AS score "
             "FROM co LEFT JOIN tb ON tb.query = co.query AND tb.url = co.url) "
             "SELECT query, CAST(row_number() OVER (PARTITION BY query "
             "ORDER BY score DESC, url) AS BIGINT) AS rank, url, "

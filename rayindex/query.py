@@ -563,6 +563,17 @@ class QueryEngine:
         self._docs_locator_cache[shard_dir] = got
         return got
 
+    @staticmethod
+    def _locator_hits(ids_sorted: np.ndarray, want: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Sorted-membership probe (hit mask over ``want``, clamped
+        positions) — the one idiom behind :meth:`_urls_for`, :meth:`_ts_for`
+        and :meth:`doc_meta`, kept in one place so clamp/equality edge cases
+        can never diverge between them."""
+        pos = np.searchsorted(ids_sorted, want)
+        pos_c = np.minimum(pos, ids_sorted.size - 1)
+        hit = ids_sorted[pos_c] == want
+        return hit, pos_c
+
     def _urls_for(self, want: np.ndarray) -> np.ndarray:
         """Vectorized docid → url over the in-memory locator (object array,
         same order as ``want``; None for unknown ids).  The array-level
@@ -575,9 +586,7 @@ class QueryEngine:
             _ds, ids_sorted, _rowpos, urls_sorted = self._docs_locator(d)
             if not ids_sorted.size:
                 continue
-            pos = np.searchsorted(ids_sorted, want)
-            pos_c = np.minimum(pos, ids_sorted.size - 1)
-            hit = ids_sorted[pos_c] == want
+            hit, pos_c = self._locator_hits(ids_sorted, want)
             out[hit] = urls_sorted[pos_c[hit]]
         return out
 
@@ -595,9 +604,7 @@ class QueryEngine:
             ds_, ids_sorted, rowpos, _urls = self._docs_locator(d)
             if not ids_sorted.size:
                 continue
-            pos = np.searchsorted(ids_sorted, want)
-            pos_c = np.minimum(pos, ids_sorted.size - 1)
-            hit = ids_sorted[pos_c] == want
+            hit, pos_c = self._locator_hits(ids_sorted, want)
             if not hit.any():
                 continue
             take_idx = rowpos[pos_c[hit]]
@@ -626,9 +633,7 @@ class QueryEngine:
             ds_, ids_sorted, rowpos, urls_sorted = self._docs_locator(d)
             if ids_sorted.size == 0:
                 continue
-            pos = np.searchsorted(ids_sorted, want)
-            pos_c = np.minimum(pos, ids_sorted.size - 1)
-            hit = ids_sorted[pos_c] == want
+            hit, pos_c = self._locator_hits(ids_sorted, want)
             if not hit.any():
                 continue
             if url_only:
@@ -1450,6 +1455,19 @@ class QueryEngine:
 
     _SITE_OF_URL = _re.compile(r"^[a-z][a-z0-9+.-]*://([^/]+)")
 
+    @staticmethod
+    def _ranked_urls(d: pd.DataFrame, max_score: float, k: int | None) -> pd.DataFrame:
+        """Shared (score desc, url asc) ranking tail of the frame-returning
+        search variants (:meth:`search_collapsed` / :meth:`search_dated` /
+        :meth:`search_boosted`): total order, 1-based int64 rank, relevance
+        = score / ``max_score`` — one place so the SQL-replayable order can
+        never diverge between them."""
+        d = d.sort_values(["score", "url"], ascending=[False, True],
+                          kind="stable").reset_index(drop=True)
+        d.insert(0, "rank", np.arange(1, len(d) + 1, dtype=np.int64))
+        d["relevance"] = d["score"].to_numpy(dtype=np.float64) / float(max_score)
+        return d.head(k) if k else d
+
     def search_collapsed(self, query: str, per_site: int = 1,
                          k: int | None = None) -> pd.DataFrame:
         """Site-collapsed search (engine extension — the one-result-per-host
@@ -1480,12 +1498,7 @@ class QueryEngine:
         d = d.sort_values(["score", "url"], ascending=[False, True],
                           kind="stable")
         d = d[d.groupby("site").cumcount() < per_site]
-        d = d.reset_index(drop=True)
-        d.insert(0, "rank", np.arange(1, len(d) + 1, dtype=np.int64))
-        d["relevance"] = d["score"].to_numpy(dtype=np.float64) / max_abs
-        if k:
-            d = d.head(k)
-        return d[cols]
+        return self._ranked_urls(d, max_abs, k)[cols]
 
     def search_dated(self, query: str, ts_from: int | None = None,
                      ts_to: int | None = None,
@@ -1521,13 +1534,7 @@ class QueryEngine:
         scores = abs_rel.astype(np.int64)
         urls = self._urls_for(cand).astype(str)
         d = pd.DataFrame({"url": urls, "ts": ts, "score": scores})
-        d = d.sort_values(["score", "url"], ascending=[False, True],
-                          kind="stable").reset_index(drop=True)
-        d.insert(0, "rank", np.arange(1, len(d) + 1, dtype=np.int64))
-        d["relevance"] = d["score"].to_numpy(dtype=np.float64) / float(abs_rel.max())
-        if k:
-            d = d.head(k)
-        return d[cols]
+        return self._ranked_urls(d, abs_rel.max(), k)[cols]
 
     def facet_dates(self, query: str, granularity_us: int = 60_000_000
                     ) -> pd.DataFrame:
@@ -1538,6 +1545,8 @@ class QueryEngine:
         resolve as :meth:`search_dated`.
 
         Returns (bucket, n): bucket = epoch-µs of the window start."""
+        if int(granularity_us) <= 0:
+            raise ValueError(f"granularity_us must be positive, got {granularity_us}")
         got = self._conjunctive_match(query, None)
         if got is None:
             return pd.DataFrame({"bucket": pd.Series(dtype="int64"),
@@ -1585,13 +1594,7 @@ class QueryEngine:
         scores = abs_rel.astype(np.int64) + int(title_boost) * boost
         urls = self._urls_for(cand).astype(str)
         d = pd.DataFrame({"url": urls, "score": scores})
-        d = d.sort_values(["score", "url"], ascending=[False, True],
-                          kind="stable").reset_index(drop=True)
-        d.insert(0, "rank", np.arange(1, len(d) + 1, dtype=np.int64))
-        d["relevance"] = d["score"].to_numpy(dtype=np.float64) / float(scores.max())
-        if k:
-            d = d.head(k)
-        return d[cols]
+        return self._ranked_urls(d, scores.max(), k)[cols]
 
     @staticmethod
     def _norm_text(s: str) -> str:

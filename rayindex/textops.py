@@ -1325,7 +1325,12 @@ def next_words(sf_dir: str, word: str, k: int = 10) -> rd.Dataset:
     The ``w1 == word`` filter is applied INSIDE the tokenize batch — only
     the matching (w2) occurrences ever leave a task, so the shuffle is
     bounded by that one word's successor vocabulary, not the corpus."""
-    word = word.lower()
+    # same surface normalization as the token stream, else punctuated input
+    # (e.g. "don't") could never match any stream token
+    norm = _SURFACE_NON_ALNUM.sub(" ", word.lower()).split()
+    if len(norm) != 1:
+        raise ValueError(f"next_words wants one surface token, got {word!r}")
+    word = norm[0]
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial(t: pa.Table) -> pa.Table:
