@@ -343,6 +343,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engine_near_topk": __import__(
             "rayindex.pipelines", fromlist=["engine_near_topk"]
         ).engine_near_topk,
+        "engine_near_ordered_topk": __import__(
+            "rayindex.pipelines", fromlist=["engine_near_ordered_topk"]
+        ).engine_near_ordered_topk,
+        "engine_term_vector": __import__(
+            "rayindex.pipelines", fromlist=["engine_term_vector"]
+        ).engine_term_vector,
         # --- round-3 segment merge (Lucene-style): two half-corpus builds
         # merged WITHOUT re-lemmatizing must equal one full build, so both
         # entries share the full-build oracles verbatim ---------------------
@@ -406,6 +412,7 @@ def oracle_sql() -> dict[str, str]:
         COLLAPSE_PER_SITE as _collapse_n,
         DATED_WINDOW_US as _dated_win,
         FACET_DATES_GRAN_US as _facet_gran,
+        NEAR_SLOP as _near_slop,
         NEXT_WORD as _next_word,
         SCAN_REGEX_PATTERN as _scan_rx,
         TITLE_BOOST as _title_boost,
@@ -871,12 +878,54 @@ def oracle_sql() -> dict[str, str]:
             "co AS (SELECT c.query, c.url, c.score FROM cand c JOIN nk USING (query) WHERE c.c = nk.n_terms), "
             "ver AS (SELECT co.query, co.url, co.score FROM co JOIN qp USING (query) "
             "WHERE EXISTS (SELECT 1 FROM posr a, posr b WHERE a.url = co.url AND b.url = co.url "
-            "AND a.term = qp.t1 AND b.term = qp.t2 AND abs(a.pos - b.pos) <= 3)), "
+            f"AND a.term = qp.t1 AND b.term = qp.t2 AND abs(a.pos - b.pos) <= {_near_slop})), "
             "ranked AS (SELECT query, url, score, "
             "CAST(score AS DOUBLE) / max(score) OVER (PARTITION BY query) AS relevance, "
             "row_number() OVER (PARTITION BY query ORDER BY score DESC, url) AS rn FROM ver) "
             "SELECT query, CAST(rn AS BIGINT) AS rank, url, score, relevance "
             "FROM ranked WHERE rn <= 10"
+        ),
+        "engine_near_ordered_topk": (
+            # as engine_near_topk but IN ORDER: pos(t1) < pos(t2) within slop
+            f"WITH {_PTOKS}, "
+            "pagetokl AS (SELECT url, list_filter(string_split_regex(trim(regexp_replace("
+            "lower(full_text), '[^a-z0-9]', ' ', 'g')), ' +'), x -> x <> '') AS l FROM pages), "
+            "posr AS (SELECT url, unnest(l) AS term, unnest(range(1, len(l)+1)) AS pos FROM pagetokl), "
+            "tf AS (SELECT url, term, count(*) AS tf FROM pt GROUP BY url, term), "
+            "df AS (SELECT term, count(DISTINCT url) AS df FROM pt GROUP BY term), "
+            "q(query, term) AS (VALUES "
+            + ", ".join(f"('{q}', '{t}')" for q, t in _near_query_terms())
+            + "), "
+            "qp(query, t1, t2) AS (VALUES "
+            + ", ".join(f"('{q}', '{a}', '{b}')" for q, a, b in _near_query_pairs())
+            + "), "
+            "kept AS (SELECT q.query, q.term FROM q JOIN df USING (term) "
+            "WHERE 200 * df.df < 159 * (SELECT count(*) FROM documents)), "
+            "nk AS (SELECT query, count(*) AS n_terms FROM kept GROUP BY query), "
+            "hits AS (SELECT k.query, t.url, t.term, t.tf FROM kept k JOIN tf t USING (term)), "
+            "cand AS (SELECT query, url, count(DISTINCT term) AS c, CAST(sum(tf) AS BIGINT) AS score "
+            "FROM hits GROUP BY query, url), "
+            "co AS (SELECT c.query, c.url, c.score FROM cand c JOIN nk USING (query) WHERE c.c = nk.n_terms), "
+            "ver AS (SELECT co.query, co.url, co.score FROM co JOIN qp USING (query) "
+            "WHERE EXISTS (SELECT 1 FROM posr a, posr b WHERE a.url = co.url AND b.url = co.url "
+            f"AND a.term = qp.t1 AND b.term = qp.t2 AND a.pos < b.pos AND b.pos - a.pos <= {_near_slop})), "
+            "ranked AS (SELECT query, url, score, "
+            "CAST(score AS DOUBLE) / max(score) OVER (PARTITION BY query) AS relevance, "
+            "row_number() OVER (PARTITION BY query ORDER BY score DESC, url) AS rn FROM ver) "
+            "SELECT query, CAST(rn AS BIGINT) AS rank, url, score, relevance "
+            "FROM ranked WHERE rn <= 10"
+        ),
+        "engine_term_vector": (
+            # one page's (term, tf) — the url derived from documents row
+            # TERM_VECTOR_DOC_ID on both sides
+            f"WITH {_PTOKS}, "
+            "u AS (SELECT 'https://' || source || '.bench.example/d/' || "
+            "lpad(CAST(doc_id AS VARCHAR), 8, '0') || '/0' AS url FROM documents "
+            "WHERE doc_id = "
+            + str(__import__("rayindex.pipelines", fromlist=["TERM_VECTOR_DOC_ID"]).TERM_VECTOR_DOC_ID)
+            + ") "
+            "SELECT pt.term, CAST(count(*) AS BIGINT) AS tf FROM pt JOIN u USING (url) "
+            "GROUP BY pt.term"
         ),
         "engine_search_not": (
             f"WITH {_PTOKS}, "

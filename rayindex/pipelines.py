@@ -78,6 +78,10 @@ NEXT_WORD = "table"
 # starting with 1 — page ids and body numbers both hit)
 SCAN_REGEX_PATTERN = "1[0-9]{2}"
 
+# document for the term-vector entry, chosen by doc_id so BOTH sides derive
+# the url from the documents table (corpus-independent)
+TERM_VECTOR_DOC_ID = 42
+
 # site-collapse width for the collapsed-search entry (2 keeps real per-site
 # competition visible; 1 would reduce every site to its single best doc)
 COLLAPSE_PER_SITE = 2
@@ -570,6 +574,57 @@ def engine_near_topk(sf_dir: str, queries: list[str] | None = None,
                 }
             )
     return pd.DataFrame(rows, columns=["query", "rank", "url", "score", "relevance"])
+
+
+def engine_near_ordered_topk(sf_dir: str, queries: list[str] | None = None,
+                             slop: int = NEAR_SLOP) -> pd.DataFrame:
+    """ORDERED proximity search (SpanNearQuery inOrder=true) through the
+    positional layer, ORACLE-CHECKABLE: as engine_near_topk but the two
+    words must appear in QUERY order (pos_a < pos_b, pos_b − pos_a ≤ slop)."""
+    index_dir = build_bench_index(
+        sf_dir, repeat=1,
+        out_dir=os.path.join(
+            CACHE_ROOT, f"index_{_sf_name(sf_dir)}_r1_pos_v{PAGES_GEN_VERSION}"
+        ),
+        positions=True,
+    )
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    rows = []
+    for q in queries or NEAR_QUERIES:
+        data = eng.search_near(q, slop=slop, k=None, ordered=True)["data"]
+        if not data:
+            continue
+        items = sorted(data, key=lambda r: (-r["abs"], r["url"]))
+        for rank, r in enumerate(items[:10], 1):
+            rows.append(
+                {
+                    "query": q,
+                    "rank": rank,
+                    "url": r["url"],
+                    "score": int(r["abs"]),
+                    "relevance": float(r["relevance"]),
+                }
+            )
+    return pd.DataFrame(rows, columns=["query", "rank", "url", "score", "relevance"])
+
+
+def engine_term_vector(sf_dir: str, doc_id: int | None = None) -> pd.DataFrame:
+    """Per-document term vector through the built index, ORACLE-CHECKABLE:
+    (term, tf) of the page seeded from documents row TERM_VECTOR_DOC_ID —
+    both sides derive the url from the documents table, so the entry is
+    corpus-independent (oracle: the page-token CTE filtered to that url)."""
+    import pyarrow.parquet as pq_
+
+    from .schema import doc_ids_for_urls
+
+    did = TERM_VECTOR_DOC_ID if doc_id is None else doc_id
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    t = pq_.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    src = t.column("source").to_pylist()[t.column("doc_id").to_pylist().index(did)]
+    url = f"https://{src}.bench.example/d/{did:08d}/0"
+    engine_id = int(doc_ids_for_urls([url])[0])
+    return eng.doc_term_vector(engine_id)
 
 
 def engine_search_site(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:

@@ -1596,6 +1596,26 @@ class QueryEngine:
         d = pd.DataFrame({"url": urls, "score": scores})
         return self._ranked_urls(d, scores.max(), k)[cols]
 
+    def doc_term_vector(self, doc_id: int) -> pd.DataFrame:
+        """Per-document term vector (Lucene TermVectors parity — the
+        features/debug surface behind MoreLikeThis and highlighters):
+        (term, tf) of one stored document, term-ascending, re-analyzed from
+        the doc store through the same locator-pruned fetch as
+        :meth:`doc_meta`.  Re-analyze IS the scale answer here: the index
+        is term-major, so reading one doc's vector out of postings would
+        probe the whole vocabulary — exactly why Lucene re-derives vectors
+        from stored fields unless they were stored at index time."""
+        meta = self.doc_meta([int(doc_id)], columns=["text"])
+        m = meta.get(int(doc_id))
+        if not m:
+            return pd.DataFrame({"term": pd.Series(dtype=str),
+                                 "tf": pd.Series(dtype="int64")})
+        items = sorted(self.analyzer.collect_lemmas(m["text"] or "").items())
+        return pd.DataFrame(
+            {"term": [t for t, _ in items],
+             "tf": np.array([n for _, n in items], dtype=np.int64)}
+        )
+
     @staticmethod
     def _norm_text(s: str) -> str:
         """lower → non-alnum→space → squeeze: the oracle-mirrorable surface
@@ -1745,14 +1765,35 @@ class QueryEngine:
                 left += 1
         return best
 
+    @staticmethod
+    def _min_span_ordered(plists: list[np.ndarray]) -> int:
+        """Smallest (last−first) window containing one position from every
+        list IN LIST ORDER at strictly increasing positions — the ordered
+        (SpanNearQuery inOrder=true) counterpart of :meth:`_min_span`.  For
+        each start, greedily chaining the smallest admissible next position
+        is optimal; the chaining is one vectorized ``searchsorted`` per
+        list."""
+        starts = plists[0].astype(np.int64)
+        cur = starts.copy()
+        for p in plists[1:]:
+            p = p.astype(np.int64)
+            idx = np.searchsorted(p, cur, side="right")
+            ok = idx < p.size
+            starts, cur = starts[ok], p[idx[ok]]
+            if cur.size == 0:
+                return 1 << 60
+        return int((cur - starts).min())
+
     def search_near(self, query: str, slop: int = 3, site: str | None = None,
-                    k: int | None = 10) -> dict:
+                    k: int | None = 10, ordered: bool = False) -> dict:
         """Proximity (NEAR/slop) search over the positional layer (engine
         extension, requires a ``positions=True`` build): conjunctive
         candidates and scores as :meth:`search`, kept only when SOME
         occurrence of every distinct query lemma fits in a window of
-        ``slop`` words (min span max−min ≤ slop, order-free — the unordered
-        counterpart of :meth:`search_phrase_positional`).
+        ``slop`` words (min span max−min ≤ slop).  ``ordered=False`` is
+        order-free (SpanNearQuery inOrder=false); ``ordered=True`` requires
+        the lemmas at strictly increasing positions in QUERY order — the
+        unordered/ordered pair of :meth:`search_phrase_positional`.
 
         There is no doc-store fallback: proximity is exactly what positions
         buy (a text re-scan would re-tokenize every candidate).  The verify
@@ -1767,13 +1808,14 @@ class QueryEngine:
             return res
         cand = np.array([r["doc_id"] for r in res["data"]], dtype=np.uint64)
         plists = [self._positions_for(t, cand) for t in lemmas]
+        span_of = self._min_span_ordered if ordered else self._min_span
         ok: set[int] = set()
         for r in res["data"]:
             d = r["doc_id"]
             ls = [pl.get(d) for pl in plists]
             if any(x is None or x.size == 0 for x in ls):
                 continue
-            if self._min_span(ls) <= slop:
+            if span_of(ls) <= slop:
                 ok.add(d)
         verified = [r for r in res["data"] if r["doc_id"] in ok]
         if not verified:

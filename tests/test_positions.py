@@ -205,3 +205,65 @@ def test_incremental_update_inherits_positions(pos_index, tmp_path):
         assert [(r["doc_id"], r["abs"]) for r in a["data"]] == [
             (r["doc_id"], r["abs"]) for r in b["data"]
         ]
+
+
+# --- ordered NEAR (SpanNearQuery inOrder=true) -------------------------------
+
+
+def test_min_span_ordered_bruteforce():
+    from itertools import product
+
+    from rayindex.query import QueryEngine
+
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        m = int(rng.integers(2, 4))
+        lists = [np.sort(rng.choice(60, size=int(rng.integers(1, 6)),
+                                    replace=False)).astype(np.uint32)
+                 for _ in range(m)]
+        got = QueryEngine._min_span_ordered(lists)
+        best = 1 << 60
+        for combo in product(*[l.tolist() for l in lists]):
+            if all(a < b for a, b in zip(combo, combo[1:])):
+                best = min(best, combo[-1] - combo[0])
+        assert got == best
+
+
+def test_near_ordered_subset_and_bruteforce(pos_index):
+    from rayindex.pipelines import NEAR_QUERIES, NEAR_SLOP
+
+    exercised = 0
+    for q in NEAR_QUERIES:
+        uno = {r["doc_id"] for r in pos_index.search_near(q, slop=NEAR_SLOP, k=None)["data"]}
+        res = pos_index.search_near(q, slop=NEAR_SLOP, k=None, ordered=True)
+        got = {r["doc_id"] for r in res["data"]}
+        assert got <= uno, q
+        # independent verify against the doc-store text word positions
+        seq = [t for t, _ in pos_index.analyzer.lemma_positions(q)]
+        lemmas = list(dict.fromkeys(seq))
+        cand = [r["doc_id"] for r in pos_index.search(q, k=None,
+                                                      with_snippets=False)["data"]]
+        meta = pos_index.doc_meta(cand)
+        want = set()
+        for d in cand:
+            pos = _brute_positions(pos_index.analyzer, meta[d]["text"])
+            ls = [pos.get(t, []) for t in lemmas]
+            if any(not x for x in ls):
+                continue
+            ok = False
+            for p1 in ls[0]:
+                cur, alive = p1, True
+                for nxt in ls[1:]:
+                    later = [p for p in nxt if p > cur]
+                    if not later:
+                        alive = False
+                        break
+                    cur = min(later)
+                if alive and cur - p1 <= NEAR_SLOP:
+                    ok = True
+                    break
+            if ok:
+                want.add(d)
+        assert got == want, q
+        exercised += len(got)
+    assert exercised  # ordered NEAR must match something across the set

@@ -778,3 +778,23 @@ def test_next_words_matches_bruteforce(ray_session, curation_sf):
     got = next_words(curation_sf, "run", k=10).to_pandas()
     assert list(zip(got["w2"], got["n"])) == want
     assert got["rank"].tolist() == list(range(1, len(want) + 1))
+
+
+def test_doc_term_vector_bruteforce(engine, fixture_corpus):
+    texts = fixture_corpus.pages.column("text").to_pylist()
+    urls = fixture_corpus.pages.column("url").to_pylist()
+    from rayindex.schema import doc_ids_for_urls
+
+    for i in (3, 17):
+        did = int(doc_ids_for_urls([urls[i]])[0])
+        got = engine.doc_term_vector(did)
+        want: dict[str, int] = {}
+        cleaned = engine.analyzer._strip_re.sub(" ", texts[i].lower()).strip()
+        for w in engine.analyzer._split_re.split(cleaned):
+            if w and w not in engine.analyzer.particles:
+                lem = engine.analyzer.lemma_map.get(w, w)
+                want[lem] = want.get(lem, 0) + 1
+        assert dict(zip(got["term"], got["tf"])) == want
+        assert got["term"].is_monotonic_increasing
+    # unknown id → empty typed frame
+    assert len(engine.doc_term_vector(12345)) == 0
