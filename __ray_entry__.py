@@ -391,6 +391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "related_docs": lambda sf: textops.related_docs(sf, query_doc_id=0, k=10),
         "dup_ngram_fraction": lambda sf: textops.dup_ngram_fraction(sf, n=2),
         "hybrid_rrf": lambda sf: textops.hybrid_rrf(sf, *_SEARCH_TERMS, query_vec_id=0),
+        "hard_negatives": lambda sf: textops.hard_negatives(sf, query_doc_id=0),
         "weighted_sample": textops.weighted_sample,
         # --- rows-only (approximate by design; recall pinned by pytest and
         # recorded as a bench metric) --------------------------------------
@@ -1095,6 +1096,24 @@ def oracle_sql() -> dict[str, str]:
             "s AS (SELECT tfd.doc_id AS doc_id, CAST(sum(tfd.tf * q.tfq) AS BIGINT) AS score "
             "FROM tfd JOIN q USING (term) WHERE tfd.doc_id <> 0 GROUP BY tfd.doc_id) "
             "SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        "hard_negatives": (
+            # MoreLikeThis top-50 lexical neighbors of doc 0, reranked by
+            # embedding cosine ASC (hardest negatives first); the cosine
+            # only orders — rows carry the integer lexical score
+            f"WITH {_T}, "
+            "tfd AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, term), "
+            "q AS (SELECT term, tf AS tfq FROM tfd WHERE doc_id = 0), "
+            "s AS (SELECT tfd.doc_id AS doc_id, CAST(sum(tfd.tf * q.tfq) AS BIGINT) AS lex_score "
+            "FROM tfd JOIN q USING (term) WHERE tfd.doc_id <> 0 GROUP BY tfd.doc_id), "
+            "lex AS (SELECT doc_id, lex_score FROM (SELECT s.*, row_number() OVER "
+            "(ORDER BY lex_score DESC, doc_id) AS lr FROM s) WHERE lr <= 50), "
+            "c AS (SELECT lex.doc_id, lex.lex_score, list_cosine_similarity(e.embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)) AS cos "
+            "FROM lex JOIN embeddings e ON e.vec_id = lex.doc_id) "
+            "SELECT rank, doc_id, lex_score FROM (SELECT CAST(row_number() OVER "
+            "(ORDER BY cos ASC, doc_id) AS BIGINT) AS rank, doc_id, lex_score FROM c) "
+            "WHERE rank <= 10"
         ),
         "dup_ngram_fraction": (
             f"WITH {_TOKL}, "

@@ -182,6 +182,7 @@ def run_once() -> dict:
 
     seg_bytes = _tree_bytes(os.path.join(out_dir, "shard=0", "segments"))
     postings_bytes = _tree_bytes(os.path.join(out_dir, "shard=0", "postings"))
+    docs_bytes = _tree_bytes(os.path.join(out_dir, "shard=0", "docs"))
 
     result = {
         "metric": "index_build_wall_sec",
@@ -199,6 +200,7 @@ def run_once() -> dict:
             "ann_ivf_recall": recall["ivf"],
             "segments_mb": round(seg_bytes / 1e6, 1),
             "postings_checkpoint_mb": round(postings_bytes / 1e6, 1),
+            "docs_mb": round(docs_bytes / 1e6, 1),
             "index_bytes_per_doc": round(seg_bytes / max(1, n_docs), 1),
         },
         "sf": sf_dir,

@@ -2178,6 +2178,51 @@ def dup_ngram_fraction(sf_dir: str, n: int = 2) -> rd.Dataset:
     return per_doc.map_batches(frac, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def hard_negatives(sf_dir: str, query_doc_id: int = 0, n_lexical: int = 50,
+                   k: int = 10) -> pd.DataFrame:
+    """Contrastive hard-negative mining for retrieval training (the
+    DPR/ANCE recipe): the documents LEXICALLY most similar to a query doc
+    (its MoreLikeThis top-``n_lexical``) reranked by embedding cosine
+    ASCENDING — high word overlap, low semantic similarity: exactly the
+    negatives that teach a dual encoder past the lexical-overlap trap.
+
+    Distributed shape: stage 1 is :func:`related_docs` (1-doc query vector
+    broadcast once, streaming partial dot-products, bounded groupby); stage
+    2 touches only the ≤ ``n_lexical`` survivors — one id-filtered pruned
+    read of their embeddings and one tiny matmul.  Float discipline follows
+    :func:`ann_cosine_topk`: the cosine only ORDERS the output and never
+    leaves the operator, so rows hash-exactly against the oracle's
+    ``list_cosine_similarity`` window.  Returns (rank, doc_id, lex_score),
+    hardest (least similar) first, doc_id tiebreak."""
+    import pyarrow.dataset as pads
+
+    empty = pd.DataFrame(
+        {"rank": pd.Series(dtype="int64"), "doc_id": pd.Series(dtype="int64"),
+         "lex_score": pd.Series(dtype="int64")}
+    )
+    lex = related_docs(sf_dir, query_doc_id=query_doc_id, k=n_lexical)
+    if not len(lex):
+        return empty
+    emb_ds = pads.dataset(f"{sf_dir}/embeddings.parquet")
+    q = emb_ds.to_table(filter=pc.field("vec_id") == query_doc_id)
+    if q.num_rows == 0:
+        return empty
+    qv = np.array(q.column("embedding").to_pylist()[0], dtype=np.float64)
+    cand = emb_ds.to_table(
+        filter=pc.field("vec_id").isin([int(x) for x in lex["doc_id"]])
+    )
+    ids = cand.column("vec_id").to_numpy()
+    m = np.stack(cand.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+    cos = (m / np.linalg.norm(m, axis=1, keepdims=True)) @ (qv / np.linalg.norm(qv))
+    order = np.lexsort((ids, cos))[:k]  # cosine ASC (hardest), then doc_id
+    score_of = dict(zip(lex["doc_id"].astype(int), lex["score"].astype(int)))
+    return pd.DataFrame(
+        {"rank": np.arange(1, len(order) + 1, dtype=np.int64),
+         "doc_id": ids[order].astype(np.int64),
+         "lex_score": np.array([score_of[int(i)] for i in ids[order]], dtype=np.int64)}
+    )
+
+
 def hybrid_rrf(sf_dir: str, term_a: str, term_b: str, query_vec_id: int = 0,
                k: int = 10, rrf_k: int = 60) -> pd.DataFrame:
     """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):

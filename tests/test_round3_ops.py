@@ -798,3 +798,35 @@ def test_doc_term_vector_bruteforce(engine, fixture_corpus):
         assert got["term"].is_monotonic_increasing
     # unknown id → empty typed frame
     assert len(engine.doc_term_vector(12345)) == 0
+
+
+def test_hard_negatives_bruteforce(ray_session):
+    import duckdb
+
+    from rayindex.textops import hard_negatives
+
+    sf = "/root/testdata/sf0.001"
+    got = hard_negatives(sf, query_doc_id=0, n_lexical=50, k=10)
+    want = duckdb.sql(f"""
+        WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(regexp_replace(
+            lower(text), '[^a-z0-9]', ' ', 'g')), ' +')) AS term
+            FROM read_parquet('{sf}/documents.parquet')),
+        t AS (SELECT doc_id, term FROM toks WHERE term <> '' AND term NOT IN
+            ('a','an','the','and','of','in','to','is','on','at','by','for','with')),
+        tfd AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        q AS (SELECT term, tf AS tfq FROM tfd WHERE doc_id = 0),
+        s AS (SELECT tfd.doc_id, CAST(sum(tfd.tf * q.tfq) AS BIGINT) AS lex_score
+            FROM tfd JOIN q USING (term) WHERE tfd.doc_id <> 0 GROUP BY tfd.doc_id),
+        lex AS (SELECT doc_id, lex_score FROM (SELECT s.*, row_number() OVER
+            (ORDER BY lex_score DESC, doc_id) AS lr FROM s) WHERE lr <= 50),
+        e AS (SELECT * FROM read_parquet('{sf}/embeddings.parquet')),
+        c AS (SELECT lex.doc_id, lex.lex_score, list_cosine_similarity(e.embedding,
+            (SELECT embedding FROM e WHERE vec_id = 0)) AS cos
+            FROM lex JOIN e ON e.vec_id = lex.doc_id)
+        SELECT doc_id, lex_score FROM c ORDER BY cos ASC, doc_id LIMIT 10
+    """).fetchdf()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["lex_score"].tolist() == want["lex_score"].tolist()
+    assert got["rank"].tolist() == list(range(1, len(want) + 1))
+    # hard negatives are lexically similar: every row carries a positive score
+    assert (got["lex_score"] > 0).all()
