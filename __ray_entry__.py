@@ -392,6 +392,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_fraction": lambda sf: textops.dup_ngram_fraction(sf, n=2),
         "hybrid_rrf": lambda sf: textops.hybrid_rrf(sf, *_SEARCH_TERMS, query_vec_id=0),
         "hard_negatives": lambda sf: textops.hard_negatives(sf, query_doc_id=0),
+        "chunk_docs": lambda sf: textops.chunk_docs(
+            sf,
+            __import__("rayindex.pipelines", fromlist=["CHUNK_SIZE"]).CHUNK_SIZE,
+            __import__("rayindex.pipelines", fromlist=["CHUNK_OVERLAP"]).CHUNK_OVERLAP,
+        ),
         "weighted_sample": textops.weighted_sample,
         # --- rows-only (approximate by design; recall pinned by pytest and
         # recorded as a bench metric) --------------------------------------
@@ -410,6 +415,8 @@ def oracle_sql() -> dict[str, str]:
     # interpolated (not hardcoded) so editing a pipelines.py constant keeps
     # engine and oracle in lockstep instead of failing as a hash mismatch
     from rayindex.pipelines import (
+        CHUNK_OVERLAP as _chunk_ov,
+        CHUNK_SIZE as _chunk_sz,
         COLLAPSE_PER_SITE as _collapse_n,
         DATED_WINDOW_US as _dated_win,
         FACET_DATES_GRAN_US as _facet_gran,
@@ -1096,6 +1103,22 @@ def oracle_sql() -> dict[str, str]:
             "s AS (SELECT tfd.doc_id AS doc_id, CAST(sum(tfd.tf * q.tfq) AS BIGINT) AS score "
             "FROM tfd JOIN q USING (term) WHERE tfd.doc_id <> 0 GROUP BY tfd.doc_id) "
             "SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        "chunk_docs": (
+            # sliding windows of CHUNK_SIZE tokens at stride size−overlap;
+            # last window = first one reaching the end (no suffix tails)
+            f"WITH {_TOKL}, "
+            "d AS (SELECT doc_id, l, len(l) AS n FROM tokl WHERE len(l) > 0), "
+            "c AS (SELECT doc_id, l, n, unnest(range(CASE WHEN n > "
+            f"{_chunk_sz} THEN 1 + (n - {_chunk_sz} + {_chunk_sz - _chunk_ov} - 1) "
+            f"// {_chunk_sz - _chunk_ov} ELSE 1 END)) AS i FROM d) "
+            "SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, "
+            f"CAST(i * {_chunk_sz - _chunk_ov} AS BIGINT) AS start, "
+            f"CAST(least(i * {_chunk_sz - _chunk_ov} + {_chunk_sz}, n) "
+            f"- i * {_chunk_sz - _chunk_ov} AS BIGINT) AS n_tokens, "
+            f"array_to_string(l[CAST(i * {_chunk_sz - _chunk_ov} + 1 AS BIGINT):"
+            f"CAST(least(i * {_chunk_sz - _chunk_ov} + {_chunk_sz}, n) AS BIGINT)], ' ') "
+            "AS chunk_text FROM c"
         ),
         "hard_negatives": (
             # MoreLikeThis top-50 lexical neighbors of doc 0, reranked by

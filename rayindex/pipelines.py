@@ -74,6 +74,11 @@ WILDCARD_QUERIES = ["sc*", "*ble", "s*n", "*4*", "zz*qq"]
 # left-context word for the next-word-suggestion entry
 NEXT_WORD = "table"
 
+# RAG chunking window for the chunk_docs entry: sized so the ~15-60-token
+# document texts produce both single- and multi-chunk docs
+CHUNK_SIZE = 24
+CHUNK_OVERLAP = 8
+
 # RE2 pattern for the distributed doc-store grep entry (3-digit runs
 # starting with 1 — page ids and body numbers both hit)
 SCAN_REGEX_PATTERN = "1[0-9]{2}"

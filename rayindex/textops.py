@@ -1316,6 +1316,68 @@ def bigram_counts(sf_dir: str, k: int = 50) -> rd.Dataset:
     return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
 
 
+def chunk_docs(sf_dir: str, size: int = 64, overlap: int = 16) -> rd.Dataset:
+    """Sliding-window document chunking — the RAG / context-window prep
+    step every retrieval corpus runs: each doc's surface token stream is
+    cut into windows of ``size`` tokens advancing by ``stride = size −
+    overlap``, stopping at the first window that reaches the end (the
+    LangChain/llama-index convention: no pure-suffix tail windows).
+
+    Emits (doc_id, chunk_id, start, n_tokens, chunk_text): chunk_id is the
+    0-based window index, start its token offset, chunk_text the
+    space-joined window.  Pure streaming map (docs never split across rows
+    → chunking is batch-local, no shuffle at all); the per-chunk string
+    join is the payload being constructed, not bookkeeping.  Docs with no
+    tokens emit nothing."""
+    size, overlap = int(size), int(overlap)
+    if size <= 0 or not (0 <= overlap < size):
+        raise ValueError(f"need size > 0 and 0 <= overlap < size, got {size}/{overlap}")
+    stride = size - overlap
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    _EMPTY = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "chunk_id": pa.array([], pa.int64()),
+         "start": pa.array([], pa.int64()), "n_tokens": pa.array([], pa.int64()),
+         "chunk_text": pa.array([], pa.string())}
+    )
+
+    def chunk(t: pa.Table) -> pa.Table:
+        toks = (
+            t.column("text")
+            .to_pandas()
+            .str.lower()
+            .str.replace(_SURFACE_NON_ALNUM, " ", regex=True)
+            .str.split()
+        )
+        ids = t.column("doc_id").to_numpy()
+        out_ids, out_cid, out_start, out_n, out_text = [], [], [], [], []
+        for did, ws in zip(ids, toks.to_numpy()):
+            n = len(ws)
+            if n == 0:
+                continue
+            # last window start: first s with s + size >= n
+            n_chunks = 1 + max(0, -(-(n - size) // stride)) if n > size else 1
+            for i in range(n_chunks):
+                s = i * stride
+                e = min(s + size, n)
+                out_ids.append(int(did))
+                out_cid.append(i)
+                out_start.append(s)
+                out_n.append(e - s)
+                out_text.append(" ".join(ws[s:e]))
+        if not out_ids:
+            return _EMPTY
+        return pa.table(
+            {"doc_id": pa.array(out_ids, pa.int64()),
+             "chunk_id": pa.array(out_cid, pa.int64()),
+             "start": pa.array(out_start, pa.int64()),
+             "n_tokens": pa.array(out_n, pa.int64()),
+             "chunk_text": pa.array(out_text, pa.string())}
+        )
+
+    return docs.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def next_words(sf_dir: str, word: str, k: int = 10) -> rd.Dataset:
     """Next-word suggestion from the corpus bigram model (the query-builder
     UX next to :func:`bigram_counts`): the top-``k`` words following

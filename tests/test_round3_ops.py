@@ -830,3 +830,49 @@ def test_hard_negatives_bruteforce(ray_session):
     assert got["rank"].tolist() == list(range(1, len(want) + 1))
     # hard negatives are lexically similar: every row carries a positive score
     assert (got["lex_score"] > 0).all()
+
+
+def test_chunk_docs_bruteforce(ray_session, curation_sf):
+    import duckdb
+
+    from rayindex.textops import chunk_docs
+
+    size, overlap = 7, 3
+    stride = size - overlap
+    got = (
+        chunk_docs(curation_sf, size=size, overlap=overlap)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{curation_sf}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    want = []
+    for did, x in texts:
+        ws = re.sub(r"[^a-z0-9]+", " ", x.lower()).split()
+        n = len(ws)
+        if n == 0:
+            continue
+        i = 0
+        while True:
+            s = i * stride
+            e = min(s + size, n)
+            want.append((did, i, s, e - s, " ".join(ws[s:e])))
+            if e >= n:
+                break
+            i += 1
+    assert list(map(tuple, got.values)) == want
+    # multi-chunk docs exist and windows overlap by `overlap` tokens
+    multi = got[got["chunk_id"] > 0]
+    assert len(multi)
+    assert (multi["start"].to_numpy() % stride == 0).all()
+
+
+def test_chunk_docs_rejects_bad_window(ray_session, curation_sf):
+    from rayindex.textops import chunk_docs
+
+    with pytest.raises(ValueError):
+        chunk_docs(curation_sf, size=8, overlap=8)
+    with pytest.raises(ValueError):
+        chunk_docs(curation_sf, size=0, overlap=0)
