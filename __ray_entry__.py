@@ -397,6 +397,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             __import__("rayindex.pipelines", fromlist=["CHUNK_SIZE"]).CHUNK_SIZE,
             __import__("rayindex.pipelines", fromlist=["CHUNK_OVERLAP"]).CHUNK_OVERLAP,
         ),
+        "pack_sequences": lambda sf: textops.pack_sequences(
+            sf, __import__("rayindex.pipelines", fromlist=["PACK_BUDGET"]).PACK_BUDGET
+        ),
         "weighted_sample": textops.weighted_sample,
         # --- rows-only (approximate by design; recall pinned by pytest and
         # recorded as a bench metric) --------------------------------------
@@ -422,6 +425,7 @@ def oracle_sql() -> dict[str, str]:
         FACET_DATES_GRAN_US as _facet_gran,
         NEAR_SLOP as _near_slop,
         NEXT_WORD as _next_word,
+        PACK_BUDGET as _pack_budget,
         SCAN_REGEX_PATTERN as _scan_rx,
         TITLE_BOOST as _title_boost,
     )
@@ -1103,6 +1107,27 @@ def oracle_sql() -> dict[str, str]:
             "s AS (SELECT tfd.doc_id AS doc_id, CAST(sum(tfd.tf * q.tfq) AS BIGINT) AS score "
             "FROM tfd JOIN q USING (term) WHERE tfd.doc_id <> 0 GROUP BY tfd.doc_id) "
             "SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        "pack_sequences": (
+            # per-source greedy first-fit in doc_id order: join while the
+            # running total stays <= budget, else a new sequence; an
+            # oversized doc always opens its own sequence.  The recursion
+            # replays the sequential scan exactly (dedup_near_clusters
+            # discipline: RECURSIVE oracle for an iterative operator).
+            "WITH RECURSIVE "
+            "tok AS (SELECT doc_id, source, CAST(len(list_filter(string_split_regex(trim("
+            "regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g')), ' +'), x -> x <> '')) "
+            "AS BIGINT) AS n_tokens FROM documents), "
+            "t AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM tok), "
+            "p AS ("
+            "SELECT source, rn, doc_id, n_tokens, n_tokens AS fill, 0 AS seq FROM t WHERE rn = 1 "
+            "UNION ALL "
+            "SELECT t.source, t.rn, t.doc_id, t.n_tokens, "
+            f"CASE WHEN p.fill + t.n_tokens <= {_pack_budget} THEN p.fill + t.n_tokens ELSE t.n_tokens END, "
+            f"CASE WHEN p.fill + t.n_tokens <= {_pack_budget} THEN p.seq ELSE p.seq + 1 END "
+            "FROM p JOIN t ON t.source = p.source AND t.rn = p.rn + 1) "
+            "SELECT source, doc_id, n_tokens, CAST(seq AS BIGINT) AS seq_id, "
+            "CAST(fill AS BIGINT) AS seq_fill FROM p"
         ),
         "chunk_docs": (
             # sliding windows of CHUNK_SIZE tokens at stride size−overlap;

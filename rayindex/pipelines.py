@@ -79,6 +79,10 @@ NEXT_WORD = "table"
 CHUNK_SIZE = 24
 CHUNK_OVERLAP = 8
 
+# token budget for the sequence-packing entry (~2-6 docs per sequence at
+# the driver corpus's 15-60-token texts)
+PACK_BUDGET = 128
+
 # RE2 pattern for the distributed doc-store grep entry (3-digit runs
 # starting with 1 — page ids and body numbers both hit)
 SCAN_REGEX_PATTERN = "1[0-9]{2}"

@@ -1316,6 +1316,65 @@ def bigram_counts(sf_dir: str, k: int = 50) -> rd.Dataset:
     return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
 
 
+def pack_sequences(sf_dir: str, budget: int = 256) -> rd.Dataset:
+    """Greedy sequence packing for pretraining batches: within each source,
+    documents are taken in doc_id order and appended to the current
+    training sequence while its token total stays ≤ ``budget``; otherwise a
+    new sequence starts (a doc longer than the budget gets its own
+    sequence).  This is the batch-construction step that keeps GPU context
+    windows full instead of padding — packing is inherently a sequential
+    scan, so the scalable unit is the SOURCE: each source packs
+    independently inside one ``map_groups`` task (the multi-node shape —
+    one partition per corpus shard), and only the skinny (doc_id, source,
+    n_tokens) projection ever shuffles.
+
+    Emits (source, doc_id, n_tokens, seq_id, seq_fill): seq_id is the
+    0-based sequence index within the source, seq_fill the sequence's
+    running token total after this doc."""
+    if int(budget) <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        toks = (
+            t.column("text")
+            .to_pandas()
+            .str.lower()
+            .str.replace(_SURFACE_NON_ALNUM, " ", regex=True)
+            .str.split()
+        )
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "source": t.column("source"),
+             "n_tokens": pa.array(toks.str.len().to_numpy(), pa.int64())}
+        )
+
+    skinny = docs.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+
+    b = int(budget)
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="stable").reset_index(drop=True)
+        seq = np.empty(len(g), dtype=np.int64)
+        fill = np.empty(len(g), dtype=np.int64)
+        cur_seq, cur_fill = 0, 0
+        for i, n in enumerate(g["n_tokens"].to_numpy()):
+            n = int(n)
+            if i == 0:
+                cur_fill = n
+            elif cur_fill + n <= b:
+                cur_fill += n
+            else:  # includes n > b from any fill: oversized doc → own sequence
+                cur_seq += 1
+                cur_fill = n
+            seq[i], fill[i] = cur_seq, cur_fill
+        g["seq_id"] = seq
+        g["seq_fill"] = fill
+        return g[["source", "doc_id", "n_tokens", "seq_id", "seq_fill"]]
+
+    return skinny.groupby("source").map_groups(pack, batch_format="pandas")
+
+
 def chunk_docs(sf_dir: str, size: int = 64, overlap: int = 16) -> rd.Dataset:
     """Sliding-window document chunking — the RAG / context-window prep
     step every retrieval corpus runs: each doc's surface token stream is

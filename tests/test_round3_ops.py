@@ -876,3 +876,47 @@ def test_chunk_docs_rejects_bad_window(ray_session, curation_sf):
         chunk_docs(curation_sf, size=8, overlap=8)
     with pytest.raises(ValueError):
         chunk_docs(curation_sf, size=0, overlap=0)
+
+
+def test_pack_sequences_bruteforce(ray_session, curation_sf):
+    import duckdb
+
+    from rayindex.textops import pack_sequences
+
+    budget = 20
+    got = (
+        pack_sequences(curation_sf, budget=budget)
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    rows = duckdb.sql(
+        f"SELECT doc_id, source, text FROM read_parquet('{curation_sf}/documents.parquet') "
+        "ORDER BY source, doc_id"
+    ).fetchall()
+    want = []
+    state: dict[str, tuple[int, int]] = {}
+    for did, src, text in rows:
+        n = len(re.sub(r"[^a-z0-9]+", " ", text.lower()).split())
+        if src not in state:
+            seq, fill = 0, n
+        else:
+            seq, fill = state[src]
+            if fill + n <= budget:
+                fill += n
+            else:
+                seq, fill = seq + 1, n
+        state[src] = (seq, fill)
+        want.append((src, did, n, seq, fill))
+    assert list(map(tuple, got.values)) == want
+    # the budget is never exceeded EXCEPT by single oversized docs
+    over = got[got["seq_fill"] > budget]
+    assert (over["n_tokens"] > budget).all()
+    assert got.groupby(["source", "seq_id"]).size().gt(0).all()
+
+
+def test_pack_sequences_rejects_bad_budget(ray_session, curation_sf):
+    from rayindex.textops import pack_sequences
+
+    with pytest.raises(ValueError):
+        pack_sequences(curation_sf, budget=0)
