@@ -400,6 +400,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": lambda sf: textops.pack_sequences(
             sf, __import__("rayindex.pipelines", fromlist=["PACK_BUDGET"]).PACK_BUDGET
         ),
+        "winnow_fingerprints": lambda sf: textops.winnow_fingerprints(
+            sf,
+            __import__("rayindex.pipelines", fromlist=["WINNOW_K"]).WINNOW_K,
+            __import__("rayindex.pipelines", fromlist=["WINNOW_W"]).WINNOW_W,
+        ),
         "weighted_sample": textops.weighted_sample,
         # --- rows-only (approximate by design; recall pinned by pytest and
         # recorded as a bench metric) --------------------------------------
@@ -426,6 +431,7 @@ def oracle_sql() -> dict[str, str]:
         NEAR_SLOP as _near_slop,
         NEXT_WORD as _next_word,
         PACK_BUDGET as _pack_budget,
+        WINNOW_W as _winnow_w,
         SCAN_REGEX_PATTERN as _scan_rx,
         TITLE_BOOST as _title_boost,
     )
@@ -1107,6 +1113,22 @@ def oracle_sql() -> dict[str, str]:
             "s AS (SELECT tfd.doc_id AS doc_id, CAST(sum(tfd.tf * q.tfq) AS BIGINT) AS score "
             "FROM tfd JOIN q USING (term) WHERE tfd.doc_id <> 0 GROUP BY tfd.doc_id) "
             "SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        "winnow_fingerprints": (
+            # MOSS winnowing over token 3-grams: md5-LE64 per gram
+            # (md5_number_upper ≡ the engine primitive), window-of-W min per
+            # position, keep windows that fit (or the first when a doc has
+            # < W grams), DISTINCT per doc, uint64 shifted to int64
+            f"WITH {_TOKL}, "
+            "g AS (SELECT doc_id, "
+            "unnest(list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS gram, "
+            "unnest(range(1, len(l) - 1)) AS pos FROM tokl WHERE len(l) >= 3), "
+            "h AS (SELECT doc_id, pos, md5_number_upper(gram) AS hv FROM g), "
+            "wmin AS (SELECT doc_id, pos, "
+            f"min(hv) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND {_winnow_w - 1} FOLLOWING) AS mn, "
+            "count(*) OVER (PARTITION BY doc_id) AS cnt FROM h) "
+            "SELECT DISTINCT doc_id, CAST(CAST(mn AS HUGEINT) - 9223372036854775808 AS BIGINT) AS fp "
+            f"FROM wmin WHERE pos <= greatest(1, cnt - {_winnow_w - 1})"
         ),
         "pack_sequences": (
             # per-source greedy first-fit in doc_id order: join while the

@@ -83,6 +83,11 @@ CHUNK_OVERLAP = 8
 # the driver corpus's 15-60-token texts)
 PACK_BUDGET = 128
 
+# winnowing params: k-gram size is pinned to 3 (the SQL mirror concatenates
+# three tokens literally); window of 4 hashes per the MOSS paper's example
+WINNOW_K = 3
+WINNOW_W = 4
+
 # RE2 pattern for the distributed doc-store grep entry (3-digit runs
 # starting with 1 — page ids and body numbers both hit)
 SCAN_REGEX_PATTERN = "1[0-9]{2}"

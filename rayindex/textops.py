@@ -1316,6 +1316,82 @@ def bigram_counts(sf_dir: str, k: int = 50) -> rd.Dataset:
     return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
 
 
+def winnow_fingerprints(sf_dir: str, k: int = 3, w: int = 4) -> rd.Dataset:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003 —
+    the MOSS algorithm): hash every token ``k``-gram, slide a window of
+    ``w`` consecutive hashes, keep each window's MINIMUM — the guarantee is
+    that any shared run of ≥ w+k−1 tokens between two documents shares a
+    fingerprint, which is what makes it the robust substring-level
+    near-dup/plagiarism signal next to the whole-doc MinHash family.
+    A doc with fewer than ``w`` k-grams contributes min-of-all (one
+    fingerprint); docs with < k tokens contribute nothing.
+
+    Emits DISTINCT (doc_id, fp) with fp = md5-LE64 of the gram, shifted to
+    int64 (the dedup family's hash primitive, so DuckDB mirrors it as
+    ``md5_number_upper``).  Fully batch-local: docs never split across
+    rows, the k-gram build and the sliding-window min are one vectorized
+    pass over the batch's flattened token stream (windows crossing doc
+    boundaries are masked out), and distinct-per-doc needs no shuffle."""
+    if k < 1 or w < 1:
+        raise ValueError(f"need k >= 1 and w >= 1, got {k}/{w}")
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    _EMPTY = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "fp": pa.array([], pa.int64())}
+    )
+
+    def fp(t: pa.Table) -> pa.Table:
+        toks = (
+            t.column("text")
+            .to_pandas()
+            .str.lower()
+            .str.replace(_SURFACE_NON_ALNUM, " ", regex=True)
+            .str.split()
+        )
+        ids = t.column("doc_id").to_numpy()
+        lens = toks.str.len().to_numpy()
+        nz = lens > 0
+        if not nz.any() or lens[nz].max() < k:
+            return _EMPTY
+        flat = np.concatenate([v for v in toks.to_numpy() if len(v)])
+        didx = np.repeat(np.flatnonzero(nz), lens[nz])  # doc slot per token
+        # k-gram start i is valid iff token i+k-1 is still the same doc
+        valid = didx[: len(flat) - k + 1] == didx[k - 1:]
+        g = pd.Series(flat[: len(flat) - k + 1], dtype=object)
+        for j in range(1, k):
+            g = g.str.cat(pd.Series(flat[j: len(flat) - k + 1 + j], dtype=object),
+                          sep=" ")
+        grams = g.to_numpy()[valid]
+        gdoc = didx[: len(flat) - k + 1][valid]
+        if not grams.size:
+            return _EMPTY
+        # hash each DISTINCT gram once (factorize → md5 → gather)
+        codes, uniq = pd.factorize(pd.Series(grams))
+        h = _md5_le64(uniq)[codes]
+        out_doc, out_fp = [], []
+        # per-doc grams are contiguous in stream order
+        starts = np.flatnonzero(np.concatenate(([True], gdoc[1:] != gdoc[:-1])))
+        bounds = np.concatenate((starts, [gdoc.size]))
+        for bi in range(starts.size):
+            lo, hi = int(bounds[bi]), int(bounds[bi + 1])
+            hv = h[lo:hi]
+            if hv.size >= w:
+                mins = np.lib.stride_tricks.sliding_window_view(hv, w).min(axis=1)
+            else:
+                mins = hv.min(keepdims=True)
+            fps = np.unique(mins)
+            out_doc.append(np.full(fps.size, ids[gdoc[lo]], dtype=np.int64))
+            out_fp.append(fps)
+        fp64 = np.concatenate(out_fp).astype(np.uint64)
+        return pa.table(
+            {"doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+             # shift uint64 → int64 (the simhash output discipline)
+             "fp": pa.array((fp64 - np.uint64(1 << 63)).view(np.int64), pa.int64())}
+        )
+
+    return docs.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def pack_sequences(sf_dir: str, budget: int = 256) -> rd.Dataset:
     """Greedy sequence packing for pretraining batches: within each source,
     documents are taken in doc_id order and appended to the current

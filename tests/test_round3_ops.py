@@ -920,3 +920,49 @@ def test_pack_sequences_rejects_bad_budget(ray_session, curation_sf):
 
     with pytest.raises(ValueError):
         pack_sequences(curation_sf, budget=0)
+
+
+def test_winnow_fingerprints_bruteforce(ray_session, curation_sf):
+    import duckdb
+    import hashlib
+
+    from rayindex.textops import winnow_fingerprints
+
+    k, w = 3, 4
+    got = winnow_fingerprints(curation_sf, k=k, w=w).to_pandas()
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{curation_sf}/documents.parquet')"
+    ).fetchall()
+    want: set[tuple[int, int]] = set()
+    for did, x in texts:
+        ws = re.sub(r"[^a-z0-9]+", " ", x.lower()).split()
+        grams = [" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)]
+        if not grams:
+            continue
+        hs = [int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+              for g in grams]
+        if len(hs) >= w:
+            mins = {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
+        else:
+            mins = {min(hs)}
+        want |= {(did, m - (1 << 63)) for m in mins}
+    assert set(map(tuple, got[["doc_id", "fp"]].values)) == want
+
+
+def test_winnow_shared_run_guarantee(ray_session, tmp_path):
+    """Two docs sharing a run of >= w+k-1 tokens must share a fingerprint."""
+    import pyarrow.parquet as pq_
+
+    from rayindex.textops import winnow_fingerprints
+
+    shared = "one two three four five six seven"  # 7 tokens = w+k-1 at 3/4... k+w-1=6
+    docs = pa.table(
+        {"doc_id": pa.array([0, 1], pa.int64()),
+         "text": pa.array([f"alpha beta {shared} gamma",
+                           f"zz qq {shared} yy ww xx"], pa.string())}
+    )
+    pq_.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = winnow_fingerprints(str(tmp_path), k=3, w=4).to_pandas()
+    a = set(got[got["doc_id"] == 0]["fp"])
+    b = set(got[got["doc_id"] == 1]["fp"])
+    assert a & b
