@@ -8,10 +8,12 @@ each SQL-expressible entry has a DuckDB mirror in ``oracle_sql()`` with
 identical column names and semantics — including the hash-based dedup family
 (DuckDB ``md5_number_upper`` ≡ the engine's LE64-of-md5 primitive) and, since
 round 3, both engine top-k entries (url tie-break / tie-inclusive threshold
-sets; BM25 floats mirrored op-for-op, ln ≡ math.log ULP-verified).  Only TWO
-entries remain rows-only: LSH and IVF ANN are approximate by design — their
-recall vs the exact scorer is pinned by pytest and recorded per-round in the
-bench JSON (``ann_lsh_recall`` / ``ann_ivf_recall``).
+sets; BM25 floats mirrored op-for-op, ln ≡ math.log ULP-verified).  Only
+THREE entries remain rows-only: LSH and IVF ANN are approximate by design —
+their recall vs the exact scorer is pinned by pytest and recorded per-round
+in the bench JSON (``ann_lsh_recall`` / ``ann_ivf_recall``) — and the
+trained BPE tokenizer is an iterative algorithm (golden-merge and
+brute-force-equivalence pytest instead).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing here
 calls ``ray.init()`` / ``ray.shutdown()``.
