@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash": textops.sample_hash,
         "tfidf": textops.tfidf,
         "curate_corpus": textops.curate_corpus,
+        "curate_corpus_near": textops.curate_corpus_near,
         "top_terms_per_site": textops.top_terms_per_site,
         "redact_regex": textops.redact_regex,
         "bigram_counts": textops.bigram_counts,
@@ -447,6 +448,24 @@ def oracle_sql() -> dict[str, str]:
         f"({j}, {int(a)}, {int(b)})" for j, (a, b) in enumerate(zip(_mh.a, _mh.b))
     )
     _mask61 = (1 << 61) - 1
+    # MinHash+LSH candidate-pair CTE chain ending in mhp(doc_a, doc_b) —
+    # shared by minhash_lsh_pairs and the composed curate_corpus_near
+    _mh_pairs_ctes = (
+        r"toks AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS l FROM documents), "
+        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1), "
+        "i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS s FROM toks WHERE len(l) >= 3), "
+        f"hv AS (SELECT doc_id, CAST(md5_number_upper(s) & CAST({_mask61} AS UBIGINT) AS HUGEINT) AS hv FROM sh), "
+        f"perms(j, a, b) AS (VALUES {_perm_vals}), "
+        "m AS (SELECT hv.doc_id, p.j, "
+        f"min(((CAST(p.a AS HUGEINT) * hv.hv + p.b) % 18446744073709551616) % {_mask61}) AS sig "
+        "FROM hv CROSS JOIN perms p GROUP BY hv.doc_id, p.j), "
+        "bands AS (SELECT doc_id, CAST(j // 4 AS INTEGER) AS band, "
+        "substr(md5(string_agg(CAST(sig AS VARCHAR), '-' ORDER BY j)), 1, 16) AS band_hash "
+        "FROM m GROUP BY doc_id, j // 4), "
+        "mhp AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b "
+        "FROM bands x JOIN bands y ON x.band = y.band AND x.band_hash = y.band_hash "
+        "AND y.doc_id > x.doc_id)"
+    )
     out = {
         "doc_tf": f"WITH {_T} SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, term",
         "term_df": f"WITH {_T} SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY term",
@@ -1330,20 +1349,23 @@ def oracle_sql() -> dict[str, str]:
             # ((a*h + b) mod 2^64) mod p — mirrored with the double modulo.
             # The Ray side also caps pathological buckets at LSH_BUCKET_CAP
             # (512); fixture buckets are far smaller, so the sets agree.
-            r"WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS l FROM documents), "
-            "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1), "
-            "i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS s FROM toks WHERE len(l) >= 3), "
-            f"hv AS (SELECT doc_id, CAST(md5_number_upper(s) & CAST({_mask61} AS UBIGINT) AS HUGEINT) AS hv FROM sh), "
-            f"perms(j, a, b) AS (VALUES {_perm_vals}), "
-            "m AS (SELECT hv.doc_id, p.j, "
-            f"min(((CAST(p.a AS HUGEINT) * hv.hv + p.b) % 18446744073709551616) % {_mask61}) AS sig "
-            "FROM hv CROSS JOIN perms p GROUP BY hv.doc_id, p.j), "
-            "bands AS (SELECT doc_id, CAST(j // 4 AS INTEGER) AS band, "
-            "substr(md5(string_agg(CAST(sig AS VARCHAR), '-' ORDER BY j)), 1, 16) AS band_hash "
-            "FROM m GROUP BY doc_id, j // 4) "
-            "SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b "
-            "FROM bands x JOIN bands y ON x.band = y.band AND x.band_hash = y.band_hash "
-            "AND y.doc_id > x.doc_id ORDER BY doc_a, doc_b"
+            f"WITH {_mh_pairs_ctes} "
+            "SELECT doc_a, doc_b FROM mhp ORDER BY doc_a, doc_b"
+        ),
+        "curate_corpus_near": (
+            # the composed RefinedWeb pipeline: minhash pairs (same CTEs as
+            # minhash_lsh_pairs) → recursive transitive closure → min-id
+            # winner per cluster → n_chars gate → md5-LE64 hash sample
+            f"WITH RECURSIVE {_mh_pairs_ctes}, "
+            "e AS (SELECT doc_a AS a, doc_b AS b FROM mhp "
+            "UNION ALL SELECT doc_b, doc_a FROM mhp), "
+            "reach(src, dst) AS (SELECT doc_id, doc_id FROM documents "
+            "UNION SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst), "
+            "cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src), "
+            "win AS (SELECT doc_id FROM cl WHERE doc_id = cluster_id) "
+            "SELECT d.doc_id, d.source, d.n_chars FROM documents d JOIN win USING (doc_id) "
+            "WHERE d.n_chars >= 50 AND "
+            "md5_number_upper(CAST(d.doc_id AS VARCHAR)) % 100 < 50"
         ),
         "media_frames": (
             # documents are ASCII, so VARCHAR substr == byte slicing of the

@@ -426,6 +426,19 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
                          "doc_b": np.concatenate(out_b).astype(np.int64)})
 
 
+def _minhash_pairs_ds(sf_dir: str) -> rd.Dataset:
+    """Deduplicated MinHash+LSH candidate-pair DATASET (doc_a, doc_b, _n) —
+    the distributed core shared by :func:`minhash_lsh_pairs` (driver
+    result) and :func:`curate_corpus_near` (pairs stay distributed)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sigs = docs.map_batches(MinHasher(), batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        sigs.groupby(["band", "band_hash"]).map_groups(_bucket_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(_Count(alias_name="_n"))
+    )
+
+
 def minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH near-duplicate candidate pairs (deduplicated).
 
@@ -434,13 +447,7 @@ def minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
     driver only ever receives the final deduplicated pair set — never the
     per-band candidate multiset (previously a driver-side
     ``to_pandas().drop_duplicates()`` over all candidates)."""
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    sigs = docs.map_batches(MinHasher(), batch_format="pyarrow", zero_copy_batch=True)
-    pairs = (
-        sigs.groupby(["band", "band_hash"]).map_groups(_bucket_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(_Count(alias_name="_n"))
-    )
+    pairs = _minhash_pairs_ds(sf_dir)
     pdf = pairs.to_pandas()  # already-deduplicated final output, O(pairs)
     if len(pdf) == 0 or "doc_a" not in pdf.columns:
         return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")})
@@ -1061,11 +1068,23 @@ def dedup_near_clusters(sf_dir: str, tau: float = 0.4, max_iters: int = 64) -> p
     edges = pairs_ds.map_batches(
         symmetrize, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+    labels = _min_label_clusters(labels, edges, max_iters)
+    out = labels.to_pandas().rename(columns={"node": "vec_id", "label": "cluster_id"})
+    return out.astype({"vec_id": "int64", "cluster_id": "int64"}).sort_values(
+        "vec_id"
+    ).reset_index(drop=True)
+
+
+def _min_label_clusters(labels: rd.Dataset, edges: rd.Dataset,
+                        max_iters: int) -> rd.Dataset:
+    """Iterative min-label propagation (the distributed connected-components
+    core shared by :func:`dedup_near_clusters` and
+    :func:`curate_corpus_near`): ``labels`` = (node, label=node) Dataset,
+    ``edges`` = MATERIALIZED symmetric (src, dst) Dataset.  Each round is
+    one hash join + one groupby-min; the monotone label sum is the
+    convergence test.  Returns the converged (node, label) Dataset."""
     if edges.count() == 0:
-        out = labels.to_pandas().rename(columns={"node": "vec_id", "label": "cluster_id"})
-        return out.astype({"vec_id": "int64", "cluster_id": "int64"}).sort_values(
-            "vec_id"
-        ).reset_index(drop=True)
+        return labels
     num_partitions = max(2, _task_cpus() // 2)
     labels = labels.materialize()
     prev_sum = labels.sum("label")
@@ -1088,10 +1107,7 @@ def dedup_near_clusters(sf_dir: str, tau: float = 0.4, max_iters: int = 64) -> p
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    out = labels.to_pandas().rename(columns={"node": "vec_id", "label": "cluster_id"})
-    return out.astype({"vec_id": "int64", "cluster_id": "int64"}).sort_values(
-        "vec_id"
-    ).reset_index(drop=True)
+    return labels
 
 
 def dedup_corpus(sf_dir: str, out_dir: str | None = None) -> rd.Dataset:
@@ -1570,6 +1586,73 @@ def next_words(sf_dir: str, word: str, k: int = 10) -> rd.Dataset:
     return agg.repartition(1).map_batches(
         add_rank, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def curate_corpus_near(sf_dir: str, min_chars: int = 50, rate_pct: int = 50,
+                       max_iters: int = 64, out_dir: str | None = None) -> rd.Dataset:
+    """The RefinedWeb-shape curation pipeline end-to-end with NEAR-dup
+    removal: MinHash+LSH candidate pairs → connected components → keep each
+    cluster's min-doc_id winner → quality gate → deterministic hash sample
+    → (optional) partitioned sink.  The near-dup upgrade of
+    :func:`curate_corpus` (which removes exact dups only).
+
+    Every stage stays distributed: the pair graph is the
+    :func:`_minhash_pairs_ds` Dataset (never driver pandas), components run
+    through the shared :func:`_min_label_clusters` join+groupby loop,
+    winners are a hash JOIN against the gated+sampled scan (filter pushed
+    to the read) — the driver sees nothing but the final result."""
+    pairs = _minhash_pairs_ds(sf_dir)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        if "doc_a" not in t.schema.names or t.num_rows == 0:
+            # empty shuffle partitions arrive schema-less: pin (src, dst)
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        a = t.column("doc_a").cast(pa.int64()).combine_chunks()
+        b = t.column("doc_b").cast(pa.int64()).combine_chunks()
+        return pa.table(
+            {"src": pa.concat_arrays([a, b]), "dst": pa.concat_arrays([b, a])}
+        )
+
+    edges = (
+        pairs.map_batches(symmetrize, batch_format="pyarrow", zero_copy_batch=True)
+        # consolidate away the schema-less EMPTY partitions the pair
+        # aggregate's hash shuffle can emit (they skip map fns entirely and
+        # would poison the propagation join's right side)
+        .repartition(max(2, _task_cpus() // 2))
+        .materialize()
+    )
+    labels = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        lambda t: pa.table({"node": t.column("doc_id"), "label": t.column("doc_id")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    labels = _min_label_clusters(labels, edges, max_iters)
+    winners = labels.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.filter(pc.equal(t.column("node"), t.column("label"))).column("node")}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+        filter=(pc.field("n_chars") >= min_chars),
+    )
+
+    def keep_sampled(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pandas().astype(str)
+        h = _md5_le64(list(ids)) % np.uint64(100)
+        return t.filter(pa.array(h < rate_pct))
+
+    sampled = docs.map_batches(keep_sampled, batch_format="pyarrow", zero_copy_batch=True)
+    kept = sampled.join(
+        winners, join_type="inner", num_partitions=max(2, _task_cpus() // 2),
+        on=("doc_id",),
+    ).select_columns(["doc_id", "source", "n_chars"])
+    if out_dir:
+        kept.write_parquet(out_dir, partition_cols=["source"])
+    return kept
 
 
 def lm_score(sf_dir: str, add_k: int = 1) -> rd.Dataset:

@@ -966,3 +966,40 @@ def test_winnow_shared_run_guarantee(ray_session, tmp_path):
     a = set(got[got["doc_id"] == 0]["fp"])
     b = set(got[got["doc_id"] == 1]["fp"])
     assert a & b
+
+
+def test_curate_corpus_near_drops_planted_near_dups(ray_session, tmp_path):
+    import hashlib
+
+    import pyarrow.parquet as pq_
+
+    from rayindex.textops import curate_corpus_near
+
+    rng = np.random.default_rng(11)
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    texts, sources = [], []
+    for i in range(30):
+        if i in (5, 6, 7):
+            texts.append(base)  # identical shingle sets → same LSH buckets
+        else:
+            # DISTINCT token streams: no shared shingles with anything else
+            texts.append(" ".join(f"w{i}x{int(v)}" for v in rng.integers(0, 9, 24)))
+        sources.append(f"s{i % 2}")
+    docs = pa.table(
+        {"doc_id": pa.array(range(30), pa.int64()),
+         "text": pa.array(texts, pa.string()),
+         "source": pa.array(sources, pa.string()),
+         "n_chars": pa.array([len(t) for t in texts], pa.int64())}
+    )
+    pq_.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = curate_corpus_near(str(tmp_path), min_chars=10, rate_pct=100).to_pandas()
+    kept = set(got["doc_id"])
+    # exactly one of the identical trio survives: the min doc_id; every
+    # distinct-stream doc survives untouched
+    assert kept == {i for i in range(30) if i not in (6, 7)}
+    # the md5 sample rule at rate 40 is a strict deterministic subset
+    s40 = curate_corpus_near(str(tmp_path), min_chars=10, rate_pct=40).to_pandas()
+    rule = {d for d in kept
+            if int.from_bytes(hashlib.md5(str(d).encode()).digest()[:8], "little") % 100 < 40}
+    assert set(s40["doc_id"]) == rule
