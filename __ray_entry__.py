@@ -223,6 +223,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": textops.ann_cosine_topk,
         # --- temporal / streaming ops over the events table --------------
         "events_windowed": __import__("rayindex.events", fromlist=["windowed_counts"]).windowed_counts,
+        "events_retention": __import__(
+            "rayindex.events", fromlist=["retention_cohorts"]
+        ).retention_cohorts,
         "events_sessions": __import__("rayindex.events", fromlist=["sessionize"]).sessionize,
         "events_asof": __import__("rayindex.events", fromlist=["asof_last_error"]).asof_last_error,
         "events_hopping": __import__("rayindex.events", fromlist=["hopping_counts"]).hopping_counts,
@@ -366,6 +369,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engine_upsert_search": __import__(
             "rayindex.pipelines", fromlist=["engine_upsert_search"]
         ).engine_upsert_search,
+        # --- sharded build (2 url-hash shards) must serve the flagship
+        # results bit-for-bit — shares engine_search_scores' oracle ---------
+        "engine_sharded_search": __import__(
+            "rayindex.pipelines", fromlist=["engine_sharded_search"]
+        ).engine_sharded_search,
         # --- round-3 distributed serving tier: query log → actor pool of
         # engine replicas; values independent of batching/pool size ---------
         "engine_batch_search": __import__(
@@ -1458,6 +1466,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_events, "
             "CAST(sum(cents) AS BIGINT) AS sum_cents FROM w GROUP BY window_start_us, event_type"
         ),
+        "events_retention": (
+            # cohort = period of a user's first event (10-min periods);
+            # n_users = distinct users active in (cohort, offset)
+            "WITH e AS (SELECT user_id, (epoch_us(ts) // 600000000) * 600000000 AS per FROM events), "
+            "up AS (SELECT DISTINCT user_id, per FROM e), "
+            "c AS (SELECT user_id, min(per) AS cohort FROM up GROUP BY user_id) "
+            "SELECT CAST(c.cohort AS BIGINT) AS cohort_ts, "
+            "CAST((up.per - c.cohort) // 600000000 AS BIGINT) AS period_offset, "
+            "CAST(count(*) AS BIGINT) AS n_users FROM up JOIN c USING (user_id) "
+            "GROUP BY 1, 2"
+        ),
         "events_sessions": (
             "WITH o AS (SELECT user_id, ts, event_id, "
             "CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE "
@@ -1491,6 +1510,9 @@ def oracle_sql() -> dict[str, str]:
     # upsert ≡ rebuild: keep-latest merge of a stale index + re-crawl serves
     # the same scores as one full build over the true pages
     out["engine_upsert_search"] = out["engine_search_scores"]
+    # sharded build ≡ single build: the shard namespace changes doc ids,
+    # never scores/urls, so a 2-shard build serves identical results
+    out["engine_sharded_search"] = out["engine_search_scores"]
     # PForDelta ≡ varbyte: both codecs decode to the same posting lists, so
     # either codec's index serves identical scores (tests/test_pfor_build.py)
     out["engine_search_scores_pfor"] = out["engine_search_scores"]

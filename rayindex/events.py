@@ -322,3 +322,57 @@ def funnel_steps(sf_dir: str, steps: tuple[str, ...] = ("view", "click", "purcha
         )
 
     return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def retention_cohorts(sf_dir: str, period_minutes: int = 10) -> rd.Dataset:
+    """Retention-cohort matrix — the product-analytics staple next to
+    :func:`sessionize`: users are cohorted by the period of their FIRST
+    event (period = ``period_minutes`` tumbling buckets) and counted in
+    every later period they return in.  Emits (cohort_ts, period_offset,
+    n_users): cohort_ts = epoch-µs of the cohort period start,
+    period_offset = whole periods since the cohort (0 = the cohort period
+    itself).
+
+    Shape: per-batch DISTINCT (user, period) partials → one distinct
+    groupby, one per-user Min (the cohort), one hash join back, one final
+    (cohort, offset) count — every stage vocabulary- or user-bounded, no
+    driver materialization, integers end-to-end."""
+    from ray.data.aggregate import Count, Min
+
+    p_us = int(period_minutes) * 60 * US
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy()
+        per = (us // p_us) * p_us
+        uid = t.column("user_id").to_numpy()
+        pairs = np.unique(np.stack([uid, per], axis=1), axis=0)
+        return pa.table(
+            {"user_id": pa.array(pairs[:, 0], pa.int64()),
+             "per": pa.array(pairs[:, 1], pa.int64())}
+        )
+
+    up = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "per"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    cohort = up.groupby("user_id").aggregate(Min("per", alias_name="cohort"))
+    from .textops import _task_cpus
+
+    joined = up.join(cohort, join_type="inner",
+                     num_partitions=max(2, _task_cpus() // 2), on=("user_id",))
+
+    def offsets(t: pa.Table) -> pa.Table:
+        per = t.column("per").to_numpy()
+        coh = t.column("cohort").to_numpy()
+        return pa.table(
+            {"cohort_ts": pa.array(coh, pa.int64()),
+             "period_offset": pa.array((per - coh) // p_us, pa.int64())}
+        )
+
+    return (
+        joined.map_batches(offsets, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["cohort_ts", "period_offset"])
+        .aggregate(Count(alias_name="n_users"))
+    )

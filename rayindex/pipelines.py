@@ -885,6 +885,39 @@ def engine_merged_search(sf_dir: str, queries: list[str] | None = None) -> pd.Da
     return pd.DataFrame(rows, columns=["query", "url", "score", "relevance"])
 
 
+def engine_sharded_search(sf_dir: str, queries: list[str] | None = None,
+                          num_shards: int = 2) -> pd.DataFrame:
+    """Flagship search served from a SHARDED build (``build_all`` with two
+    url-hash shards — the multi-node unit): doc ids carry the shard
+    namespace in their low bits, the engine fans every lookup across shard
+    dirs, and scores / cutoff / normalization must match a single-shard
+    build bit-for-bit — so this shares engine_search_scores' oracle."""
+    from .build import build_all
+
+    out_dir = os.path.join(
+        CACHE_ROOT, f"index_{_sf_name(sf_dir)}_sh{num_shards}_v{PAGES_GEN_VERSION}"
+    )
+    pages = bench_pages(sf_dir, repeat=1)
+    if not os.path.exists(os.path.join(out_dir, ".done")):
+        build_all(pages, out_dir, SIMPLE_SPEC, num_shards=num_shards)
+        open(os.path.join(out_dir, ".done"), "w").close()
+    eng = QueryEngine(out_dir, SIMPLE_SPEC)
+    rows = []
+    for q in queries or FLAGSHIP_QUERIES:
+        res = eng.search(q, k=None, with_snippets=False)
+        meta = eng.doc_meta([r["doc_id"] for r in res["data"]])
+        for r in res["data"]:
+            rows.append(
+                {
+                    "query": q,
+                    "url": meta[r["doc_id"]]["url"],
+                    "score": int(r["abs"]),
+                    "relevance": float(r["relevance"]),
+                }
+            )
+    return pd.DataFrame(rows, columns=["query", "url", "score", "relevance"])
+
+
 def _upsert_crawls(sf_dir: str) -> list[str]:
     """Two OVERLAPPING crawls of the bench url space for the upsert merge:
 

@@ -1003,3 +1003,28 @@ def test_curate_corpus_near_drops_planted_near_dups(ray_session, tmp_path):
     rule = {d for d in kept
             if int.from_bytes(hashlib.md5(str(d).encode()).digest()[:8], "little") % 100 < 40}
     assert set(s40["doc_id"]) == rule
+
+
+def test_retention_cohorts_bruteforce(ray_session, tmp_path):
+    import pyarrow.parquet as pq_
+
+    from rayindex.events import retention_cohorts
+
+    us = 1_000_000
+    p = 10 * 60 * us
+    rows = [  # (user, period_index): u1 cohort 0 active 0/1/3; u2 cohort 1 active 1; u3 cohort 0 active 0
+        (1, 0), (1, 0), (1, 1), (1, 3), (2, 1), (3, 0),
+    ]
+    ev = pa.table(
+        {"event_id": pa.array(range(len(rows)), pa.int64()),
+         "ts": pa.array([r[1] * p + 123 for r in rows], pa.timestamp("us")),
+         "user_id": pa.array([r[0] for r in rows], pa.int64()),
+         "event_type": pa.array(["click"] * len(rows), pa.string()),
+         "value": pa.array([1.0] * len(rows), pa.float64()),
+         "props": pa.array(["{}"] * len(rows), pa.string())}
+    )
+    pq_.write_table(ev, str(tmp_path / "events.parquet"))
+    got = retention_cohorts(str(tmp_path), period_minutes=10).to_pandas()
+    got = {(int(r.cohort_ts), int(r.period_offset)): int(r.n_users)
+           for r in got.itertuples()}
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (p, 0): 1}
