@@ -474,6 +474,39 @@ def oracle_sql() -> dict[str, str]:
         "FROM bands x JOIN bands y ON x.band = y.band AND x.band_hash = y.band_hash "
         "AND y.doc_id > x.doc_id)"
     )
+
+    def _near_sql(pred: str) -> str:
+        """The NEAR oracle chain — unordered and ordered differ only in the
+        position predicate."""
+        return (
+            f"WITH {_PTOKS}, "
+            "pagetokl AS (SELECT url, list_filter(string_split_regex(trim(regexp_replace("
+            "lower(full_text), '[^a-z0-9]', ' ', 'g')), ' +'), x -> x <> '') AS l FROM pages), "
+            "posr AS (SELECT url, unnest(l) AS term, unnest(range(1, len(l)+1)) AS pos FROM pagetokl), "
+            "tf AS (SELECT url, term, count(*) AS tf FROM pt GROUP BY url, term), "
+            "df AS (SELECT term, count(DISTINCT url) AS df FROM pt GROUP BY term), "
+            "q(query, term) AS (VALUES "
+            + ", ".join(f"('{q}', '{t}')" for q, t in _near_query_terms())
+            + "), "
+            "qp(query, t1, t2) AS (VALUES "
+            + ", ".join(f"('{q}', '{a}', '{b}')" for q, a, b in _near_query_pairs())
+            + "), "
+            "kept AS (SELECT q.query, q.term FROM q JOIN df USING (term) "
+            "WHERE 200 * df.df < 159 * (SELECT count(*) FROM documents)), "
+            "nk AS (SELECT query, count(*) AS n_terms FROM kept GROUP BY query), "
+            "hits AS (SELECT k.query, t.url, t.term, t.tf FROM kept k JOIN tf t USING (term)), "
+            "cand AS (SELECT query, url, count(DISTINCT term) AS c, CAST(sum(tf) AS BIGINT) AS score "
+            "FROM hits GROUP BY query, url), "
+            "co AS (SELECT c.query, c.url, c.score FROM cand c JOIN nk USING (query) WHERE c.c = nk.n_terms), "
+            "ver AS (SELECT co.query, co.url, co.score FROM co JOIN qp USING (query) "
+            "WHERE EXISTS (SELECT 1 FROM posr a, posr b WHERE a.url = co.url AND b.url = co.url "
+            f"AND a.term = qp.t1 AND b.term = qp.t2 AND {pred})), "
+            "ranked AS (SELECT query, url, score, "
+            "CAST(score AS DOUBLE) / max(score) OVER (PARTITION BY query) AS relevance, "
+            "row_number() OVER (PARTITION BY query ORDER BY score DESC, url) AS rn FROM ver) "
+            "SELECT query, CAST(rn AS BIGINT) AS rank, url, score, relevance "
+            "FROM ranked WHERE rn <= 10"
+        )
     out = {
         "doc_tf": f"WITH {_T} SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, term",
         "term_df": f"WITH {_T} SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY term",
@@ -901,66 +934,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query, CAST(rn AS BIGINT) AS rank, url, score, relevance "
             "FROM ranked WHERE rn <= 10"
         ),
-        "engine_near_topk": (
-            # conjunctive candidates (cutoff semantics) + proximity verify:
-            # some occurrence pair of the two words within NEAR_SLOP ordinals
-            f"WITH {_PTOKS}, "
-            "pagetokl AS (SELECT url, list_filter(string_split_regex(trim(regexp_replace("
-            "lower(full_text), '[^a-z0-9]', ' ', 'g')), ' +'), x -> x <> '') AS l FROM pages), "
-            "posr AS (SELECT url, unnest(l) AS term, unnest(range(1, len(l)+1)) AS pos FROM pagetokl), "
-            "tf AS (SELECT url, term, count(*) AS tf FROM pt GROUP BY url, term), "
-            "df AS (SELECT term, count(DISTINCT url) AS df FROM pt GROUP BY term), "
-            "q(query, term) AS (VALUES "
-            + ", ".join(f"('{q}', '{t}')" for q, t in _near_query_terms())
-            + "), "
-            "qp(query, t1, t2) AS (VALUES "
-            + ", ".join(f"('{q}', '{a}', '{b}')" for q, a, b in _near_query_pairs())
-            + "), "
-            "kept AS (SELECT q.query, q.term FROM q JOIN df USING (term) "
-            "WHERE 200 * df.df < 159 * (SELECT count(*) FROM documents)), "
-            "nk AS (SELECT query, count(*) AS n_terms FROM kept GROUP BY query), "
-            "hits AS (SELECT k.query, t.url, t.term, t.tf FROM kept k JOIN tf t USING (term)), "
-            "cand AS (SELECT query, url, count(DISTINCT term) AS c, CAST(sum(tf) AS BIGINT) AS score "
-            "FROM hits GROUP BY query, url), "
-            "co AS (SELECT c.query, c.url, c.score FROM cand c JOIN nk USING (query) WHERE c.c = nk.n_terms), "
-            "ver AS (SELECT co.query, co.url, co.score FROM co JOIN qp USING (query) "
-            "WHERE EXISTS (SELECT 1 FROM posr a, posr b WHERE a.url = co.url AND b.url = co.url "
-            f"AND a.term = qp.t1 AND b.term = qp.t2 AND abs(a.pos - b.pos) <= {_near_slop})), "
-            "ranked AS (SELECT query, url, score, "
-            "CAST(score AS DOUBLE) / max(score) OVER (PARTITION BY query) AS relevance, "
-            "row_number() OVER (PARTITION BY query ORDER BY score DESC, url) AS rn FROM ver) "
-            "SELECT query, CAST(rn AS BIGINT) AS rank, url, score, relevance "
-            "FROM ranked WHERE rn <= 10"
+        "engine_near_topk": _near_sql(
+            f"abs(a.pos - b.pos) <= {_near_slop}"
         ),
-        "engine_near_ordered_topk": (
-            # as engine_near_topk but IN ORDER: pos(t1) < pos(t2) within slop
-            f"WITH {_PTOKS}, "
-            "pagetokl AS (SELECT url, list_filter(string_split_regex(trim(regexp_replace("
-            "lower(full_text), '[^a-z0-9]', ' ', 'g')), ' +'), x -> x <> '') AS l FROM pages), "
-            "posr AS (SELECT url, unnest(l) AS term, unnest(range(1, len(l)+1)) AS pos FROM pagetokl), "
-            "tf AS (SELECT url, term, count(*) AS tf FROM pt GROUP BY url, term), "
-            "df AS (SELECT term, count(DISTINCT url) AS df FROM pt GROUP BY term), "
-            "q(query, term) AS (VALUES "
-            + ", ".join(f"('{q}', '{t}')" for q, t in _near_query_terms())
-            + "), "
-            "qp(query, t1, t2) AS (VALUES "
-            + ", ".join(f"('{q}', '{a}', '{b}')" for q, a, b in _near_query_pairs())
-            + "), "
-            "kept AS (SELECT q.query, q.term FROM q JOIN df USING (term) "
-            "WHERE 200 * df.df < 159 * (SELECT count(*) FROM documents)), "
-            "nk AS (SELECT query, count(*) AS n_terms FROM kept GROUP BY query), "
-            "hits AS (SELECT k.query, t.url, t.term, t.tf FROM kept k JOIN tf t USING (term)), "
-            "cand AS (SELECT query, url, count(DISTINCT term) AS c, CAST(sum(tf) AS BIGINT) AS score "
-            "FROM hits GROUP BY query, url), "
-            "co AS (SELECT c.query, c.url, c.score FROM cand c JOIN nk USING (query) WHERE c.c = nk.n_terms), "
-            "ver AS (SELECT co.query, co.url, co.score FROM co JOIN qp USING (query) "
-            "WHERE EXISTS (SELECT 1 FROM posr a, posr b WHERE a.url = co.url AND b.url = co.url "
-            f"AND a.term = qp.t1 AND b.term = qp.t2 AND a.pos < b.pos AND b.pos - a.pos <= {_near_slop})), "
-            "ranked AS (SELECT query, url, score, "
-            "CAST(score AS DOUBLE) / max(score) OVER (PARTITION BY query) AS relevance, "
-            "row_number() OVER (PARTITION BY query ORDER BY score DESC, url) AS rn FROM ver) "
-            "SELECT query, CAST(rn AS BIGINT) AS rank, url, score, relevance "
-            "FROM ranked WHERE rn <= 10"
+        "engine_near_ordered_topk": _near_sql(
+            # IN ORDER: t1 strictly before t2 within the slop
+            f"a.pos < b.pos AND b.pos - a.pos <= {_near_slop}"
         ),
         "engine_term_vector": (
             # one page's (term, tf) — the url derived from documents row

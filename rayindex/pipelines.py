@@ -556,6 +556,37 @@ def engine_phrase_pos_topk(sf_dir: str, queries: list[str] | None = None) -> pd.
     return pd.DataFrame(rows, columns=["query", "rank", "url", "score", "relevance"])
 
 
+def _near_topk(sf_dir: str, queries: list[str] | None, slop: int,
+               ordered: bool) -> pd.DataFrame:
+    """Shared body of the two NEAR entries (only the ``ordered`` flag
+    differs)."""
+    index_dir = build_bench_index(
+        sf_dir, repeat=1,
+        out_dir=os.path.join(
+            CACHE_ROOT, f"index_{_sf_name(sf_dir)}_r1_pos_v{PAGES_GEN_VERSION}"
+        ),
+        positions=True,
+    )
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    rows = []
+    for q in queries or NEAR_QUERIES:
+        data = eng.search_near(q, slop=slop, k=None, ordered=ordered)["data"]
+        if not data:
+            continue
+        items = sorted(data, key=lambda r: (-r["abs"], r["url"]))
+        for rank, r in enumerate(items[:10], 1):
+            rows.append(
+                {
+                    "query": q,
+                    "rank": rank,
+                    "url": r["url"],
+                    "score": int(r["abs"]),
+                    "relevance": float(r["relevance"]),
+                }
+            )
+    return pd.DataFrame(rows, columns=["query", "rank", "url", "score", "relevance"])
+
+
 def engine_near_topk(sf_dir: str, queries: list[str] | None = None,
                      slop: int = NEAR_SLOP) -> pd.DataFrame:
     """Proximity (NEAR/slop) search through the positional layer,
@@ -563,31 +594,7 @@ def engine_near_topk(sf_dir: str, queries: list[str] | None = None,
     kept iff some occurrence pair of the two query words sits within
     ``slop`` words (|pos_a − pos_b| ≤ slop).  The oracle replays the window
     over per-page token ordinals."""
-    index_dir = build_bench_index(
-        sf_dir, repeat=1,
-        out_dir=os.path.join(
-            CACHE_ROOT, f"index_{_sf_name(sf_dir)}_r1_pos_v{PAGES_GEN_VERSION}"
-        ),
-        positions=True,
-    )
-    eng = QueryEngine(index_dir, SIMPLE_SPEC)
-    rows = []
-    for q in queries or NEAR_QUERIES:
-        data = eng.search_near(q, slop=slop, k=None)["data"]
-        if not data:
-            continue
-        items = sorted(data, key=lambda r: (-r["abs"], r["url"]))
-        for rank, r in enumerate(items[:10], 1):
-            rows.append(
-                {
-                    "query": q,
-                    "rank": rank,
-                    "url": r["url"],
-                    "score": int(r["abs"]),
-                    "relevance": float(r["relevance"]),
-                }
-            )
-    return pd.DataFrame(rows, columns=["query", "rank", "url", "score", "relevance"])
+    return _near_topk(sf_dir, queries, slop, ordered=False)
 
 
 def engine_near_ordered_topk(sf_dir: str, queries: list[str] | None = None,
@@ -595,31 +602,7 @@ def engine_near_ordered_topk(sf_dir: str, queries: list[str] | None = None,
     """ORDERED proximity search (SpanNearQuery inOrder=true) through the
     positional layer, ORACLE-CHECKABLE: as engine_near_topk but the two
     words must appear in QUERY order (pos_a < pos_b, pos_b − pos_a ≤ slop)."""
-    index_dir = build_bench_index(
-        sf_dir, repeat=1,
-        out_dir=os.path.join(
-            CACHE_ROOT, f"index_{_sf_name(sf_dir)}_r1_pos_v{PAGES_GEN_VERSION}"
-        ),
-        positions=True,
-    )
-    eng = QueryEngine(index_dir, SIMPLE_SPEC)
-    rows = []
-    for q in queries or NEAR_QUERIES:
-        data = eng.search_near(q, slop=slop, k=None, ordered=True)["data"]
-        if not data:
-            continue
-        items = sorted(data, key=lambda r: (-r["abs"], r["url"]))
-        for rank, r in enumerate(items[:10], 1):
-            rows.append(
-                {
-                    "query": q,
-                    "rank": rank,
-                    "url": r["url"],
-                    "score": int(r["abs"]),
-                    "relevance": float(r["relevance"]),
-                }
-            )
-    return pd.DataFrame(rows, columns=["query", "rank", "url", "score", "relevance"])
+    return _near_topk(sf_dir, queries, slop, ordered=True)
 
 
 def engine_term_vector(sf_dir: str, doc_id: int | None = None) -> pd.DataFrame:
@@ -627,15 +610,20 @@ def engine_term_vector(sf_dir: str, doc_id: int | None = None) -> pd.DataFrame:
     (term, tf) of the page seeded from documents row TERM_VECTOR_DOC_ID —
     both sides derive the url from the documents table, so the entry is
     corpus-independent (oracle: the page-token CTE filtered to that url)."""
-    import pyarrow.parquet as pq_
+    import pyarrow.compute as pc_
+    import pyarrow.dataset as pads_
 
     from .schema import doc_ids_for_urls
 
     did = TERM_VECTOR_DOC_ID if doc_id is None else doc_id
     index_dir = build_bench_index(sf_dir, repeat=1)
     eng = QueryEngine(index_dir, SIMPLE_SPEC)
-    t = pq_.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
-    src = t.column("source").to_pylist()[t.column("doc_id").to_pylist().index(did)]
+    t = pads_.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["source"], filter=pc_.field("doc_id") == did
+    )
+    if t.num_rows == 0:
+        raise ValueError(f"doc_id {did} not present in {sf_dir}/documents.parquet")
+    src = t.column("source").to_pylist()[0]
     url = f"https://{src}.bench.example/d/{did:08d}/0"
     engine_id = int(doc_ids_for_urls([url])[0])
     return eng.doc_term_vector(engine_id)

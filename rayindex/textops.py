@@ -1628,31 +1628,19 @@ def curate_corpus_near(sf_dir: str, min_chars: int = 50, rate_pct: int = 50,
         batch_format="pyarrow", zero_copy_batch=True,
     )
     labels = _min_label_clusters(labels, edges, max_iters)
-    winners = labels.map_batches(
-        lambda t: pa.table(
-            {"doc_id": t.filter(pc.equal(t.column("node"), t.column("label"))).column("node")}
-        ),
-        batch_format="pyarrow", zero_copy_batch=True,
+    winners = (
+        # consolidate the label groupby's empty shuffle partitions BEFORE
+        # the filter map (they skip map fns, and a (node, label)-schema
+        # block would poison the curation join — same hazard as edges)
+        labels.repartition(max(2, _task_cpus() // 2))
+        .map_batches(
+            lambda t: pa.table(
+                {"doc_id": t.filter(pc.equal(t.column("node"), t.column("label"))).column("node")}
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
     )
-    docs = rd.read_parquet(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "source", "n_chars"],
-        filter=(pc.field("n_chars") >= min_chars),
-    )
-
-    def keep_sampled(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pandas().astype(str)
-        h = _md5_le64(list(ids)) % np.uint64(100)
-        return t.filter(pa.array(h < rate_pct))
-
-    sampled = docs.map_batches(keep_sampled, batch_format="pyarrow", zero_copy_batch=True)
-    kept = sampled.join(
-        winners, join_type="inner", num_partitions=max(2, _task_cpus() // 2),
-        on=("doc_id",),
-    ).select_columns(["doc_id", "source", "n_chars"])
-    if out_dir:
-        kept.write_parquet(out_dir, partition_cols=["source"])
-    return kept
+    return _curated_join(sf_dir, winners, min_chars, rate_pct, out_dir)
 
 
 def lm_score(sf_dir: str, add_k: int = 1) -> rd.Dataset:
@@ -1844,6 +1832,15 @@ def curate_corpus(sf_dir: str, min_chars: int = 50, rate_pct: int = 50,
     winners = dedup_exact(sf_dir).map_batches(
         lambda t: t.select(["doc_id"]), batch_format="pyarrow", zero_copy_batch=True
     )
+    return _curated_join(sf_dir, winners, min_chars, rate_pct, out_dir)
+
+
+def _curated_join(sf_dir: str, winners: rd.Dataset, min_chars: int,
+                  rate_pct: int, out_dir: str | None) -> rd.Dataset:
+    """Shared curation tail of :func:`curate_corpus` /
+    :func:`curate_corpus_near`: gated scan (n_chars filter pushed to the
+    read) → md5-LE64 hash sample → hash JOIN against the winner ids →
+    optional partitioned sink."""
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "source", "n_chars"],
@@ -2491,6 +2488,8 @@ def hard_negatives(sf_dir: str, query_doc_id: int = 0, n_lexical: int = 50,
     cand = emb_ds.to_table(
         filter=pc.field("vec_id").isin([int(x) for x in lex["doc_id"]])
     )
+    if cand.num_rows == 0:  # embeddings may cover only a corpus sample
+        return empty
     ids = cand.column("vec_id").to_numpy()
     m = np.stack(cand.column("embedding").to_pandas().to_numpy()).astype(np.float64)
     cos = (m / np.linalg.norm(m, axis=1, keepdims=True)) @ (qv / np.linalg.norm(qv))
