@@ -411,6 +411,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": lambda sf: textops.pack_sequences(
             sf, __import__("rayindex.pipelines", fromlist=["PACK_BUDGET"]).PACK_BUDGET
         ),
+        "source_overlap": lambda sf: textops.source_overlap(
+            sf,
+            __import__("rayindex.pipelines", fromlist=["WINNOW_K"]).WINNOW_K,
+            __import__("rayindex.pipelines", fromlist=["WINNOW_W"]).WINNOW_W,
+        ),
+        "blocklist_hits": lambda sf: textops.blocklist_hits(
+            sf, __import__("rayindex.pipelines", fromlist=["BLOCKLIST"]).BLOCKLIST
+        ),
+        "oov_rate": lambda sf: textops.oov_rate(
+            sf, __import__("rayindex.pipelines", fromlist=["OOV_VOCAB_K"]).OOV_VOCAB_K
+        ),
         "winnow_fingerprints": lambda sf: textops.winnow_fingerprints(
             sf,
             __import__("rayindex.pipelines", fromlist=["WINNOW_K"]).WINNOW_K,
@@ -434,6 +445,7 @@ def oracle_sql() -> dict[str, str]:
     # interpolated (not hardcoded) so editing a pipelines.py constant keeps
     # engine and oracle in lockstep instead of failing as a hash mismatch
     from rayindex.pipelines import (
+        BLOCKLIST as _blocklist,
         CHUNK_OVERLAP as _chunk_ov,
         CHUNK_SIZE as _chunk_sz,
         COLLAPSE_PER_SITE as _collapse_n,
@@ -441,6 +453,7 @@ def oracle_sql() -> dict[str, str]:
         FACET_DATES_GRAN_US as _facet_gran,
         NEAR_SLOP as _near_slop,
         NEXT_WORD as _next_word,
+        OOV_VOCAB_K as _oov_k,
         PACK_BUDGET as _pack_budget,
         WINNOW_W as _winnow_w,
         SCAN_REGEX_PATTERN as _scan_rx,
@@ -473,6 +486,22 @@ def oracle_sql() -> dict[str, str]:
         "mhp AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b "
         "FROM bands x JOIN bands y ON x.band = y.band AND x.band_hash = y.band_hash "
         "AND y.doc_id > x.doc_id)"
+    )
+
+    # winnowing CTE chain ending in wfp(doc_id, fp) — shared by
+    # winnow_fingerprints and source_overlap
+    _winnow_ctes = (
+        f"{_TOKL}, "
+        "g AS (SELECT doc_id, "
+        "unnest(list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS gram, "
+        "unnest(range(1, len(l) - 1)) AS pos FROM tokl WHERE len(l) >= 3), "
+        "h AS (SELECT doc_id, pos, md5_number_upper(gram) AS hv FROM g), "
+        "wmin AS (SELECT doc_id, pos, "
+        f"min(hv) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND {_winnow_w - 1} FOLLOWING) AS mn, "
+        "count(*) OVER (PARTITION BY doc_id) AS cnt FROM h), "
+        "wfp AS (SELECT DISTINCT doc_id, "
+        "CAST(CAST(mn AS HUGEINT) - 9223372036854775808 AS BIGINT) AS fp "
+        f"FROM wmin WHERE pos <= greatest(1, cnt - {_winnow_w - 1}))"
     )
 
     def _near_sql(pred: str) -> str:
@@ -1127,16 +1156,39 @@ def oracle_sql() -> dict[str, str]:
             # (md5_number_upper ≡ the engine primitive), window-of-W min per
             # position, keep windows that fit (or the first when a doc has
             # < W grams), DISTINCT per doc, uint64 shifted to int64
-            f"WITH {_TOKL}, "
-            "g AS (SELECT doc_id, "
-            "unnest(list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS gram, "
-            "unnest(range(1, len(l) - 1)) AS pos FROM tokl WHERE len(l) >= 3), "
-            "h AS (SELECT doc_id, pos, md5_number_upper(gram) AS hv FROM g), "
-            "wmin AS (SELECT doc_id, pos, "
-            f"min(hv) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND {_winnow_w - 1} FOLLOWING) AS mn, "
-            "count(*) OVER (PARTITION BY doc_id) AS cnt FROM h) "
-            "SELECT DISTINCT doc_id, CAST(CAST(mn AS HUGEINT) - 9223372036854775808 AS BIGINT) AS fp "
-            f"FROM wmin WHERE pos <= greatest(1, cnt - {_winnow_w - 1})"
+            f"WITH {_winnow_ctes} SELECT doc_id, fp FROM wfp"
+        ),
+        "blocklist_hits": (
+            # wordlist gate over the surface stream (stopwords kept)
+            f"WITH {_TOKL}, tok AS (SELECT doc_id, unnest(l) AS term FROM tokl) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM tok "
+            "WHERE term IN ("
+            + ", ".join(f"'{w}'" for w in _blocklist)
+            + ") GROUP BY doc_id"
+        ),
+        "oov_rate": (
+            # top-K vocabulary by (count desc, term asc); per-doc OOV share
+            f"WITH {_TOKL}, tok AS (SELECT doc_id, unnest(l) AS term FROM tokl), "
+            "c AS (SELECT term, count(*) AS n FROM tok GROUP BY term), "
+            "v AS (SELECT term FROM (SELECT term, row_number() OVER "
+            f"(ORDER BY n DESC, term) AS rn FROM c) WHERE rn <= {_oov_k}), "
+            "per AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov "
+            "FROM tok t LEFT JOIN v ON v.term = t.term GROUP BY t.doc_id) "
+            "SELECT doc_id, n_tokens, n_oov, "
+            "CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate FROM per"
+        ),
+        "source_overlap": (
+            # cross-source contamination: winnow fingerprints shared between
+            # two sources (train/test leakage detector); same CTEs as
+            # winnow_fingerprints
+            f"WITH {_winnow_ctes}, "
+            "sf AS (SELECT DISTINCT d.source, w.fp FROM wfp w "
+            "JOIN documents d USING (doc_id)) "
+            "SELECT a.source AS source_a, b.source AS source_b, "
+            "CAST(count(*) AS BIGINT) AS n_shared_fps "
+            "FROM sf a JOIN sf b ON a.fp = b.fp AND b.source > a.source "
+            "GROUP BY a.source, b.source"
         ),
         "pack_sequences": (
             # per-source greedy first-fit in doc_id order: join while the

@@ -88,6 +88,13 @@ PACK_BUDGET = 128
 WINNOW_K = 3
 WINNOW_W = 4
 
+# blocklist words for the wordlist-gate entry (real corpus vocabulary so
+# hits exist at every sf)
+BLOCKLIST = ("spark", "slow")
+
+# vocabulary size for the OOV-rate quality signal
+OOV_VOCAB_K = 64
+
 # RE2 pattern for the distributed doc-store grep entry (3-digit runs
 # starting with 1 — page ids and body numbers both hit)
 SCAN_REGEX_PATTERN = "1[0-9]{2}"

@@ -1408,6 +1408,140 @@ def winnow_fingerprints(sf_dir: str, k: int = 3, w: int = 4) -> rd.Dataset:
     return docs.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def source_overlap(sf_dir: str, k: int = 3, w: int = 4) -> rd.Dataset:
+    """Cross-source contamination matrix — the train/test leakage detector a
+    corpus split needs: for every source pair, the number of winnowing
+    fingerprints (:func:`winnow_fingerprints`) both sources contain.  A
+    non-trivial count means the two sources share runs of ≥ w+k−1 tokens.
+
+    Shape: the fingerprint Dataset hash-joins the skinny (doc_id, source)
+    projection, one distinct groupby collapses to (source, fp), per-fp
+    groups emit their source pairs (groups are the handful of sources
+    sharing one fingerprint), and a final bounded groupby counts — nothing
+    driver-side.  Emits (source_a, source_b, n_shared_fps), a < b."""
+    from itertools import combinations
+
+    from ray.data.aggregate import Count
+
+    fps = winnow_fingerprints(sf_dir, k=k, w=w)
+    src = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    joined = fps.join(src, join_type="inner",
+                      num_partitions=max(2, _task_cpus() // 2), on=("doc_id",))
+    sf = joined.groupby(["source", "fp"]).aggregate(Count(alias_name="_n"))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ss = sorted(set(g["source"]))
+        out = list(combinations(ss, 2))
+        return pd.DataFrame(out, columns=["source_a", "source_b"])
+
+    return (
+        sf.groupby("fp").map_groups(pairs, batch_format="pandas")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Count(alias_name="n_shared_fps"))
+    )
+
+
+def blocklist_hits(sf_dir: str, words: tuple[str, ...]) -> rd.Dataset:
+    """Blocklist filtering signal (the LDNOOBW-style wordlist gate of a
+    curation pipeline): per document, how many surface tokens fall in
+    ``words``; docs with zero hits emit nothing (they pass the gate).
+    Pure streaming map — the list is a task-local frozenset, no shuffle."""
+    wset = {w.lower() for w in words}
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def hits(t: pa.Table) -> pa.Table:
+        toks = (
+            t.column("text")
+            .to_pandas()
+            .str.lower()
+            .str.replace(_SURFACE_NON_ALNUM, " ", regex=True)
+            .str.split()
+        )
+        n = np.array(
+            [sum(1 for x in ws if x in wset) for ws in toks.to_numpy()],
+            dtype=np.int64,
+        )
+        keep = n > 0
+        return pa.table(
+            {"doc_id": t.column("doc_id").to_numpy()[keep],
+             "n_hits": pa.array(n[keep], pa.int64())}
+        )
+
+    return docs.map_batches(hits, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def oov_rate(sf_dir: str, vocab_k: int = 64) -> rd.Dataset:
+    """Out-of-vocabulary quality signal: the corpus's top-``vocab_k`` surface
+    tokens (by total count, ties term-ascending) form the vocabulary; each
+    doc reports how much of it falls outside — the cheap proxy for the LM
+    perplexity gate (:func:`lm_score`) when no model pass is budgeted.
+
+    Shape: one vocabulary-bounded unigram groupby → a ``vocab_k``-row top
+    table (the ONLY driver materialization, K rows) broadcast via
+    ``ray.put`` → one streaming per-doc pass.  Emits (doc_id, n_tokens,
+    n_oov, oov_rate) for docs with ≥ 1 token; the rate is exact ints → one
+    IEEE divide."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def unigrams(t: pa.Table) -> pa.Table:
+        toks = (
+            t.column("text")
+            .to_pandas()
+            .str.lower()
+            .str.replace(_SURFACE_NON_ALNUM, " ", regex=True)
+            .str.split()
+        )
+        parts = [v for v in toks.to_numpy() if len(v)]
+        if not parts:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        u, c = np.unique(np.concatenate(parts), return_counts=True)
+        return pa.table({"term": pa.array(u, pa.string()),
+                         "n": pa.array(c, pa.int64())})
+
+    top = (
+        docs.map_batches(unigrams, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "term"], descending=[True, False])
+        .limit(int(vocab_k))
+        .to_pandas()
+    )
+    # K strings: small enough to ship in the task closure directly (a model
+    # -sized vocabulary would go through ray.put + an actor pool instead)
+    vocab = frozenset(top["term"])
+
+    def oov_stage(t: pa.Table) -> pa.Table:
+        toks = (
+            t.column("text")
+            .to_pandas()
+            .str.lower()
+            .str.replace(_SURFACE_NON_ALNUM, " ", regex=True)
+            .str.split()
+        )
+        ids = t.column("doc_id").to_numpy()
+        rows_id, rows_nt, rows_oov = [], [], []
+        for did, ws in zip(ids, toks.to_numpy()):
+            if not len(ws):
+                continue
+            oov = sum(1 for x in ws if x not in vocab)
+            rows_id.append(int(did))
+            rows_nt.append(len(ws))
+            rows_oov.append(oov)
+        nt = np.array(rows_nt, dtype=np.int64)
+        ov = np.array(rows_oov, dtype=np.int64)
+        return pa.table(
+            {"doc_id": pa.array(rows_id, pa.int64()),
+             "n_tokens": pa.array(nt, pa.int64()),
+             "n_oov": pa.array(ov, pa.int64()),
+             "oov_rate": pa.array(
+                 ov.astype(np.float64) / np.maximum(nt, 1).astype(np.float64),
+                 pa.float64())}
+        )
+
+    return docs.map_batches(oov_stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def pack_sequences(sf_dir: str, budget: int = 256) -> rd.Dataset:
     """Greedy sequence packing for pretraining batches: within each source,
     documents are taken in doc_id order and appended to the current

@@ -1028,3 +1028,76 @@ def test_retention_cohorts_bruteforce(ray_session, tmp_path):
     got = {(int(r.cohort_ts), int(r.period_offset)): int(r.n_users)
            for r in got.itertuples()}
     assert got == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (p, 0): 1}
+
+
+def test_blocklist_hits_bruteforce(ray_session, curation_sf):
+    import duckdb
+
+    from rayindex.textops import blocklist_hits
+
+    words = ("alpha", "run")
+    got = blocklist_hits(curation_sf, words).to_pandas()
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{curation_sf}/documents.parquet')"
+    ).fetchall()
+    want = {}
+    for did, x in texts:
+        n = sum(1 for t in re.sub(r"[^a-z0-9]+", " ", x.lower()).split() if t in words)
+        if n:
+            want[did] = n
+    assert dict(zip(got["doc_id"], got["n_hits"])) == want
+    assert want  # the gate must actually fire on this corpus
+
+
+def test_oov_rate_bruteforce(ray_session, curation_sf):
+    import duckdb
+
+    from rayindex.textops import oov_rate
+
+    k = 5
+    got = oov_rate(curation_sf, vocab_k=k).to_pandas().set_index("doc_id")
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{curation_sf}/documents.parquet')"
+    ).fetchall()
+    counts: dict[str, int] = {}
+    docs_toks = {}
+    for did, x in texts:
+        ws = re.sub(r"[^a-z0-9]+", " ", x.lower()).split()
+        docs_toks[did] = ws
+        for t in ws:
+            counts[t] = counts.get(t, 0) + 1
+    vocab = {t for t, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]}
+    for did, ws in docs_toks.items():
+        if not ws:
+            assert did not in got.index
+            continue
+        oov = sum(1 for t in ws if t not in vocab)
+        row = got.loc[did]
+        assert int(row["n_tokens"]) == len(ws)
+        assert int(row["n_oov"]) == oov
+        assert row["oov_rate"] == oov / len(ws)
+
+
+def test_source_overlap_planted_leak(ray_session, tmp_path):
+    import pyarrow.parquet as pq_
+
+    from rayindex.textops import source_overlap
+
+    shared = "leak one two three four five six"
+    rng = np.random.default_rng(3)
+    texts, sources = [], []
+    for i in range(12):
+        if i in (0, 6):  # one doc in s0 and one in s1 share a long run
+            texts.append(f"pre{i} {shared} post{i}")
+        else:
+            texts.append(" ".join(f"t{i}x{int(v)}" for v in rng.integers(0, 9, 12)))
+        sources.append("s0" if i < 6 else "s1")
+    docs = pa.table(
+        {"doc_id": pa.array(range(12), pa.int64()),
+         "text": pa.array(texts, pa.string()),
+         "source": pa.array(sources, pa.string())}
+    )
+    pq_.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = source_overlap(str(tmp_path)).to_pandas()
+    row = got[(got["source_a"] == "s0") & (got["source_b"] == "s1")]
+    assert len(row) == 1 and int(row["n_shared_fps"].iloc[0]) >= 1
