@@ -226,6 +226,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": __import__(
             "rayindex.events", fromlist=["retention_cohorts"]
         ).retention_cohorts,
+        "events_anomalies": __import__(
+            "rayindex.events", fromlist=["rate_anomalies"]
+        ).rate_anomalies,
         "events_sessions": __import__("rayindex.events", fromlist=["sessionize"]).sessionize,
         "events_asof": __import__("rayindex.events", fromlist=["asof_last_error"]).asof_last_error,
         "events_hopping": __import__("rayindex.events", fromlist=["hopping_counts"]).hopping_counts,
@@ -1496,6 +1499,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(window_start_us AS BIGINT) AS window_start_us, event_type, "
             "CAST(count(*) AS BIGINT) AS n_events, "
             "CAST(sum(cents) AS BIGINT) AS sum_cents FROM w GROUP BY window_start_us, event_type"
+        ),
+        "events_anomalies": (
+            # per-type z-score over observed 5-min window counts; exact-int
+            # moments → one divide each, mirrored op-for-op (see
+            # events.rate_anomalies float discipline)
+            "WITH w AS (SELECT (epoch_us(ts) // 300000000) * 300000000 AS window_start, "
+            "event_type FROM events), "
+            "c AS (SELECT event_type, window_start, CAST(count(*) AS BIGINT) AS n "
+            "FROM w GROUP BY 1, 2), "
+            "st AS (SELECT event_type, count(*) AS k, sum(n) AS s, sum(n*n) AS ssq "
+            "FROM c GROUP BY event_type), "
+            "z AS (SELECT c.event_type, c.window_start, c.n, "
+            "(CAST(c.n AS DOUBLE) - CAST(st.s AS DOUBLE) / st.k) / "
+            "sqrt(CAST(st.k * st.ssq - st.s * st.s AS DOUBLE) / CAST(st.k * st.k AS DOUBLE)) AS z "
+            "FROM c JOIN st USING (event_type) "
+            "WHERE st.k >= 2 AND st.k * st.ssq - st.s * st.s > 0) "
+            "SELECT event_type, window_start, n, z FROM z WHERE abs(z) >= 2.0"
         ),
         "events_retention": (
             # cohort = period of a user's first event (10-min periods);

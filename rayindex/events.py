@@ -376,3 +376,74 @@ def retention_cohorts(sf_dir: str, period_minutes: int = 10) -> rd.Dataset:
         .groupby(["cohort_ts", "period_offset"])
         .aggregate(Count(alias_name="n_users"))
     )
+
+
+def rate_anomalies(sf_dir: str, window_minutes: int = 5,
+                   z_thresh: float = 2.0) -> rd.Dataset:
+    """Windowed rate-anomaly detection — the streaming-monitoring staple
+    over the event log: per event type, tumbling-window counts are z-scored
+    against that type's own distribution over its OBSERVED (non-empty)
+    windows, and windows with ``|z| ≥ z_thresh`` are flagged.
+
+    Float discipline (hash-exact vs the SQL oracle): counts, Σn and Σn² are
+    exact integers; mean and variance are each ONE IEEE divide of exact
+    ints (var = (k·Σn² − (Σn)²) / k²), sqrt is correctly rounded, and z is
+    one subtract + one divide — mirrored op-for-op.  Types with < 2 windows
+    or zero variance emit nothing.
+
+    Shape: per-batch partial counts → one small (windows × types) groupby →
+    one per-type map_groups over that bounded table.  Emits (event_type,
+    window_start, n, z)."""
+    import math
+
+    w_us = window_minutes * 60 * US
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy()
+        win = (us // w_us) * w_us
+        part = pa.table(
+            {"window_start": pa.array(win, pa.int64()),
+             "event_type": t.column("event_type"),
+             "n": pa.array(np.ones(len(us), np.int64), pa.int64())}
+        )
+        return part.group_by(["window_start", "event_type"]).aggregate([("n", "sum")])
+
+    counts = (
+        ev.map_batches(
+            lambda t: partial(t).rename_columns(["window_start", "event_type", "n"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    _EMPTY = pd.DataFrame(
+        {"event_type": pd.Series(dtype=str),
+         "window_start": pd.Series(dtype="int64"),
+         "n": pd.Series(dtype="int64"), "z": pd.Series(dtype="float64")}
+    )
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].to_numpy(dtype=np.int64)
+        k = int(n.size)
+        if k < 2:
+            return _EMPTY
+        s = int(n.sum())
+        ssq = int((n * n).sum())
+        num = k * ssq - s * s
+        if num <= 0:  # zero variance: every window identical
+            return _EMPTY
+        mean = s / k
+        std = math.sqrt(num / (k * k))
+        z = (n.astype(np.float64) - mean) / std
+        keep = np.abs(z) >= z_thresh
+        if not keep.any():
+            return _EMPTY
+        return pd.DataFrame(
+            {"event_type": g["event_type"].to_numpy()[keep],
+             "window_start": g["window_start"].to_numpy()[keep],
+             "n": n[keep], "z": z[keep]}
+        )
+
+    return counts.groupby("event_type").map_groups(per_type, batch_format="pandas")

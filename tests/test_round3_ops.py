@@ -1101,3 +1101,38 @@ def test_source_overlap_planted_leak(ray_session, tmp_path):
     got = source_overlap(str(tmp_path)).to_pandas()
     row = got[(got["source_a"] == "s0") & (got["source_b"] == "s1")]
     assert len(row) == 1 and int(row["n_shared_fps"].iloc[0]) >= 1
+
+
+def test_rate_anomalies_planted_spike(ray_session, tmp_path):
+    import math
+
+    import pyarrow.parquet as pq_
+
+    from rayindex.events import rate_anomalies
+
+    us = 1_000_000
+    w = 5 * 60 * us
+    # type 'a': 9 quiet windows of 2 events + one spike window of 30
+    rows = []
+    for win in range(10):
+        cnt = 30 if win == 9 else 2
+        for j in range(cnt):
+            rows.append((win * w + j, "a"))
+    # type 'b': constant rate → zero variance → never flagged
+    for win in range(10):
+        rows.append((win * w, "b"))
+    ev = pa.table(
+        {"event_id": pa.array(range(len(rows)), pa.int64()),
+         "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+         "user_id": pa.array([1] * len(rows), pa.int64()),
+         "event_type": pa.array([r[1] for r in rows], pa.string()),
+         "value": pa.array([0.0] * len(rows), pa.float64()),
+         "props": pa.array(["{}"] * len(rows), pa.string())}
+    )
+    pq_.write_table(ev, str(tmp_path / "events.parquet"))
+    got = rate_anomalies(str(tmp_path), window_minutes=5, z_thresh=2.0).to_pandas()
+    assert set(got["event_type"]) == {"a"}
+    assert got["window_start"].tolist() == [9 * w]
+    n = np.array([2] * 9 + [30], dtype=np.float64)
+    z = (30 - n.mean()) / math.sqrt(((10 * (n * n).sum() - n.sum() ** 2) / 100))
+    assert got["z"].iloc[0] == z
