@@ -1162,11 +1162,13 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_winnow_ctes} SELECT doc_id, fp FROM wfp"
         ),
         "blocklist_hits": (
-            # wordlist gate over the surface stream (stopwords kept)
+            # wordlist gate over the surface stream (stopwords kept);
+            # lower + quote-escape so editing BLOCKLIST keeps engine and
+            # oracle in lockstep (the engine lowercases its word set)
             f"WITH {_TOKL}, tok AS (SELECT doc_id, unnest(l) AS term FROM tokl) "
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM tok "
             "WHERE term IN ("
-            + ", ".join(f"'{w}'" for w in _blocklist)
+            + ", ".join("'" + w.lower().replace("'", "''") + "'" for w in _blocklist)
             + ") GROUP BY doc_id"
         ),
         "oov_rate": (

@@ -386,10 +386,15 @@ def rate_anomalies(sf_dir: str, window_minutes: int = 5,
     windows, and windows with ``|z| ≥ z_thresh`` are flagged.
 
     Float discipline (hash-exact vs the SQL oracle): counts, Σn and Σn² are
-    exact integers; mean and variance are each ONE IEEE divide of exact
-    ints (var = (k·Σn² − (Σn)²) / k²), sqrt is correctly rounded, and z is
-    one subtract + one divide — mirrored op-for-op.  Types with < 2 windows
-    or zero variance emit nothing.
+    exact integers; mean and variance each CAST both integer operands to
+    double and then divide ONCE — exactly the oracle's ``CAST(x AS
+    DOUBLE) / y`` (a correctly-rounded exact-rational Python ``s / k``
+    would differ in the last ulp once a moment exceeds 2⁵³, and the
+    oracle's BIGINT k·Σn² overflows around the same scale: parity holds
+    while the moments fit int64, which 5-minute event-rate counts do by
+    many orders of magnitude); sqrt is correctly rounded; z is one subtract
+    + one divide — mirrored op-for-op.  Types with < 2 windows or zero
+    variance emit nothing.
 
     Shape: per-batch partial counts → one small (windows × types) groupby →
     one per-type map_groups over that bounded table.  Emits (event_type,
@@ -434,8 +439,9 @@ def rate_anomalies(sf_dir: str, window_minutes: int = 5,
         num = k * ssq - s * s
         if num <= 0:  # zero variance: every window identical
             return _EMPTY
-        mean = s / k
-        std = math.sqrt(num / (k * k))
+        # cast-then-divide, matching the oracle's CAST(x AS DOUBLE)/y
+        mean = float(s) / float(k)
+        std = math.sqrt(float(num) / float(k * k))
         z = (n.astype(np.float64) - mean) / std
         keep = np.abs(z) >= z_thresh
         if not keep.any():

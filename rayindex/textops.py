@@ -1421,23 +1421,24 @@ def source_overlap(sf_dir: str, k: int = 3, w: int = 4) -> rd.Dataset:
     driver-side.  Emits (source_a, source_b, n_shared_fps), a < b."""
     from itertools import combinations
 
-    from ray.data.aggregate import Count
-
     fps = winnow_fingerprints(sf_dir, k=k, w=w)
     src = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
     joined = fps.join(src, join_type="inner",
                       num_partitions=max(2, _task_cpus() // 2), on=("doc_id",))
-    sf = joined.groupby(["source", "fp"]).aggregate(Count(alias_name="_n"))
+    sf = joined.groupby(["source", "fp"]).aggregate(_Count(alias_name="_n"))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ss = sorted(set(g["source"]))
         out = list(combinations(ss, 2))
-        return pd.DataFrame(out, columns=["source_a", "source_b"])
+        return pd.DataFrame(
+            {"source_a": pd.Series([a for a, _ in out], dtype=str),
+             "source_b": pd.Series([b for _, b in out], dtype=str)}
+        )
 
     return (
         sf.groupby("fp").map_groups(pairs, batch_format="pandas")
         .groupby(["source_a", "source_b"])
-        .aggregate(Count(alias_name="n_shared_fps"))
+        .aggregate(_Count(alias_name="n_shared_fps"))
     )
 
 
@@ -1446,21 +1447,19 @@ def blocklist_hits(sf_dir: str, words: tuple[str, ...]) -> rd.Dataset:
     curation pipeline): per document, how many surface tokens fall in
     ``words``; docs with zero hits emit nothing (they pass the gate).
     Pure streaming map — the list is a task-local frozenset, no shuffle."""
-    wset = {w.lower() for w in words}
+    wlist = sorted({w.lower() for w in words})
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def hits(t: pa.Table) -> pa.Table:
-        toks = (
-            t.column("text")
-            .to_pandas()
-            .str.lower()
-            .str.replace(_SURFACE_NON_ALNUM, " ", regex=True)
-            .str.split()
-        )
-        n = np.array(
-            [sum(1 for x in ws if x in wset) for ws in toks.to_numpy()],
-            dtype=np.int64,
-        )
+        toks = _surface_tokens(t.column("text"))
+        lens = toks.str.len().to_numpy()
+        n = np.zeros(len(lens), dtype=np.int64)
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate([v for v in toks.to_numpy() if len(v)])
+            hit = np.isin(flat, wlist).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+            n[nz] = np.add.reduceat(hit, starts) if hit.size else 0
         keep = n > 0
         return pa.table(
             {"doc_id": t.column("doc_id").to_numpy()[keep],
@@ -1477,20 +1476,14 @@ def oov_rate(sf_dir: str, vocab_k: int = 64) -> rd.Dataset:
     perplexity gate (:func:`lm_score`) when no model pass is budgeted.
 
     Shape: one vocabulary-bounded unigram groupby → a ``vocab_k``-row top
-    table (the ONLY driver materialization, K rows) broadcast via
-    ``ray.put`` → one streaming per-doc pass.  Emits (doc_id, n_tokens,
-    n_oov, oov_rate) for docs with ≥ 1 token; the rate is exact ints → one
-    IEEE divide."""
+    table (the ONLY driver materialization, K rows) shipped in the task
+    closure → one streaming per-doc pass.  Emits (doc_id, n_tokens, n_oov,
+    oov_rate) for docs with ≥ 1 token; the rate is exact ints → one IEEE
+    divide."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def unigrams(t: pa.Table) -> pa.Table:
-        toks = (
-            t.column("text")
-            .to_pandas()
-            .str.lower()
-            .str.replace(_SURFACE_NON_ALNUM, " ", regex=True)
-            .str.split()
-        )
+        toks = _surface_tokens(t.column("text"))
         parts = [v for v in toks.to_numpy() if len(v)]
         if not parts:
             return pa.table({"term": pa.array([], pa.string()),
@@ -1509,34 +1502,28 @@ def oov_rate(sf_dir: str, vocab_k: int = 64) -> rd.Dataset:
     )
     # K strings: small enough to ship in the task closure directly (a model
     # -sized vocabulary would go through ray.put + an actor pool instead)
-    vocab = frozenset(top["term"])
+    vocab = np.sort(top["term"].to_numpy())
 
     def oov_stage(t: pa.Table) -> pa.Table:
-        toks = (
-            t.column("text")
-            .to_pandas()
-            .str.lower()
-            .str.replace(_SURFACE_NON_ALNUM, " ", regex=True)
-            .str.split()
-        )
-        ids = t.column("doc_id").to_numpy()
-        rows_id, rows_nt, rows_oov = [], [], []
-        for did, ws in zip(ids, toks.to_numpy()):
-            if not len(ws):
-                continue
-            oov = sum(1 for x in ws if x not in vocab)
-            rows_id.append(int(did))
-            rows_nt.append(len(ws))
-            rows_oov.append(oov)
-        nt = np.array(rows_nt, dtype=np.int64)
-        ov = np.array(rows_oov, dtype=np.int64)
+        toks = _surface_tokens(t.column("text"))
+        lens = toks.str.len().to_numpy()
+        nz = lens > 0
+        if not nz.any():
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "n_tokens": pa.array([], pa.int64()),
+                 "n_oov": pa.array([], pa.int64()), "oov_rate": pa.array([], pa.float64())}
+            )
+        flat = np.concatenate([v for v in toks.to_numpy() if len(v)])
+        oov_flag = (~np.isin(flat, vocab)).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+        ov = np.add.reduceat(oov_flag, starts)
+        nt = lens[nz].astype(np.int64)
         return pa.table(
-            {"doc_id": pa.array(rows_id, pa.int64()),
+            {"doc_id": pa.array(t.column("doc_id").to_numpy()[nz], pa.int64()),
              "n_tokens": pa.array(nt, pa.int64()),
              "n_oov": pa.array(ov, pa.int64()),
-             "oov_rate": pa.array(
-                 ov.astype(np.float64) / np.maximum(nt, 1).astype(np.float64),
-                 pa.float64())}
+             "oov_rate": pa.array(ov.astype(np.float64) / nt.astype(np.float64),
+                                  pa.float64())}
         )
 
     return docs.map_batches(oov_stage, batch_format="pyarrow", zero_copy_batch=True)
