@@ -318,6 +318,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engine_scan_regex": __import__(
             "rayindex.pipelines", fromlist=["engine_scan_regex"]
         ).engine_scan_regex,
+        "engine_index_stats": __import__(
+            "rayindex.pipelines", fromlist=["engine_index_stats"]
+        ).engine_index_stats,
         "engine_search_collapsed": __import__(
             "rayindex.pipelines", fromlist=["engine_search_collapsed"]
         ).engine_search_collapsed,
@@ -681,6 +684,13 @@ def oracle_sql() -> dict[str, str]:
             )
             + ") "
             "SELECT p.pattern, d.term, d.df FROM p JOIN d ON d.term LIKE p.like_p"
+        ),
+        "engine_index_stats": (
+            # the physical census (segment-row n_docs metadata) must equal
+            # the corpus's logical term/posting counts
+            f"WITH {_PTOKS}, p AS (SELECT DISTINCT url, term FROM pt) "
+            "SELECT CAST(count(DISTINCT term) AS BIGINT) AS n_terms, "
+            "CAST(count(*) AS BIGINT) AS n_postings FROM p"
         ),
         "engine_scan_regex": (
             # RE2 on both sides; non-overlapping global match count

@@ -691,6 +691,20 @@ def engine_wildcard_terms(sf_dir: str, patterns: list[str] | None = None) -> pd.
     return pd.concat(parts, ignore_index=True)
 
 
+def engine_index_stats(sf_dir: str) -> pd.DataFrame:
+    """One-row physical index census, ORACLE-CHECKABLE: distinct terms and
+    total postings read from segment-row metadata must equal the corpus's
+    logical counts (oracle: distinct terms / distinct (url, term) pairs)."""
+    from .segments import index_stats
+
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    s = index_stats(index_dir)
+    return pd.DataFrame(
+        {"n_terms": pd.Series([s["n_terms"]], dtype="int64"),
+         "n_postings": pd.Series([s["n_postings"]], dtype="int64")}
+    )
+
+
 def engine_scan_regex(sf_dir: str, pattern: str | None = None):
     """Distributed doc-store regex grep, ORACLE-CHECKABLE: (url, n_hits) of
     every stored page whose extracted text matches the RE2 pattern (oracle:

@@ -318,6 +318,35 @@ class SegmentReader:
 # index → dataset export (round 3)
 
 
+def index_stats(index_root: str) -> dict:
+    """Physical index introspection: distinct indexed terms and total
+    posting count, read from the SEGMENT ROWS' own metadata (each row
+    stores its sub-list's ``n_docs`` — no blob is decoded).  On a
+    purge-free index these must equal the corpus's logical term/posting
+    counts, which is what the SQL oracle pins — a one-row cross-check that
+    the physical layout lost nothing (the audit's integrity scan goes
+    deeper; this is the cheap census).  Stats are PHYSICAL: soft-purged
+    sites still count until ``compact_segments`` rewrites them out.
+
+    Distributed shape: one pruned (term, n_docs, kind) scan of every
+    shard's segments with the 'seg' filter pushed down; the term-distinct
+    groupby is vocabulary-bounded; the driver receives two scalars."""
+    import ray.data as rd
+
+    seg_dirs = [
+        os.path.join(d, "segments")
+        for d in list_shards(index_root)
+        if os.path.isdir(os.path.join(d, "segments"))
+    ]
+    ds = rd.read_parquet(
+        seg_dirs, columns=["term", "n_docs", "kind"],
+        filter=(pc.field("kind") == "seg"),
+    )
+    n_postings = int(ds.sum("n_docs") or 0)
+    n_terms = int(ds.groupby("term").count().count())
+    return {"n_terms": n_terms, "n_postings": n_postings}
+
+
 def scan_regex(index_root: str, pattern: str) -> "ray.data.Dataset":
     """Distributed regex grep over the doc store — the 'search the raw
     text' escape hatch next to the inverted index (Elasticsearch routes

@@ -1136,3 +1136,13 @@ def test_rate_anomalies_planted_spike(ray_session, tmp_path):
     n = np.array([2] * 9 + [30], dtype=np.float64)
     z = (30 - n.mean()) / math.sqrt(((10 * (n * n).sum() - n.sum() ** 2) / 100))
     assert got["z"].iloc[0] == z
+
+
+def test_index_stats_matches_oracle_index(ray_session, built_index, oracle_index):
+    from rayindex.segments import index_stats
+
+    s = index_stats(built_index["out_dir"])
+    want_terms = len({t for (_site, t) in oracle_index.df.keys()})
+    want_postings = sum(len(d) for d in oracle_index.postings.values())
+    assert s["n_terms"] == want_terms
+    assert s["n_postings"] == want_postings
