@@ -131,6 +131,15 @@ def run_once() -> dict:
             n_w += 1
     wand_avg = (time.monotonic() - t_wand) / n_w
 
+    # the north rule's second headline metric, recorded per round: block-max
+    # WAND top-10 must be (doc_id, score)-identical to the exhaustive BM25
+    # scorer on the whole bench query set
+    id_q = FLAGSHIP_QUERIES + WAND_QUERIES
+    n_ident = sum(
+        1 for q in id_q if eng.bm25_wand(q, k=10) == eng.bm25_exhaustive(q, k=10)
+    )
+    bm25_rank_identity = n_ident / len(id_q)
+
     # distributed serving-tier throughput: a derived 2-word query log through
     # batch_search's actor pool (one engine replica per actor, state loaded
     # once); the wall INCLUDES pool spin-up — the honest cold-job number
@@ -196,6 +205,7 @@ def run_once() -> dict:
             "query_wand_avg": round(wand_avg, 4),
             "query_pool_qps": round(pool_qps, 1),
             "query_pool_qps_warm": round(warm_qps, 1),
+            "bm25_rank_identity": round(bm25_rank_identity, 3),
             "ann_lsh_recall": recall["lsh"],
             "ann_ivf_recall": recall["ivf"],
             "segments_mb": round(seg_bytes / 1e6, 1),
