@@ -345,6 +345,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engine_did_you_mean": __import__(
             "rayindex.pipelines", fromlist=["engine_did_you_mean"]
         ).engine_did_you_mean,
+        "engine_search_corrected": __import__(
+            "rayindex.pipelines", fromlist=["engine_search_corrected"]
+        ).engine_search_corrected,
         "engine_search_synonyms": __import__(
             "rayindex.pipelines", fromlist=["engine_search_synonyms"]
         ).engine_search_synonyms,
@@ -945,6 +948,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sel.q, sel.word, sel.corrected, "
             "coalesce((SELECT d.df FROM d WHERE d.term = sel.corrected), "
             "CAST(0 AS BIGINT)) AS df FROM sel"
+        ),
+        "engine_search_corrected": (
+            # the did-you-mean rewrite (same sel CTE) feeds the reference
+            # conjunctive pipeline: corrected DISTINCT words with df > 0
+            # under the K3 cutoff are the query's kept-term set
+            f"WITH {_PTOKS}, "
+            "tf AS (SELECT url, term, count(*) AS tf FROM pt GROUP BY url, term), "
+            "d AS (SELECT term, CAST(count(DISTINCT url) AS BIGINT) AS df "
+            "FROM pt GROUP BY term), "
+            "q(query, word) AS (VALUES "
+            + ", ".join(f"('{q}', '{w}')" for q, w in _dym_query_words())
+            + "), "
+            "sel AS (SELECT q.query, q.word, "
+            "CASE WHEN EXISTS (SELECT 1 FROM d WHERE d.term = q.word) THEN q.word "
+            "ELSE coalesce((SELECT d.term FROM d WHERE levenshtein(d.term, q.word) <= 1 "
+            "ORDER BY d.df DESC, d.term LIMIT 1), q.word) END AS corrected FROM q), "
+            "kept AS (SELECT DISTINCT sel.query, sel.corrected AS term "
+            "FROM sel JOIN d ON d.term = sel.corrected "
+            "WHERE 200 * d.df < 159 * (SELECT count(*) FROM documents)), "
+            "nk AS (SELECT query, count(*) AS n_terms FROM kept GROUP BY query), "
+            "hits AS (SELECT k.query, t.url, t.term, t.tf FROM kept k JOIN tf t USING (term)), "
+            "cand AS (SELECT query, url, count(DISTINCT term) AS c, CAST(sum(tf) AS BIGINT) AS score "
+            "FROM hits GROUP BY query, url), "
+            "co AS (SELECT c.query, c.url, c.score FROM cand c JOIN nk USING (query) WHERE c.c = nk.n_terms) "
+            "SELECT query, url, score, "
+            "CAST(score AS DOUBLE) / max(score) OVER (PARTITION BY query) AS relevance FROM co"
         ),
         "engine_phrase_topk": (
             # conjunctive candidates + exact-adjacency verification on the

@@ -502,6 +502,31 @@ def engine_did_you_mean(sf_dir: str, queries: list[str] | None = None) -> pd.Dat
     return pd.concat(parts, ignore_index=True)
 
 
+def engine_search_corrected(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:
+    """Spell-tolerant search end-to-end, ORACLE-CHECKABLE: each DYM query is
+    rewritten by :meth:`QueryEngine.suggest` (unknown words → argmax-df
+    distance-1 neighbor) and the CORRECTED query runs the reference
+    conjunctive search — (query, url, score, relevance) over all matches
+    (oracle: the did-you-mean correction replayed in SQL feeds the usual
+    cutoff/intersection/Σtf pipeline)."""
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    rows = []
+    for q in queries or DYM_QUERIES:
+        res = eng.search_corrected(q, k=None)
+        meta = eng.doc_meta([r["doc_id"] for r in res["data"]])
+        for r in res["data"]:
+            rows.append(
+                {
+                    "query": q,
+                    "url": meta[r["doc_id"]]["url"],
+                    "score": int(r["abs"]),
+                    "relevance": float(r["relevance"]),
+                }
+            )
+    return pd.DataFrame(rows, columns=["query", "url", "score", "relevance"])
+
+
 def engine_phrase_topk(sf_dir: str, queries: list[str] | None = None) -> pd.DataFrame:
     """Phrase search end-to-end, ORACLE-CHECKABLE: conjunctive candidates
     from the postings, exact-adjacency verification against the doc store's
