@@ -513,6 +513,19 @@ def oracle_sql() -> dict[str, str]:
         f"FROM wmin WHERE pos <= greatest(1, cnt - {_winnow_w - 1}))"
     )
 
+    # did-you-mean correction CTEs (need a d(term, df) CTE in scope) —
+    # shared by engine_did_you_mean and engine_search_corrected so the two
+    # entries can never pin different correction semantics
+    _dym_sel = (
+        "q(q, word) AS (VALUES "
+        + ", ".join(f"('{q}', '{w}')" for q, w in _dym_query_words())
+        + "), "
+        "sel AS (SELECT q.q, q.word, "
+        "CASE WHEN EXISTS (SELECT 1 FROM d WHERE d.term = q.word) THEN q.word "
+        "ELSE coalesce((SELECT d.term FROM d WHERE levenshtein(d.term, q.word) <= 1 "
+        "ORDER BY d.df DESC, d.term LIMIT 1), q.word) END AS corrected FROM q)"
+    )
+
     def _near_sql(pred: str) -> str:
         """The NEAR oracle chain — unordered and ordered differ only in the
         position predicate."""
@@ -938,13 +951,7 @@ def oracle_sql() -> dict[str, str]:
             # neighbor (tie: term asc); no neighbor → itself with df 0
             f"WITH {_PTOKS}, d AS (SELECT term, CAST(count(DISTINCT url) AS BIGINT) AS df "
             "FROM pt GROUP BY term), "
-            "q(q, word) AS (VALUES "
-            + ", ".join(f"('{q}', '{w}')" for q, w in _dym_query_words())
-            + "), "
-            "sel AS (SELECT q.q, q.word, "
-            "CASE WHEN EXISTS (SELECT 1 FROM d WHERE d.term = q.word) THEN q.word "
-            "ELSE coalesce((SELECT d.term FROM d WHERE levenshtein(d.term, q.word) <= 1 "
-            "ORDER BY d.df DESC, d.term LIMIT 1), q.word) END AS corrected FROM q) "
+            f"{_dym_sel} "
             "SELECT sel.q, sel.word, sel.corrected, "
             "coalesce((SELECT d.df FROM d WHERE d.term = sel.corrected), "
             "CAST(0 AS BIGINT)) AS df FROM sel"
@@ -957,14 +964,8 @@ def oracle_sql() -> dict[str, str]:
             "tf AS (SELECT url, term, count(*) AS tf FROM pt GROUP BY url, term), "
             "d AS (SELECT term, CAST(count(DISTINCT url) AS BIGINT) AS df "
             "FROM pt GROUP BY term), "
-            "q(query, word) AS (VALUES "
-            + ", ".join(f"('{q}', '{w}')" for q, w in _dym_query_words())
-            + "), "
-            "sel AS (SELECT q.query, q.word, "
-            "CASE WHEN EXISTS (SELECT 1 FROM d WHERE d.term = q.word) THEN q.word "
-            "ELSE coalesce((SELECT d.term FROM d WHERE levenshtein(d.term, q.word) <= 1 "
-            "ORDER BY d.df DESC, d.term LIMIT 1), q.word) END AS corrected FROM q), "
-            "kept AS (SELECT DISTINCT sel.query, sel.corrected AS term "
+            f"{_dym_sel}, "
+            "kept AS (SELECT DISTINCT sel.q AS query, sel.corrected AS term "
             "FROM sel JOIN d ON d.term = sel.corrected "
             "WHERE 200 * d.df < 159 * (SELECT count(*) FROM documents)), "
             "nk AS (SELECT query, count(*) AS n_terms FROM kept GROUP BY query), "

@@ -513,7 +513,7 @@ def engine_search_corrected(sf_dir: str, queries: list[str] | None = None) -> pd
     eng = QueryEngine(index_dir, SIMPLE_SPEC)
     rows = []
     for q in queries or DYM_QUERIES:
-        res = eng.search_corrected(q, k=None)
+        res = eng.search_corrected(q, k=None, with_snippets=False)
         meta = eng.doc_meta([r["doc_id"] for r in res["data"]])
         for r in res["data"]:
             rows.append(

@@ -1152,7 +1152,7 @@ class QueryEngine:
         )
 
     def search_corrected(self, query: str, site: str | None = None,
-                         k: int | None = 10) -> dict:
+                         k: int | None = 10, with_snippets: bool = True) -> dict:
         """Spell-tolerant search: run :meth:`search` on the query with every
         unknown word replaced by its :meth:`suggest` correction (original
         token order and multiplicity preserved).  The response carries the
@@ -1162,7 +1162,7 @@ class QueryEngine:
         mapping = dict(zip(sug["word"], sug["corrected"]))
         toks = [t for t, _pos in self.analyzer.lemma_positions(query)]
         corrected = " ".join(mapping.get(t, t) for t in toks)
-        out = self.search(corrected, site=site, k=k)
+        out = self.search(corrected, site=site, k=k, with_snippets=with_snippets)
         out["corrected_query"] = corrected
         return out
 

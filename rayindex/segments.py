@@ -332,19 +332,23 @@ def index_stats(index_root: str) -> dict:
     shard's segments with the 'seg' filter pushed down; the term-distinct
     groupby is vocabulary-bounded; the driver receives two scalars."""
     import ray.data as rd
+    from ray.data.aggregate import Sum
 
     seg_dirs = [
         os.path.join(d, "segments")
         for d in list_shards(index_root)
         if os.path.isdir(os.path.join(d, "segments"))
     ]
-    ds = rd.read_parquet(
-        seg_dirs, columns=["term", "n_docs", "kind"],
-        filter=(pc.field("kind") == "seg"),
-    )
-    n_postings = int(ds.sum("n_docs") or 0)
-    n_terms = int(ds.groupby("term").count().count())
-    return {"n_terms": n_terms, "n_postings": n_postings}
+    # legacy pure-seg layouts lack the 'kind' column (same guard as
+    # SegmentReader.postings / export_postings)
+    has_kind = "kind" in pads.dataset(expand_parquet_paths(seg_dirs),
+                                      format="parquet").schema.names
+    kw = {"filter": pc.field("kind") == "seg"} if has_kind else {}
+    cols = ["term", "n_docs"] + (["kind"] if has_kind else [])
+    ds = rd.read_parquet(seg_dirs, columns=cols, **kw)
+    # ONE scan: the vocab-bounded per-term roll-up carries both scalars
+    g = ds.groupby("term").aggregate(Sum("n_docs", alias_name="n")).materialize()
+    return {"n_terms": int(g.count()), "n_postings": int(g.sum("n") or 0)}
 
 
 def scan_regex(index_root: str, pattern: str) -> "ray.data.Dataset":
