@@ -416,7 +416,13 @@ def rate_anomalies(sf_dir: str, window_minutes: int = 5,
 
     counts = (
         ev.map_batches(
-            lambda t: partial(t).rename_columns(["window_start", "event_type", "n"]),
+            # select-by-name pins column order before the positional rename:
+            # pyarrow's TableGroupBy.aggregate key-vs-aggregate output order
+            # has changed across versions, and a silent transpose here would
+            # corrupt the counts rather than error.
+            lambda t: partial(t)
+            .select(["window_start", "event_type", "n_sum"])
+            .rename_columns(["window_start", "event_type", "n"]),
             batch_format="pyarrow", zero_copy_batch=True,
         )
         .groupby(["window_start", "event_type"])

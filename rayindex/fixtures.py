@@ -219,6 +219,16 @@ def pages_from_documents(
     docs = pq.read_table(documents_path, columns=["doc_id", "text", "lang", "source"])
     os.makedirs(out_dir, exist_ok=True)
     d_ids = docs.column("doc_id").to_pylist()
+    # The SQL oracles reconstruct warc_ts as EPOCH + doc_id·1s (repeat=1), so
+    # the stamp below derives from doc_id, not the row index.  The driver's
+    # documents table has doc_id == row index, making the two equivalent —
+    # pin that assumption here so a filtered/reordered corpus fails loudly
+    # instead of silently diverging from the oracles.
+    if d_ids != list(range(len(d_ids))):
+        raise ValueError(
+            "pages_from_documents: documents.parquet doc_id must equal the "
+            "row index (the oracle SQL reconstructs warc_ts from doc_id)"
+        )
     d_texts = docs.column("text").to_pylist()
     d_langs = docs.column("lang").to_pylist()
     d_srcs = docs.column("source").to_pylist()
@@ -243,7 +253,7 @@ def pages_from_documents(
                 paragraphs.append(f"rep{r}")
             html, golden = _page_html(title, f"heading {did}", paragraphs)
             urls.append(url)
-            tss.append(_EPOCH_US + (r * len(d_ids) + i) * 1_000_000)
+            tss.append(_EPOCH_US + (r * len(d_ids) + did) * 1_000_000)
             htmls.append(html.encode("utf-8"))
             texts.append(golden)
             langs.append(d_langs[i])

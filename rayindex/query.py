@@ -371,6 +371,7 @@ class QueryEngine:
         self._readers_cache: dict[str, list[BlockReader]] = {}
         self._decoded_cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         self._docs_locator_cache: dict[str, tuple] = {}
+        self._suggest_cache: dict[str, tuple[str, int]] = {}
 
         # U2 soft deletes (tombstones.json + Parquet id sidecars): correct the
         # global stats exactly and exclude the purged docs from every
@@ -590,16 +591,19 @@ class QueryEngine:
             out[hit] = urls_sorted[pos_c[hit]]
         return out
 
-    def _ts_for(self, want: np.ndarray) -> np.ndarray:
-        """Vectorized docid → warc_ts (int64 µs; -1 for unknown ids), aligned
-        with ``want``.  The timestamp sibling of :meth:`_urls_for`: positions
+    def _ts_for(self, want: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized docid → (warc_ts int64 µs, found mask), aligned with
+        ``want``.  The timestamp sibling of :meth:`_urls_for`: positions
         come from the in-memory locator, the ts column itself is a positional
         ``take`` of only the row groups that hold the requested ids — the
-        text payload is never decompressed.  At cluster scale the same
-        lookup is a map_batches over a skinny (doc_id, warc_ts) sidecar with
-        the candidate set broadcast."""
+        text payload is never decompressed.  Unknown ids are reported via the
+        boolean mask, NOT a sentinel value, so legitimate pre-1970 (negative
+        epoch-µs) timestamps stay distinguishable from misses.  At cluster
+        scale the same lookup is a map_batches over a skinny (doc_id,
+        warc_ts) sidecar with the candidate set broadcast."""
         want = want.astype(np.int64, copy=False)
-        out = np.full(want.size, -1, dtype=np.int64)
+        out = np.zeros(want.size, dtype=np.int64)
+        found = np.zeros(want.size, dtype=bool)
         for d in self.shard_dirs:
             ds_, ids_sorted, rowpos, _urls = self._docs_locator(d)
             if not ids_sorted.size:
@@ -612,7 +616,8 @@ class QueryEngine:
             t = ds_.take(uniq, columns=["warc_ts"])
             ts_us = t.column("warc_ts").cast(pa.int64()).to_numpy()
             out[hit] = ts_us[inv]
-        return out
+            found[hit] = True
+        return out, found
 
     def doc_meta(self, doc_ids: list[int],
                  columns: list[str] | None = None) -> dict[int, dict]:
@@ -1135,18 +1140,26 @@ class QueryEngine:
         words = sorted(self.analyzer.collect_lemmas(query).keys())
         rows = []
         for w in words:
+            hit = self._suggest_cache.get(w)
+            if hit is not None:  # serving-path hot loop: one fuzzy probe
+                rows.append((w, hit[0], hit[1]))  # per distinct word ever
+                continue
             df = self.term_global_df(w)
             if df > 0:
-                rows.append((w, w, int(df)))
-                continue
-            cand = self.fuzzy_terms(w)
-            if len(cand):
-                best = cand.sort_values(
-                    ["df", "term"], ascending=[False, True]
-                ).iloc[0]
-                rows.append((w, str(best["term"]), int(best["df"])))
+                got = (w, int(df))
             else:
-                rows.append((w, w, 0))
+                cand = self.fuzzy_terms(w)
+                if len(cand):
+                    best = cand.sort_values(
+                        ["df", "term"], ascending=[False, True]
+                    ).iloc[0]
+                    got = (str(best["term"]), int(best["df"]))
+                else:
+                    got = (w, 0)
+            if len(self._suggest_cache) >= self.DICT_CACHE_CAP:
+                self._suggest_cache.pop(next(iter(self._suggest_cache)))
+            self._suggest_cache[w] = got
+            rows.append((w, got[0], got[1]))
         return pd.DataFrame(rows, columns=["word", "corrected", "df"]).astype(
             {"df": "int64"}
         )
@@ -1522,8 +1535,7 @@ class QueryEngine:
         if got is None:
             return empty
         cand, abs_rel = got
-        ts = self._ts_for(cand)
-        m = ts >= 0
+        ts, m = self._ts_for(cand)
         if ts_from is not None:
             m &= ts >= int(ts_from)
         if ts_to is not None:
@@ -1551,8 +1563,8 @@ class QueryEngine:
         if got is None:
             return pd.DataFrame({"bucket": pd.Series(dtype="int64"),
                                  "n": pd.Series(dtype="int64")})
-        ts = self._ts_for(got[0])
-        ts = ts[ts >= 0]
+        ts, found = self._ts_for(got[0])
+        ts = ts[found]
         g = int(granularity_us)
         buckets = (ts // g) * g
         uniq, counts = np.unique(buckets, return_counts=True)

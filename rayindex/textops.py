@@ -1320,8 +1320,11 @@ def bigram_counts(sf_dir: str, k: int = 50) -> rd.Dataset:
         right = pd.Series(flat[1:], dtype=object)
         bg = left.str.cat(right, sep=" ").to_numpy()[starts[:-1]]
         tab = pa.table({"bigram": pa.array(bg, pa.string())})
-        return tab.group_by("bigram").aggregate([("bigram", "count")]).rename_columns(
-            ["bigram", "n"]
+        return (
+            tab.group_by("bigram")
+            .aggregate([("bigram", "count")])
+            .select(["bigram", "bigram_count"])  # pin order: pyarrow group_by
+            .rename_columns(["bigram", "n"])  # output order varies by version
         )
 
     agg = (
@@ -2333,7 +2336,12 @@ def pmi_bigrams(sf_dir: str, k: int = 20, min_n: int = 5) -> rd.Dataset:
             .to_numpy()[starts[:-1]]
         )
         tab = pa.table({"bigram": pa.array(bg, pa.string())})
-        return tab.group_by("bigram").aggregate([("bigram", "count")]).rename_columns(["bigram", "n"])
+        return (
+            tab.group_by("bigram")
+            .aggregate([("bigram", "count")])
+            .select(["bigram", "bigram_count"])
+            .rename_columns(["bigram", "n"])
+        )
 
     bgc = (
         docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
@@ -2360,10 +2368,12 @@ def pmi_bigrams(sf_dir: str, k: int = 20, min_n: int = 5) -> rd.Dataset:
 
     top = top.map_batches(split_words, batch_format="pyarrow", zero_copy_batch=True)
     uni_a = uni.map_batches(
-        lambda t: t.rename_columns(["w1", "n_a"]), batch_format="pyarrow", zero_copy_batch=True
+        lambda t: t.select(["w", "count()"]).rename_columns(["w1", "n_a"]),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
     uni_b = uni.map_batches(
-        lambda t: t.rename_columns(["w2", "n_b"]), batch_format="pyarrow", zero_copy_batch=True
+        lambda t: t.select(["w", "count()"]).rename_columns(["w2", "n_b"]),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
     nparts = max(2, _task_cpus() // 2)
     joined = top.join(uni_a, join_type="inner", num_partitions=nparts, on=("w1",)).join(
@@ -2613,7 +2623,13 @@ def hard_negatives(sf_dir: str, query_doc_id: int = 0, n_lexical: int = 50,
         return empty
     ids = cand.column("vec_id").to_numpy()
     m = np.stack(cand.column("embedding").to_pandas().to_numpy()).astype(np.float64)
-    cos = (m / np.linalg.norm(m, axis=1, keepdims=True)) @ (qv / np.linalg.norm(qv))
+    # dot first, then divide by the norm product — the same outer operation
+    # order as DuckDB's list_cosine_similarity, minimizing the ULP gap vs the
+    # oracle (DuckDB's inner SIMD accumulation order is not reproducible from
+    # numpy; duplicate embeddings still tie EXACTLY on each side independently,
+    # so the doc_id tie-break stays consistent — only distinct vectors within
+    # ~1 ULP of each other could ever rank differently).
+    cos = (m @ qv) / (np.linalg.norm(m, axis=1) * np.linalg.norm(qv))
     order = np.lexsort((ids, cos))[:k]  # cosine ASC (hardest), then doc_id
     score_of = dict(zip(lex["doc_id"].astype(int), lex["score"].astype(int)))
     return pd.DataFrame(
