@@ -170,16 +170,50 @@ def run_once() -> dict:
 
     ann = {"lsh": textops.ann_lsh_topk, "ivf": textops.ann_ivf_topk}
     recall: dict[str, float] = {}
+    probed: dict[str, float] = {}
     q_ids = [0, 7, 23, 41]
+    exact_sets = {
+        qid: set(textops.ann_cosine_topk(sf_dir, k=10, query_vec_id=qid)["vec_id"])
+        for qid in q_ids
+    }
     for name, fn in ann.items():
-        got = 0
+        got, fr = 0.0, 0.0
         for qid in q_ids:
-            exact = set(
-                textops.ann_cosine_topk(sf_dir, k=10, query_vec_id=qid)["vec_id"]
-            )
-            approx = set(fn(sf_dir, k=10, query_vec_id=qid)["vec_id"])
-            got += len(exact & approx) / 10
+            out, stats = fn(sf_dir, k=10, query_vec_id=qid, with_stats=True)
+            got += len(exact_sets[qid] & set(out["vec_id"])) / 10
+            fr += stats["probed_fraction"]
         recall[name] = round(got / len(q_ids), 3)
+        probed[name] = round(fr / len(q_ids), 3)
+
+    # recall-vs-probed-fraction curve (judge r3 ask): sweep the knob that
+    # trades probe work for recall on each path, recorded per bench run
+    ann_curve: dict[str, list[dict[str, float]]] = {"lsh": [], "ivf": []}
+    for frac in (0.05, 0.1, 0.2, 0.3):
+        got, fr = 0.0, 0.0
+        for qid in q_ids:
+            out, stats = textops.ann_lsh_topk(
+                sf_dir, k=10, query_vec_id=qid, rerank_frac=frac, with_stats=True
+            )
+            got += len(exact_sets[qid] & set(out["vec_id"])) / 10
+            fr += stats["probed_fraction"]
+        ann_curve["lsh"].append(
+            {"rerank_frac": frac, "probed": round(fr / len(q_ids), 3),
+             "recall": round(got / len(q_ids), 3)}
+        )
+    for cov, resc in ((0.1, 0.02), (0.2, 0.05), (0.3, 0.05), (0.4, 0.1)):
+        got, fr = 0.0, 0.0
+        for qid in q_ids:
+            out, stats = textops.ann_ivf_topk(
+                sf_dir, k=10, query_vec_id=qid, coverage=cov,
+                rescue_frac=resc, with_stats=True,
+            )
+            got += len(exact_sets[qid] & set(out["vec_id"])) / 10
+            fr += stats["probed_fraction"]
+        ann_curve["ivf"].append(
+            {"coverage": cov, "rescue_frac": resc,
+             "probed": round(fr / len(q_ids), 3),
+             "recall": round(got / len(q_ids), 3)}
+        )
 
     # index-size accounting (the north rule names compression explicitly):
     # compressed segment bytes vs the exploded postings checkpoint they encode
@@ -208,6 +242,8 @@ def run_once() -> dict:
             "bm25_rank_identity": round(bm25_rank_identity, 3),
             "ann_lsh_recall": recall["lsh"],
             "ann_ivf_recall": recall["ivf"],
+            "ann_lsh_probed_frac": probed["lsh"],
+            "ann_ivf_probed_frac": probed["ivf"],
             "segments_mb": round(seg_bytes / 1e6, 1),
             "postings_checkpoint_mb": round(postings_bytes / 1e6, 1),
             "docs_mb": round(docs_bytes / 1e6, 1),
@@ -220,6 +256,7 @@ def run_once() -> dict:
         "n_docs": n_docs,
         "body_repeat": body_repeat,
         "docs_per_sec": round(n_docs / build_sec, 1),
+        "ann_curve": ann_curve,
     }
     if os.environ.get("RAYINDEX_BENCH_DIGEST"):
         from rayindex.segments import segments_digest
