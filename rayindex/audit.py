@@ -236,6 +236,56 @@ def _df_crosscheck(index_root: str, partials: "rd.Dataset") -> pd.DataFrame:
     return sums.to_pandas()
 
 
+def _audit_locator(shard_dir: str) -> list[dict]:
+    """Locator-sidecar checks for one shard (build.build_doc_locator): the
+    fragment census in the sidecar's metadata must match the CURRENT docs
+    listing (names + footer row counts), doc_id must be sorted ascending,
+    and the sidecar row count must equal the census total.  A shard without
+    a sidecar is healthy (engines fall back to the scan path); a shard with
+    a STALE one is flagged — the engine would refuse it, but a flagged audit
+    tells the operator to re-run build_doc_locator instead of silently
+    eating the per-replica scan cost."""
+    import json
+    import pyarrow.parquet as pq
+
+    loc_path = os.path.join(shard_dir, "locator", "locator.parquet")
+    if not os.path.exists(loc_path):
+        return []
+    bad: list[dict] = []
+
+    def emit(check: str, detail: str) -> None:
+        bad.append({"term": os.path.basename(shard_dir), "salt": -1,
+                    "bucket": -1, "check": check, "detail": detail})
+
+    try:
+        pf = pq.ParquetFile(loc_path)
+        meta = pf.schema_arrow.metadata or {}
+        census = json.loads(meta.get(b"docs_census", b"null") or b"null")
+        if census is None:
+            emit("locator_census", "sidecar has no docs_census metadata")
+            return bad
+        docs_dir = os.path.join(shard_dir, "docs")
+        current = sorted(f for f in os.listdir(docs_dir) if f.endswith(".parquet"))
+        if [c[0] for c in census] != current:
+            emit("locator_census",
+                 f"census files {len(census)} != docs listing {len(current)}")
+            return bad
+        for name, rows in census:
+            got = pq.ParquetFile(os.path.join(docs_dir, name)).metadata.num_rows
+            if got != rows:
+                emit("locator_census", f"{name}: census rows {rows} != footer {got}")
+        total = sum(r for _n, r in census)
+        if pf.metadata.num_rows != total:
+            emit("locator_rows",
+                 f"sidecar rows {pf.metadata.num_rows} != census total {total}")
+        ids = pf.read(columns=["doc_id"]).column("doc_id").to_numpy()
+        if ids.size and np.any(np.diff(ids) < 0):
+            emit("locator_sorted", "doc_id column is not sorted ascending")
+    except (OSError, ValueError, KeyError) as e:  # unreadable sidecar
+        emit("locator_census", f"unreadable sidecar: {e}")
+    return bad
+
+
 def audit_index(index_root: str, *, check_df: bool = True) -> pd.DataFrame:
     """Audit every shard of ``index_root``; returns the violation table
     (empty = healthy).  Streams segment rows through a task pool — driver
@@ -271,6 +321,9 @@ def audit_index(index_root: str, *, check_df: bool = True) -> pd.DataFrame:
         parts = [vio, _df_crosscheck(index_root, partials)]
     else:
         parts = [stream.drop_columns(["seg_cnt"]).to_pandas()]
+    loc_rows = [r for s in list_shards(index_root) for r in _audit_locator(s)]
+    if loc_rows:
+        parts.append(pd.DataFrame(loc_rows))
     cols = list(VIOLATION_SCHEMA.names)
     # an all-healthy distributed pass yields a columnless empty frame
     parts = [p.reindex(columns=cols) for p in parts]

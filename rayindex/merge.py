@@ -582,6 +582,11 @@ def _merge_shard(
                 )
         commit_phase(shard_dir, "docs", key,
                      {"seconds": round(time.monotonic() - t0, 3)})
+        # the merged doc store is new: refresh its locator sidecar so engine
+        # replicas load it instead of falling back to the scan path
+        from .build import build_doc_locator
+
+        build_doc_locator(shard_dir)
     metrics["docs"] = round(time.monotonic() - t0, 3)
 
     # ---- doclen: concat minus purged/losing, re-sorted (site, doc_id) -----

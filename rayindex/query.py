@@ -40,6 +40,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
+import pyarrow.parquet as pq
 
 from .analyze import make_analyzer
 from .codec import BlockReader
@@ -371,6 +372,7 @@ class QueryEngine:
         self._readers_cache: dict[str, list[BlockReader]] = {}
         self._decoded_cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         self._docs_locator_cache: dict[str, tuple] = {}
+        self._locator_source: dict[str, str] = {}  # shard → sidecar|scan
         self._suggest_cache: dict[str, tuple[str, int]] = {}
 
         # U2 soft deletes (tombstones.json + Parquet id sidecars): correct the
@@ -555,14 +557,55 @@ class QueryEngine:
         cached = self._docs_locator_cache.get(shard_dir)
         if cached is not None:
             return cached
-        ds_ = pads.dataset(os.path.join(shard_dir, "docs"))
-        t = ds_.to_table(columns=["doc_id", "url"])
-        ids = t.column("doc_id").to_numpy()
-        order = np.argsort(ids, kind="stable").astype(np.int64)
-        urls = t.column("url").to_numpy(zero_copy_only=False)[order]
-        got = (ds_, ids[order], order, urls)
+        docs_dir = os.path.join(shard_dir, "docs")
+        ds_ = pads.dataset(docs_dir)
+        got = self._locator_from_sidecar(shard_dir, docs_dir, ds_)
+        if got is None:
+            # legacy index / post-compaction docs mismatch: rebuild from scan
+            self._locator_source[shard_dir] = "scan"
+            t = ds_.to_table(columns=["doc_id", "url"])
+            ids = t.column("doc_id").to_numpy()
+            order = np.argsort(ids, kind="stable").astype(np.int64)
+            urls = t.column("url").to_numpy(zero_copy_only=False)[order]
+            got = (ds_, ids[order], order, urls)
         self._docs_locator_cache[shard_dir] = got
         return got
+
+    def _locator_from_sidecar(self, shard_dir: str, docs_dir: str, ds_):
+        """Load the build-persisted locator (``locator/locator.parquet``,
+        written by build.build_doc_locator) — a doc_id-sorted skinny read
+        replacing the per-replica docs scan + sort.  Returns None unless the
+        sidecar's fragment census (file names + row counts in its schema
+        metadata) matches the CURRENT docs listing exactly, so a doc store
+        rewritten after the sidecar (compaction, upsert) can never serve
+        stale positions."""
+        loc_path = os.path.join(shard_dir, "locator", "locator.parquet")
+        if not os.path.exists(loc_path):
+            return None
+        try:
+            pf = pq.ParquetFile(loc_path)
+            meta = pf.schema_arrow.metadata or {}
+            census = json.loads(meta.get(b"docs_census", b"null") or b"null")
+            if census is None:
+                return None
+            current = sorted(
+                f for f in os.listdir(docs_dir) if f.endswith(".parquet")
+            )
+            if [c[0] for c in census] != current:
+                return None
+            for name, rows in census:
+                if pq.ParquetFile(os.path.join(docs_dir, name)).metadata.num_rows != rows:
+                    return None
+            t = pf.read()
+        except (OSError, ValueError, KeyError):
+            return None
+        self._locator_source[shard_dir] = "sidecar"
+        return (
+            ds_,
+            t.column("doc_id").to_numpy(),
+            t.column("rowpos").to_numpy(),
+            t.column("url").to_numpy(zero_copy_only=False),
+        )
 
     @staticmethod
     def _locator_hits(ids_sorted: np.ndarray, want: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -655,16 +698,46 @@ class QueryEngine:
                 out[int(row["doc_id"])] = row
         return out
 
+    def _site_lemmas_sidecar(self) -> tuple[dict, int] | None:
+        """Per-site distinct-lemma counts from the build-persisted A4 sidecar
+        (build.write_site_lemmas) — O(sites) rows instead of the full
+        dictionary scan.  None (→ scan fallback) when any shard predates the
+        sidecar, when sites were purged (the correction needs the live df
+        rows), or on a multi-shard engine: a term/(site, term) pair can
+        appear in several url-hash shards, so per-shard DISTINCT counts are
+        not additive — a sharded deployment rebuilds the sidecar at merge
+        (write_term_stats runs there too) or keeps a KMV sketch per site."""
+        if self.purged_sites or len(self.shard_dirs) != 1:
+            return None
+        p = os.path.join(self.shard_dirs[0], "site_lemmas", "site_lemmas.parquet")
+        if not os.path.exists(p):
+            return None
+        t = pq.read_table(p)
+        meta = t.schema.metadata or {}
+        total = int(meta.get(b"n_lemmas_total", b"0"))
+        per = dict(
+            zip(t.column("site").to_pylist(),
+                (int(x) for x in t.column("n_lemmas").to_pylist()))
+        )
+        return per, total
+
     def statistics(self) -> dict:
         """``GET /api/statistics`` equivalent (A3-A5,
         services/StatisticsServiceImpl.java:57-89): totals + per-site pages
-        and lemma counts."""
-        ts = self._scan_term_stats()
-        live = ts[ts["df"] > 0] if len(ts) else ts
-        site_lemmas = (
-            live.groupby("site")["term"].nunique().to_dict() if len(live) else {}
-        )
-        n_lemmas = int(live["term"].nunique()) if len(live) else 0
+        and lemma counts.  Lemma counts come from the persisted A4 sidecar
+        when available (no dictionary scan on the admin path — at 10^12 docs
+        the (site × term) table is itself billions of rows); the scan runs
+        only for legacy/purged/multi-shard layouts."""
+        sidecar = self._site_lemmas_sidecar()
+        if sidecar is not None:
+            site_lemmas, n_lemmas = sidecar
+        else:
+            ts = self._scan_term_stats()
+            live = ts[ts["df"] > 0] if len(ts) else ts
+            site_lemmas = (
+                live.groupby("site")["term"].nunique().to_dict() if len(live) else {}
+            )
+            n_lemmas = int(live["term"].nunique()) if len(live) else 0
         detailed = [
             {
                 "url": f"https://{site}",

@@ -148,8 +148,27 @@ def search_and(sf_dir: str, term_a: str, term_b: str, k: int = 10) -> pd.DataFra
     fin = both.groupby("doc_id").aggregate(
         Sum("term_count_distinct", alias_name="n_terms"), Sum("tf_sum", alias_name="score")
     )
-    pdf = fin.to_pandas()
-    pdf = pdf[pdf["n_terms"] == 2][["doc_id", "score"]]
+
+    def _block_topk(t: pa.Table) -> pa.Table:
+        # per-block conjunctive filter + top-k prefilter BEFORE the driver
+        # collect: two frequent terms can match millions of docs at 100×,
+        # and only blocks × k rows can contain the global top-k (each
+        # block's max survives, so the driver-side score.max() below is
+        # still the GLOBAL max the relevance normalizer needs)
+        t = t.filter(pc.equal(t.column("n_terms"), 2))
+        if t.num_rows <= k:
+            return t.select(["doc_id", "score"])
+        s = t.column("score").to_numpy()
+        d = t.column("doc_id").to_numpy()
+        idx = np.lexsort((d, -s))[:k]
+        return pa.table(
+            {"doc_id": pa.array(d[idx], pa.int64()),
+             "score": pa.array(s[idx], pa.int64())}
+        )
+
+    pdf = fin.map_batches(
+        _block_topk, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
     if len(pdf) == 0:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "score": pd.Series(dtype="int64"),
