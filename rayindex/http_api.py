@@ -119,9 +119,18 @@ class ApiServer:
     # -- endpoint bodies (reference semantics) -------------------------------
     def statistics(self) -> tuple[int, dict]:
         try:
-            return 200, self.engine().statistics()
+            out = self.engine().statistics()
         except FileNotFoundError:
             return 200, {"result": False, "error": "index is not built yet"}
+        # the dashboard's start/stop toggle follows total.isIndexing
+        # (scripts.js:1651); here that state is the live build subprocess
+        with self._lock:
+            self._reap_build()
+            busy = self._build_proc is not None
+        total = out.get("statistics", {}).get("total")
+        if isinstance(total, dict):
+            total["isIndexing"] = busy
+        return 200, out
 
     def search(self, query: str | None, site: str | None,
                limit: int | None) -> tuple[int, dict]:
@@ -133,6 +142,11 @@ class ApiServer:
             eng = self.engine()
         except FileNotFoundError:
             return 200, {"result": False, "error": "index is not built yet"}
+        if site:
+            # the reference UI sends the site's URL (its dropdown values are
+            # site.url, scripts.js:1524-1536); the engine keys sites by bare
+            # host, so accept both forms
+            site = site.split("://", 1)[-1].rstrip("/")
         return 200, eng.search(query, site=site or None,
                                k=limit or self.k, with_snippets=True)
 
@@ -220,6 +234,14 @@ def _make_handler(api: ApiServer):
             self.end_headers()
             self.wfile.write(data)
 
+        def _send_page(self, html: str) -> None:
+            data = html.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
         def _route(self, method: str) -> None:
             u = urllib.parse.urlsplit(self.path)
             q = urllib.parse.parse_qs(u.query)
@@ -229,7 +251,12 @@ def _make_handler(api: ApiServer):
                     q.update(urllib.parse.parse_qs(self.rfile.read(n).decode()))
             one = lambda k: (q.get(k) or [None])[0]
             try:
-                if u.path == "/api/statistics" and method == "GET":
+                if u.path in ("/", "/index.html") and method == "GET":
+                    # the bundled dashboard (DefaultController.java:15-18)
+                    from rayindex.webui import INDEX_HTML
+
+                    self._send_page(INDEX_HTML)
+                elif u.path == "/api/statistics" and method == "GET":
                     self._reply(*api.statistics())
                 elif u.path == "/api/search" and method == "GET":
                     lim = one("limit")

@@ -114,3 +114,39 @@ def test_start_stop_indexing_lifecycle(api, fixture_corpus):
     q = fixture_corpus.queries[0]["query"]
     st, body = _call(api, "/api/search", query=q)
     assert st == 200 and body["result"] is True
+
+def test_dashboard_page(api):
+    """GET / serves the bundled dashboard (DefaultController.java:15-18,
+    templates/index.html) — self-contained HTML that drives the five JSON
+    endpoints; statistics gains the total.isIndexing field its toggle reads
+    (scripts.js:1651)."""
+    with urllib.request.urlopen(api.address + "/", timeout=30) as r:
+        assert r.status == 200
+        assert r.headers.get_content_type() == "text/html"
+        html = r.read().decode()
+    # the three tabs and every endpoint the page drives
+    for needle in ("#dashboard", "#management", "#search",
+                   "/api/statistics", "/api/search", "/api/startIndexing",
+                   "/api/stopIndexing", "/api/indexPage",
+                   "totalSites", "totalPages", "totalLemmas"):
+        assert needle in html, needle
+    # no external assets: the container is offline
+    assert "<script src" not in html and "<link" not in html
+    assert 'src="http' not in html and 'href="http' not in html
+
+    st, body = _call(api, "/api/statistics")
+    assert st == 200 and body["statistics"]["total"]["isIndexing"] is False
+
+
+def test_search_site_accepts_url_form(api, fixture_corpus):
+    """The dashboard's site dropdown sends the site URL (scripts.js values
+    are site.url); the endpoint must treat it like the bare host."""
+    q = next(
+        q["query"] for q in fixture_corpus.queries
+        if api.engine().search(q["query"], k=None, with_snippets=False)["count"] > 0
+    )
+    _, by_name = _call(api, "/api/search", query=q, site="fixture.example")
+    _, by_url = _call(api, "/api/search", query=q, site="https://fixture.example")
+    assert by_name["count"] > 0
+    assert by_url["count"] == by_name["count"]
+    assert [r["url"] for r in by_url["data"]] == [r["url"] for r in by_name["data"]]
