@@ -138,6 +138,34 @@ def test_dashboard_page(api):
     assert st == 200 and body["statistics"]["total"]["isIndexing"] is False
 
 
+def test_dashboard_script_parses():
+    """The dashboard's inline JS must be syntactically valid — no browser in
+    the container, so `node --check` is the parser of record (skipped where
+    node is absent)."""
+    import re
+    import subprocess
+    import shutil as _sh
+
+    if not _sh.which("node"):
+        pytest.skip("node not available")
+    from rayindex.webui import INDEX_HTML
+
+    scripts = re.findall(r"<script>(.*?)</script>", INDEX_HTML, re.S)
+    assert scripts, "dashboard page has no inline script"
+    for body in scripts:
+        p = subprocess.run(["node", "--check", "--input-type=module", "-"],
+                           input=body, capture_output=True, text=True)
+        if p.returncode != 0:
+            # older node: --check needs a file, not stdin
+            import tempfile
+
+            with tempfile.NamedTemporaryFile("w", suffix=".js", delete=False) as f:
+                f.write(body)
+            p = subprocess.run(["node", "--check", f.name],
+                               capture_output=True, text=True)
+        assert p.returncode == 0, p.stderr
+
+
 def test_search_site_accepts_url_form(api, fixture_corpus):
     """The dashboard's site dropdown sends the site URL (scripts.js values
     are site.url); the endpoint must treat it like the bare host."""
