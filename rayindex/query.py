@@ -323,6 +323,58 @@ def wand_topk(
     return [(int(d), float(s)) for s, d in out]
 
 
+def load_locator_table(shard_dir: str) -> tuple[pa.Table, str]:
+    """One shard's doc locator as a single-chunk Arrow table
+    ``(doc_id, rowpos, url)``, doc_id-sorted, plus its source tag
+    (``"sidecar"`` | ``"scan"``).
+
+    Prefers the build-persisted ``locator/locator.parquet``
+    (build.build_doc_locator) after verifying its fragment census (file
+    names + row counts stored in the sidecar's schema metadata) against the
+    CURRENT docs listing — a doc store rewritten after the sidecar
+    (compaction, upsert) can never serve stale positions.  Falls back to a
+    skinny docs scan + sort for legacy layouts.
+
+    Module-level (not a method) so the serving tier can load each shard's
+    locator ONCE on the driver and ``ray.put`` it: Arrow buffers in the
+    object store are mapped zero-copy by every replica actor on a node,
+    instead of each replica materializing its own copy."""
+    docs_dir = os.path.join(shard_dir, "docs")
+    loc_path = os.path.join(shard_dir, "locator", "locator.parquet")
+    t = None
+    if os.path.exists(loc_path):
+        try:
+            pf = pq.ParquetFile(loc_path)
+            meta = pf.schema_arrow.metadata or {}
+            census = json.loads(meta.get(b"docs_census", b"null") or b"null")
+            if census is not None:
+                current = sorted(
+                    f for f in os.listdir(docs_dir) if f.endswith(".parquet")
+                )
+                if [c[0] for c in census] == current and all(
+                    pq.ParquetFile(os.path.join(docs_dir, n)).metadata.num_rows
+                    == rows
+                    for n, rows in census
+                ):
+                    t = pf.read()
+        except (OSError, ValueError, KeyError):
+            t = None
+    if t is not None:
+        return t.select(["doc_id", "rowpos", "url"]).combine_chunks(), "sidecar"
+    # legacy index / post-compaction docs mismatch: rebuild from scan
+    raw = pads.dataset(docs_dir).to_table(columns=["doc_id", "url"])
+    ids = raw.column("doc_id").to_numpy()
+    order = np.argsort(ids, kind="stable").astype(np.int64)
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "rowpos": pa.array(order, pa.int64()),
+            "url": raw.column("url").combine_chunks().take(pa.array(order)),
+        }
+    )
+    return t.combine_chunks(), "scan"
+
+
 class QueryEngine:
     """ST4: loads dictionary + stats once, serves many queries."""
 
@@ -341,9 +393,15 @@ class QueryEngine:
     # same tiering for per-site candidate filters (J5 site-restricted search)
     SITE_EXACT_CAP = 2_000_000
 
-    def __init__(self, index_root: str, analyzer_spec: dict, k1: float = 1.2, b: float = 0.75):
+    def __init__(self, index_root: str, analyzer_spec: dict, k1: float = 1.2,
+                 b: float = 0.75, shared_locators: dict | None = None):
         self.analyzer = make_analyzer(analyzer_spec)
         self.k1, self.b = k1, b
+        # {shard basename (e.g. "shard=0") → ray.ObjectRef of the locator
+        # table} — the serving tier loads each locator once on the driver and
+        # shares it; replicas map the Arrow buffers zero-copy from the object
+        # store instead of each holding a private copy (see load_locator_table)
+        self._shared_locators = shared_locators or {}
         self.shard_dirs = list_shards(index_root)
         if not self.shard_dirs:
             raise FileNotFoundError(f"no shards under {index_root}")
@@ -557,55 +615,25 @@ class QueryEngine:
         cached = self._docs_locator_cache.get(shard_dir)
         if cached is not None:
             return cached
-        docs_dir = os.path.join(shard_dir, "docs")
-        ds_ = pads.dataset(docs_dir)
-        got = self._locator_from_sidecar(shard_dir, docs_dir, ds_)
-        if got is None:
-            # legacy index / post-compaction docs mismatch: rebuild from scan
-            self._locator_source[shard_dir] = "scan"
-            t = ds_.to_table(columns=["doc_id", "url"])
-            ids = t.column("doc_id").to_numpy()
-            order = np.argsort(ids, kind="stable").astype(np.int64)
-            urls = t.column("url").to_numpy(zero_copy_only=False)[order]
-            got = (ds_, ids[order], order, urls)
+        ds_ = pads.dataset(os.path.join(shard_dir, "docs"))
+        ref = self._shared_locators.get(os.path.basename(shard_dir))
+        if ref is not None:
+            import ray
+
+            t = ray.get(ref)  # zero-copy: Arrow buffers map from plasma
+            self._locator_source[shard_dir] = "shared"
+        else:
+            t, src = load_locator_table(shard_dir)
+            self._locator_source[shard_dir] = src
+        urls = t.column("url")
+        got = (
+            ds_,
+            t.column("doc_id").to_numpy(),  # zero-copy int64 views
+            t.column("rowpos").to_numpy(),
+            urls.chunk(0) if urls.num_chunks == 1 else urls.combine_chunks(),
+        )
         self._docs_locator_cache[shard_dir] = got
         return got
-
-    def _locator_from_sidecar(self, shard_dir: str, docs_dir: str, ds_):
-        """Load the build-persisted locator (``locator/locator.parquet``,
-        written by build.build_doc_locator) — a doc_id-sorted skinny read
-        replacing the per-replica docs scan + sort.  Returns None unless the
-        sidecar's fragment census (file names + row counts in its schema
-        metadata) matches the CURRENT docs listing exactly, so a doc store
-        rewritten after the sidecar (compaction, upsert) can never serve
-        stale positions."""
-        loc_path = os.path.join(shard_dir, "locator", "locator.parquet")
-        if not os.path.exists(loc_path):
-            return None
-        try:
-            pf = pq.ParquetFile(loc_path)
-            meta = pf.schema_arrow.metadata or {}
-            census = json.loads(meta.get(b"docs_census", b"null") or b"null")
-            if census is None:
-                return None
-            current = sorted(
-                f for f in os.listdir(docs_dir) if f.endswith(".parquet")
-            )
-            if [c[0] for c in census] != current:
-                return None
-            for name, rows in census:
-                if pq.ParquetFile(os.path.join(docs_dir, name)).metadata.num_rows != rows:
-                    return None
-            t = pf.read()
-        except (OSError, ValueError, KeyError):
-            return None
-        self._locator_source[shard_dir] = "sidecar"
-        return (
-            ds_,
-            t.column("doc_id").to_numpy(),
-            t.column("rowpos").to_numpy(),
-            t.column("url").to_numpy(zero_copy_only=False),
-        )
 
     @staticmethod
     def _locator_hits(ids_sorted: np.ndarray, want: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -619,10 +647,12 @@ class QueryEngine:
         return hit, pos_c
 
     def _urls_for(self, want: np.ndarray) -> np.ndarray:
-        """Vectorized docid → url over the in-memory locator (object array,
-        same order as ``want``; None for unknown ids).  The array-level
-        sibling of the ``doc_meta`` url fast path — score-level consumers
-        (:meth:`search_after`) must not pay a Python dict per hit."""
+        """Vectorized docid → url (object array aligned with ``want``; None
+        for unknown ids).  The array-level sibling of the ``doc_meta`` url
+        fast path — score-level consumers (:meth:`search_after`) must not
+        pay a Python dict per hit.  The locator's urls live as an Arrow
+        string array (zero-copy-shareable); only the requested positions
+        materialize as Python strings here."""
         # exact: doc ids are hash>>(1+B) (schema.py), always below 2^63
         want = want.astype(np.int64, copy=False)
         out = np.empty(want.size, dtype=object)
@@ -631,7 +661,10 @@ class QueryEngine:
             if not ids_sorted.size:
                 continue
             hit, pos_c = self._locator_hits(ids_sorted, want)
-            out[hit] = urls_sorted[pos_c[hit]]
+            if hit.any():
+                out[hit] = urls_sorted.take(
+                    pa.array(pos_c[hit], pa.int64())
+                ).to_numpy(zero_copy_only=False)
         return out
 
     def _ts_for(self, want: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -689,7 +722,8 @@ class QueryEngine:
                 # so a url lookup never touches parquet at all
                 for i in pos_c[hit]:
                     out[int(ids_sorted[i])] = {
-                        "doc_id": int(ids_sorted[i]), "url": str(urls_sorted[i])
+                        "doc_id": int(ids_sorted[i]),
+                        "url": urls_sorted[int(i)].as_py(),
                     }
                 continue
             take_idx = np.unique(rowpos[pos_c[hit]])

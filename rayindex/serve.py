@@ -65,12 +65,14 @@ class SearchReplica:
         k: int | None = None,
         scorer: str = "reference",
         with_snippets: bool = False,
+        shared_locators: dict | None = None,
     ):
         if scorer not in ("reference", "bm25"):
             raise ValueError(f"scorer must be 'reference' or 'bm25', got {scorer!r}")
         if with_snippets and scorer != "reference":
             raise ValueError("with_snippets requires the reference scorer")
-        self.eng = QueryEngine(index_root, analyzer_spec)
+        self.eng = QueryEngine(index_root, analyzer_spec,
+                               shared_locators=shared_locators)
         self.site = site
         self.k = k
         self.scorer = scorer
@@ -129,6 +131,7 @@ def batch_search(
     with_snippets: bool = False,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 32,
+    share_locator: bool = True,
 ) -> rd.Dataset:
     """Serve a query log from an actor pool of engine replicas.
 
@@ -154,12 +157,19 @@ def batch_search(
         from .textops import auto_concurrency
 
         concurrency = auto_concurrency()
+    ctor_kwargs = {
+        "site": site, "k": k, "scorer": scorer, "with_snippets": with_snippets,
+    }
+    if share_locator:
+        # locator loaded once on the driver; every pool actor maps the same
+        # object-store buffers instead of loading its own copy (the dominant
+        # cold-pool cost — at 5 M docs each replica otherwise reads and
+        # materializes a multi-hundred-MB table before its first batch)
+        ctor_kwargs["shared_locators"] = share_locators(index_root)
     return queries.map_batches(
         SearchReplica,
         fn_constructor_args=(index_root, analyzer_spec),
-        fn_constructor_kwargs={
-            "site": site, "k": k, "scorer": scorer, "with_snippets": with_snippets,
-        },
+        fn_constructor_kwargs=ctor_kwargs,
         concurrency=concurrency,
         batch_size=batch_size,
         batch_format="pyarrow",
@@ -169,6 +179,25 @@ def batch_search(
 
 # ---------------------------------------------------------------------------
 # Always-on serving tier
+
+
+def share_locators(index_root: str) -> dict[str, "ray.ObjectRef"]:
+    """Load every shard's doc locator ONCE on the driver and ``ray.put`` it.
+
+    Returns {shard basename → ObjectRef of the single-chunk locator table}.
+    Replica actors receive the refs and map the Arrow buffers zero-copy from
+    the object store — N replicas on a node share ONE copy of the
+    (doc_id, rowpos, url) arrays instead of each loading + materializing its
+    own (at 5 M docs/shard that is hundreds of MB per replica otherwise,
+    and the dominant cold-start cost)."""
+    from .query import load_locator_table
+    from .segments import list_shards
+
+    out = {}
+    for d in list_shards(index_root):
+        t, _src = load_locator_table(d)
+        out[os.path.basename(d)] = ray.put(t)
+    return out
 
 
 @ray.remote
@@ -219,6 +248,7 @@ class SearchService:
         scorer: str = "reference",
         with_snippets: bool = False,
         num_cpus: float = 1.0,
+        share_locator: bool = True,
     ):
         if num_replicas is None:
             from .textops import auto_concurrency
@@ -231,6 +261,7 @@ class SearchService:
         self._kwargs = kwargs
         self._num_cpus = num_cpus
         self._index_root = index_root
+        self._share_locator = share_locator
         self._replicas = self._spawn(index_root, num_replicas)
         self._rr = 0
         # CURRENT-record identity last synced against (version,
@@ -239,9 +270,17 @@ class SearchService:
         self._synced_token: tuple | None = None
 
     def _spawn(self, index_root: str, n: int) -> list:
+        # locator loaded ONCE here, mapped zero-copy by every replica —
+        # per-replica cold-start and memory no longer scale with doc count
+        kwargs = dict(self._kwargs)
+        if self._share_locator:
+            # held on the service too, so the shared tables outlive any
+            # replica restart churn regardless of inner-ref accounting
+            self._locator_refs = share_locators(index_root)
+            kwargs["shared_locators"] = self._locator_refs
         return [
             _ServiceReplica.options(num_cpus=self._num_cpus).remote(
-                index_root, self._analyzer_spec, self._kwargs
+                index_root, self._analyzer_spec, kwargs
             )
             for _ in range(n)
         ]

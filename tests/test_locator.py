@@ -51,11 +51,51 @@ def test_engine_uses_sidecar_not_scan(built_index, fixture_corpus):
     order = np.argsort(sids, kind="stable").astype(np.int64)
     assert np.array_equal(ids_sorted, sids[order])
     assert np.array_equal(rowpos, order)
-    assert list(urls) == list(t.column("url").to_numpy(zero_copy_only=False)[order])
+    # urls stay an Arrow string array (zero-copy-shareable via the object
+    # store); values must match the scan-path ordering exactly
+    assert urls.to_pylist() == list(
+        t.column("url").to_numpy(zero_copy_only=False)[order]
+    )
     # end to end: ts resolution through the sidecar positions
     want = ids_sorted[:5].astype(np.int64)
     ts, found = e._ts_for(want)
     assert found.all() and (ts > 0).all()
+
+
+def test_shared_locator_identical_answers(ray_session, built_index, fixture_corpus):
+    """An engine fed driver-shared locator refs (serve.share_locators) must
+    answer identically to one that loads the sidecar itself, and must mark
+    the source as 'shared' (no per-replica load at all)."""
+
+    from rayindex.query import QueryEngine
+    from rayindex.serve import share_locators
+
+    refs = share_locators(built_index["out_dir"])
+    shard = _shard0(built_index["out_dir"])
+    assert os.path.basename(shard) in refs
+
+    own = QueryEngine(built_index["out_dir"], fixture_corpus.analyzer_spec)
+    shared = QueryEngine(built_index["out_dir"], fixture_corpus.analyzer_spec,
+                         shared_locators=refs)
+    _ds, ids_a, pos_a, urls_a = own._docs_locator(shard)
+    _ds2, ids_b, pos_b, urls_b = shared._docs_locator(shard)
+    assert shared._locator_source[shard] == "shared"
+    assert own._locator_source[shard] == "sidecar"
+    assert np.array_equal(ids_a, ids_b) and np.array_equal(pos_a, pos_b)
+    assert urls_a.to_pylist() == urls_b.to_pylist()
+    # end to end through every locator consumer
+    q = next(
+        q["query"] for q in fixture_corpus.queries
+        if own.search(q["query"], k=None, with_snippets=False)["count"] > 0
+    )
+    a = own.search(q, k=10, with_snippets=True)
+    b = shared.search(q, k=10, with_snippets=True)
+    assert a == b
+    want = ids_a[:7].astype(np.int64)
+    assert list(own._urls_for(want)) == list(shared._urls_for(want))
+    ts_a, f_a = own._ts_for(want)
+    ts_b, f_b = shared._ts_for(want)
+    assert np.array_equal(ts_a, ts_b) and np.array_equal(f_a, f_b)
 
 
 def test_stale_sidecar_falls_back_and_audits(built_index, fixture_corpus, tmp_path):
