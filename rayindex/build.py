@@ -1251,7 +1251,13 @@ def build_index(
 
 
 def build_all(pages_path, out_dir, analyzer_spec, num_shards: int = 1, **kwargs) -> dict:
-    """Build every shard (each independently resumable); per-shard lineage."""
+    """Build every shard (each independently resumable); per-shard lineage.
+
+    Multi-shard builds also get the cross-shard ``site_lemmas_global``
+    sidecar, so ``QueryEngine.statistics()`` stays O(sites) on sharded
+    deployments too.  (Jobs building a shard SUBSET — ``tools/build_cli.py
+    --shard-range`` — skip it: only an orchestrator that saw every shard can
+    vouch for the full set; engines over such trees fall back to the scan.)"""
     all_metrics = {"shards": []}
     for s in range(num_shards):
         m = build_index(
@@ -1259,4 +1265,86 @@ def build_all(pages_path, out_dir, analyzer_spec, num_shards: int = 1, **kwargs)
             shard_index=s, num_shards=num_shards, **kwargs,
         )
         all_metrics["shards"].append(m)
+    if num_shards > 1:
+        write_site_lemmas_global(out_dir)
     return all_metrics
+
+
+def write_site_lemmas_global(index_root: str) -> None:
+    """Cross-shard A4 sidecar: per-site distinct-lemma counts over ALL
+    url-hash shards, written at the index ROOT.
+
+    Per-shard ``site_lemmas`` counts are NOT additive across shards (the
+    same (site, term) pair appears in several url-hash shards), but a term
+    maps to the SAME term-hash bucket in every shard — so unioning bucket B
+    across shards and counting distincts there stays bucket-additive
+    globally, and the whole job is one small task per bucket (vocabulary-
+    bounded, never a dictionary scan to the driver).
+
+    Metadata carries a census of each shard's ``stats.json`` md5 so an
+    engine can refuse a sidecar that predates a shard rebuild
+    (query._site_lemmas_sidecar)."""
+
+    from .segments import list_shards
+
+    shards = list_shards(index_root)
+    buckets = sorted(
+        {
+            n
+            for d in shards
+            for n in os.listdir(os.path.join(d, "term_stats"))
+            if n.startswith("bucket=")
+        }
+    )
+
+    @ray.remote
+    def _bucket_counts(bdirs: list[str]) -> tuple[dict, int]:
+        import pyarrow.dataset as pads
+
+        tabs = [
+            pads.dataset(b).to_table(columns=["site", "term", "df"])
+            for b in bdirs
+            if os.path.isdir(b)
+        ]
+        t = pa.concat_tables(tabs) if tabs else None
+        if t is None or not t.num_rows:
+            return {}, 0
+        t = t.filter(pc.greater(t.column("df"), 0))
+        if not t.num_rows:
+            return {}, 0
+        df = t.to_pandas()
+        return (
+            df.groupby("site")["term"].nunique().to_dict(),
+            int(df["term"].nunique()),
+        )
+
+    refs = [
+        _bucket_counts.remote([os.path.join(d, "term_stats", b) for d in shards])
+        for b in buckets
+    ]
+    per_site_total: dict[str, int] = {}
+    n_lemmas = 0
+    for per_site, n_terms in ray.get(refs):
+        n_lemmas += n_terms
+        for s, n in per_site.items():
+            per_site_total[s] = per_site_total.get(s, 0) + int(n)
+    census = {
+        os.path.basename(d): hashlib.md5(
+            open(os.path.join(d, "stats.json"), "rb").read()
+        ).hexdigest()
+        for d in shards
+    }
+    sites = sorted(per_site_total)
+    tab = pa.table(
+        {
+            "site": pa.array(sites, pa.string()),
+            "n_lemmas": pa.array([per_site_total[s] for s in sites], pa.int64()),
+        }
+    ).replace_schema_metadata(
+        {
+            b"n_lemmas_total": str(n_lemmas).encode(),
+            b"shard_census": json.dumps(census, sort_keys=True).encode(),
+        }
+    )
+    with phase_output(os.path.join(index_root, "site_lemmas_global")) as tmp:
+        pq.write_table(tab, os.path.join(tmp, "site_lemmas.parquet"))

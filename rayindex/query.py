@@ -402,6 +402,7 @@ class QueryEngine:
         # shares it; replicas map the Arrow buffers zero-copy from the object
         # store instead of each holding a private copy (see load_locator_table)
         self._shared_locators = shared_locators or {}
+        self.index_root = index_root
         self.shard_dirs = list_shards(index_root)
         if not self.shard_dirs:
             raise FileNotFoundError(f"no shards under {index_root}")
@@ -733,20 +734,42 @@ class QueryEngine:
         return out
 
     def _site_lemmas_sidecar(self) -> tuple[dict, int] | None:
-        """Per-site distinct-lemma counts from the build-persisted A4 sidecar
-        (build.write_site_lemmas) — O(sites) rows instead of the full
-        dictionary scan.  None (→ scan fallback) when any shard predates the
-        sidecar, when sites were purged (the correction needs the live df
-        rows), or on a multi-shard engine: a term/(site, term) pair can
-        appear in several url-hash shards, so per-shard DISTINCT counts are
-        not additive — a sharded deployment rebuilds the sidecar at merge
-        (write_term_stats runs there too) or keeps a KMV sketch per site."""
-        if self.purged_sites or len(self.shard_dirs) != 1:
+        """Per-site distinct-lemma counts from a build-persisted A4 sidecar
+        — O(sites) rows instead of the full dictionary scan.  Single-shard
+        engines read the shard's ``site_lemmas`` (build.write_site_lemmas);
+        multi-shard engines read the root-level ``site_lemmas_global``
+        (build.write_site_lemmas_global — per-shard DISTINCT counts are not
+        additive across url-hash shards, so the orchestrator counts
+        distincts per term-hash bucket unioned across shards), refusing it
+        when any shard's stats.json no longer matches the recorded census
+        (a shard rebuilt after the sidecar).  None → scan fallback; purged
+        sites always scan (the correction needs the live df rows)."""
+        if self.purged_sites:
             return None
-        p = os.path.join(self.shard_dirs[0], "site_lemmas", "site_lemmas.parquet")
-        if not os.path.exists(p):
-            return None
-        t = pq.read_table(p)
+        if len(self.shard_dirs) == 1:
+            p = os.path.join(self.shard_dirs[0], "site_lemmas", "site_lemmas.parquet")
+            if not os.path.exists(p):
+                return None
+            t = pq.read_table(p)
+        else:
+            p = os.path.join(self.index_root, "site_lemmas_global",
+                             "site_lemmas.parquet")
+            if not os.path.exists(p):
+                return None
+            t = pq.read_table(p)
+            import hashlib
+
+            census = json.loads(
+                (t.schema.metadata or {}).get(b"shard_census", b"null") or b"null"
+            )
+            current = {
+                os.path.basename(d): hashlib.md5(
+                    open(os.path.join(d, "stats.json"), "rb").read()
+                ).hexdigest()
+                for d in self.shard_dirs
+            }
+            if census != current:
+                return None
         meta = t.schema.metadata or {}
         total = int(meta.get(b"n_lemmas_total", b"0"))
         per = dict(

@@ -133,6 +133,44 @@ def test_merge_refreshes_locator(built_index, fixture_corpus, tmp_path):
     assert e._locator_source[shard] == "sidecar"
 
 
+def test_sharded_statistics_global_sidecar(ray_session, built_index,
+                                           fixture_corpus, tmp_path):
+    """A 2-shard build_all must write the root-level site_lemmas_global
+    sidecar; a multi-shard engine's statistics() must use it (no dictionary
+    scan) and equal both the forced-scan path and the single-shard engine's
+    answer bit-for-bit.  A shard rebuilt after the sidecar (census mismatch)
+    must fall back to the scan."""
+    import json as _json
+
+    from rayindex.build import build_all
+    from rayindex.query import QueryEngine
+
+    root = str(tmp_path / "sharded")
+    build_all(built_index["pages_dir"], root, fixture_corpus.analyzer_spec,
+              num_shards=2, num_buckets=8, lemma_batch_size=64)
+    assert os.path.exists(
+        os.path.join(root, "site_lemmas_global", "site_lemmas.parquet")
+    )
+    e = QueryEngine(root, fixture_corpus.analyzer_spec)
+    assert len(e.shard_dirs) == 2
+    assert e._site_lemmas_sidecar() is not None
+    fast = e.statistics()
+    e_scan = QueryEngine(root, fixture_corpus.analyzer_spec)
+    e_scan._site_lemmas_sidecar = lambda: None
+    assert fast == e_scan.statistics()
+    single = QueryEngine(built_index["out_dir"], fixture_corpus.analyzer_spec)
+    assert fast == single.statistics()
+    # census mismatch → refuse the stale sidecar
+    sp = os.path.join(e.shard_dirs[0], "stats.json")
+    st = _json.load(open(sp))
+    st["_touched"] = True
+    with open(sp, "w") as f:
+        _json.dump(st, f)
+    e2 = QueryEngine(root, fixture_corpus.analyzer_spec)
+    assert e2._site_lemmas_sidecar() is None
+    assert e2.statistics() == fast  # scan fallback still answers correctly
+
+
 def test_statistics_sidecar_matches_scan(built_index, fixture_corpus):
     """statistics() via the persisted A4 site_lemmas sidecar must equal the
     full-dictionary scan path bit-for-bit (round-3 judge finding #2)."""
