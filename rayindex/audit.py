@@ -286,6 +286,48 @@ def _audit_locator(shard_dir: str) -> list[dict]:
     return bad
 
 
+def _audit_site_lemmas_global(index_root: str) -> list[dict]:
+    """Root-level ``site_lemmas_global`` check (build.write_site_lemmas_global):
+    the shard census in its metadata must match the md5 of every CURRENT
+    shard's stats.json.  Absent sidecar is healthy (multi-shard engines fall
+    back to the scan); a stale one is flagged so the operator re-runs
+    write_site_lemmas_global after a shard rebuild."""
+    import hashlib
+    import json
+    import pyarrow.parquet as pq
+
+    p = os.path.join(index_root, "site_lemmas_global", "site_lemmas.parquet")
+    if not os.path.exists(p):
+        return []
+    bad: list[dict] = []
+
+    def emit(check: str, detail: str) -> None:
+        bad.append({"term": "site_lemmas_global", "salt": -1,
+                    "bucket": -1, "check": check, "detail": detail})
+
+    try:
+        meta = pq.ParquetFile(p).schema_arrow.metadata or {}
+        census = json.loads(meta.get(b"shard_census", b"null") or b"null")
+        if census is None:
+            emit("site_lemmas_census", "sidecar has no shard_census metadata")
+            return bad
+        current = {
+            os.path.basename(d): hashlib.md5(
+                open(os.path.join(d, "stats.json"), "rb").read()
+            ).hexdigest()
+            for d in list_shards(index_root)
+        }
+        if census != current:
+            changed = sorted(
+                set(census) ^ set(current)
+                | {k for k in set(census) & set(current) if census[k] != current[k]}
+            )
+            emit("site_lemmas_census", f"stale for shards {changed}")
+    except (OSError, ValueError, KeyError) as e:
+        emit("site_lemmas_census", f"unreadable sidecar: {e}")
+    return bad
+
+
 def audit_index(index_root: str, *, check_df: bool = True) -> pd.DataFrame:
     """Audit every shard of ``index_root``; returns the violation table
     (empty = healthy).  Streams segment rows through a task pool — driver
@@ -322,6 +364,7 @@ def audit_index(index_root: str, *, check_df: bool = True) -> pd.DataFrame:
     else:
         parts = [stream.drop_columns(["seg_cnt"]).to_pandas()]
     loc_rows = [r for s in list_shards(index_root) for r in _audit_locator(s)]
+    loc_rows += _audit_site_lemmas_global(index_root)
     if loc_rows:
         parts.append(pd.DataFrame(loc_rows))
     cols = list(VIOLATION_SCHEMA.names)

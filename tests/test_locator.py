@@ -169,6 +169,12 @@ def test_sharded_statistics_global_sidecar(ray_session, built_index,
     e2 = QueryEngine(root, fixture_corpus.analyzer_spec)
     assert e2._site_lemmas_sidecar() is None
     assert e2.statistics() == fast  # scan fallback still answers correctly
+    # the fsck flags the stale global sidecar (healthy before the touch:
+    # oracle entry pins the empty violation table on untouched indexes)
+    from rayindex.audit import audit_index
+
+    vio = audit_index(root, check_df=False)
+    assert "site_lemmas_census" in set(vio["check"])
 
 
 def test_statistics_sidecar_matches_scan(built_index, fixture_corpus):
