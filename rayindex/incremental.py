@@ -103,6 +103,14 @@ def incremental_update(
             shard_index=s, num_shards=num_shards, **build_kwargs,
         )
         out["rebuilt_shards"].append(m)
+    if num_shards > 1:
+        # the rebuilt shards' stats.json changed, so the root-level
+        # site_lemmas_global census no longer matches (engines would refuse
+        # it and fall back to the scan) — regenerate it while we are the
+        # orchestrator that saw the whole update
+        from .build import write_site_lemmas_global
+
+        write_site_lemmas_global(index_dir)
     return out
 
 

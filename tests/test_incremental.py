@@ -65,6 +65,12 @@ def test_delta_reindex_overrides_page(ray_session, fixture_corpus, tmp_path):
         eng.doc_meta([r["doc_id"] for r in hit["data"]]).get(r["doc_id"], {}).get("url")
         for r in hit["data"]
     }
+    # the multi-shard update regenerated site_lemmas_global: the sidecar
+    # passes the census check and agrees with the post-delta dictionary
+    assert eng._site_lemmas_sidecar() is not None
+    eng_scan = QueryEngine(out, fixture_corpus.analyzer_spec)
+    eng_scan._site_lemmas_sidecar = lambda: None
+    assert eng.statistics() == eng_scan.statistics()
 
 
 def test_delta_only_touches_affected_shard(ray_session, fixture_corpus, tmp_path):
