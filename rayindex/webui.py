@@ -123,6 +123,9 @@ const $ = (s) => document.querySelector(s);
 const api = (path) => fetch(path).then((r) => r.json());
 const esc = (s) => String(s ?? "").replace(/[&<>"]/g,
   (c) => ({"&":"&amp;","<":"&lt;",">":"&gt;",'"':"&quot;"}[c]));
+// snippets carry ONLY the builder's <b> bolding as markup; everything else
+// in them is page-derived text and must not reach innerHTML unescaped
+const snip = (s) => esc(s).replace(/&lt;(\/?)b&gt;/g, "<$1b>");
 
 // --- tabs (hash-routed like the reference) ---------------------------------
 function showTab(id) {
@@ -196,7 +199,7 @@ function renderMore() {
       <span class="rel">relevance ${Number(h.relevance).toFixed(3)}</span>
       <a href="${esc(h.url || h.site || "#")}">${esc(h.title || h.url || ("doc " + h.doc_id))}</a>
       <div class="url">${esc(h.url || "")}</div>
-      <p>${h.snippet || ""}</p>
+      <p>${snip(h.snippet || "")}</p>
     </div>`).join(""));
   shown += next.length;
   const remain = Math.max(total - shown, 0);
