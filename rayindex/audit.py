@@ -292,9 +292,10 @@ def _audit_site_lemmas_global(index_root: str) -> list[dict]:
     shard's stats.json.  Absent sidecar is healthy (multi-shard engines fall
     back to the scan); a stale one is flagged so the operator re-runs
     write_site_lemmas_global after a shard rebuild."""
-    import hashlib
     import json
     import pyarrow.parquet as pq
+
+    from .segments import shard_stats_census
 
     p = os.path.join(index_root, "site_lemmas_global", "site_lemmas.parquet")
     if not os.path.exists(p):
@@ -311,12 +312,7 @@ def _audit_site_lemmas_global(index_root: str) -> list[dict]:
         if census is None:
             emit("site_lemmas_census", "sidecar has no shard_census metadata")
             return bad
-        current = {
-            os.path.basename(d): hashlib.md5(
-                open(os.path.join(d, "stats.json"), "rb").read()
-            ).hexdigest()
-            for d in list_shards(index_root)
-        }
+        current = shard_stats_census(list_shards(index_root))
         if census != current:
             changed = sorted(
                 set(census) ^ set(current)

@@ -642,6 +642,57 @@ def write_term_stats(shard_dir: str) -> None:
     write_site_lemmas(shard_dir)
 
 
+@ray.remote
+def _site_lemma_bucket_counts(bdirs: list[str]) -> tuple[dict, int]:
+    """Distinct-lemma counts within ONE term-hash bucket — ``bdirs`` is that
+    bucket's ``term_stats/bucket=<b>`` directory in each shard (one element
+    for a per-shard sidecar, one per shard for the global one).  A term maps
+    to the SAME bucket in every shard, so per-bucket distincts stay additive
+    across buckets in both cases.  Shared by :func:`write_site_lemmas` and
+    :func:`write_site_lemmas_global` — the writer semantics (``df > 0``
+    live-row filter, per-site nunique) must never diverge between them."""
+    import pyarrow.dataset as pads
+
+    tabs = [
+        pads.dataset(b).to_table(columns=["site", "term", "df"])
+        for b in bdirs
+        if os.path.isdir(b)
+    ]
+    t = pa.concat_tables(tabs) if tabs else None
+    if t is None or not t.num_rows:
+        return {}, 0
+    t = t.filter(pc.greater(t.column("df"), 0))
+    if not t.num_rows:
+        return {}, 0
+    df = t.to_pandas()
+    return (
+        df.groupby("site")["term"].nunique().to_dict(),
+        int(df["term"].nunique()),
+    )
+
+
+def _write_site_lemmas_sidecar(out_root: str, dirname: str,
+                               bucket_refs: list, extra_meta: dict | None = None) -> None:
+    """Combine per-bucket (per_site, n_terms) partials and commit the sidecar
+    table (idempotent ``phase_output`` rename)."""
+    per_site_total: dict[str, int] = {}
+    n_lemmas = 0
+    for per_site, n_terms in ray.get(bucket_refs):
+        n_lemmas += n_terms
+        for s, n in per_site.items():
+            per_site_total[s] = per_site_total.get(s, 0) + int(n)
+    sites = sorted(per_site_total)
+    meta = {b"n_lemmas_total": str(n_lemmas).encode()}
+    if extra_meta:
+        meta.update(extra_meta)
+    tab = pa.table(
+        {"site": pa.array(sites, pa.string()),
+         "n_lemmas": pa.array([per_site_total[s] for s in sites], pa.int64())}
+    ).replace_schema_metadata(meta)
+    with phase_output(os.path.join(out_root, dirname)) as tmp:
+        pq.write_table(tab, os.path.join(tmp, "site_lemmas.parquet"))
+
+
 def write_site_lemmas(shard_dir: str) -> None:
     """A4 sidecar (round-3 judge finding #2): per-site distinct-lemma counts
     persisted at build so ``QueryEngine.statistics()`` reads O(sites) rows
@@ -657,35 +708,8 @@ def write_site_lemmas(shard_dir: str) -> None:
         os.path.join(stats_dir, n) for n in os.listdir(stats_dir)
         if n.startswith("bucket=")
     )
-
-    @ray.remote
-    def _bucket_counts(bdir: str) -> tuple[dict, int]:
-        import pyarrow.dataset as pads
-
-        t = pads.dataset(bdir).to_table(columns=["site", "term", "df"])
-        t = t.filter(pc.greater(t.column("df"), 0))
-        per_site: dict[str, int] = {}
-        if t.num_rows:
-            df = t.to_pandas()
-            per_site = df.groupby("site")["term"].nunique().to_dict()
-            n_terms = int(df["term"].nunique())
-        else:
-            n_terms = 0
-        return per_site, n_terms
-
-    per_site_total: dict[str, int] = {}
-    n_lemmas = 0
-    for per_site, n_terms in ray.get([_bucket_counts.remote(b) for b in buckets]):
-        n_lemmas += n_terms
-        for s, n in per_site.items():
-            per_site_total[s] = per_site_total.get(s, 0) + int(n)
-    sites = sorted(per_site_total)
-    tab = pa.table(
-        {"site": pa.array(sites, pa.string()),
-         "n_lemmas": pa.array([per_site_total[s] for s in sites], pa.int64())}
-    ).replace_schema_metadata({b"n_lemmas_total": str(n_lemmas).encode()})
-    with phase_output(os.path.join(shard_dir, "site_lemmas")) as tmp:
-        pq.write_table(tab, os.path.join(tmp, "site_lemmas.parquet"))
+    refs = [_site_lemma_bucket_counts.remote([b]) for b in buckets]
+    _write_site_lemmas_sidecar(shard_dir, "site_lemmas", refs)
 
 
 def _detect_dup_ids(pages_path, shard_index: int, num_shards: int,
@@ -1285,7 +1309,7 @@ def write_site_lemmas_global(index_root: str) -> None:
     engine can refuse a sidecar that predates a shard rebuild
     (query._site_lemmas_sidecar)."""
 
-    from .segments import list_shards
+    from .segments import list_shards, shard_stats_census
 
     shards = list_shards(index_root)
     buckets = sorted(
@@ -1296,55 +1320,14 @@ def write_site_lemmas_global(index_root: str) -> None:
             if n.startswith("bucket=")
         }
     )
-
-    @ray.remote
-    def _bucket_counts(bdirs: list[str]) -> tuple[dict, int]:
-        import pyarrow.dataset as pads
-
-        tabs = [
-            pads.dataset(b).to_table(columns=["site", "term", "df"])
-            for b in bdirs
-            if os.path.isdir(b)
-        ]
-        t = pa.concat_tables(tabs) if tabs else None
-        if t is None or not t.num_rows:
-            return {}, 0
-        t = t.filter(pc.greater(t.column("df"), 0))
-        if not t.num_rows:
-            return {}, 0
-        df = t.to_pandas()
-        return (
-            df.groupby("site")["term"].nunique().to_dict(),
-            int(df["term"].nunique()),
-        )
-
     refs = [
-        _bucket_counts.remote([os.path.join(d, "term_stats", b) for d in shards])
+        _site_lemma_bucket_counts.remote(
+            [os.path.join(d, "term_stats", b) for d in shards]
+        )
         for b in buckets
     ]
-    per_site_total: dict[str, int] = {}
-    n_lemmas = 0
-    for per_site, n_terms in ray.get(refs):
-        n_lemmas += n_terms
-        for s, n in per_site.items():
-            per_site_total[s] = per_site_total.get(s, 0) + int(n)
-    census = {
-        os.path.basename(d): hashlib.md5(
-            open(os.path.join(d, "stats.json"), "rb").read()
-        ).hexdigest()
-        for d in shards
-    }
-    sites = sorted(per_site_total)
-    tab = pa.table(
-        {
-            "site": pa.array(sites, pa.string()),
-            "n_lemmas": pa.array([per_site_total[s] for s in sites], pa.int64()),
-        }
-    ).replace_schema_metadata(
-        {
-            b"n_lemmas_total": str(n_lemmas).encode(),
-            b"shard_census": json.dumps(census, sort_keys=True).encode(),
-        }
+    census = shard_stats_census(shards)
+    _write_site_lemmas_sidecar(
+        index_root, "site_lemmas_global", refs,
+        extra_meta={b"shard_census": json.dumps(census, sort_keys=True).encode()},
     )
-    with phase_output(os.path.join(index_root, "site_lemmas_global")) as tmp:
-        pq.write_table(tab, os.path.join(tmp, "site_lemmas.parquet"))

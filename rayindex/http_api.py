@@ -116,12 +116,32 @@ class ApiServer:
             self._build_proc = None
             self._engine_gen += 1
 
+    def _index_num_shards(self) -> int:
+        """Shard count of the EXISTING on-disk tree (1 for a fresh/unbuilt
+        index).  The indexing endpoints must PRESERVE it: rebuilding shard 0
+        over the whole url space while other shards survive would duplicate
+        every surviving shard's docs in the merged engine view."""
+        from .segments import list_shards
+
+        try:
+            shards = list_shards(self.index_dir)
+        except FileNotFoundError:
+            return 1
+        return max(len(shards), 1)
+
     # -- endpoint bodies (reference semantics) -------------------------------
     def statistics(self) -> tuple[int, dict]:
         try:
             out = self.engine().statistics()
         except FileNotFoundError:
-            return 200, {"result": False, "error": "index is not built yet"}
+            # isIndexing must still be reported, or the dashboard's toggle
+            # can never show (or stop) an in-flight INITIAL build — nothing
+            # is servable until it commits shard=0
+            with self._lock:
+                self._reap_build()
+                busy = self._build_proc is not None
+            return 200, {"result": False, "error": "index is not built yet",
+                         "isIndexing": busy}
         # the dashboard's start/stop toggle follows total.isIndexing
         # (scripts.js:1651); here that state is the live build subprocess
         with self._lock:
@@ -168,6 +188,11 @@ class ApiServer:
                    os.path.join(_REPO_ROOT, "tools", "build_cli.py"),
                    "--pages", self.pages_dir, "--out", self.index_dir,
                    "--analyzer-spec-json", spec_path]
+            n_shards = self._index_num_shards()
+            if n_shards > 1:
+                # a rebuild of an existing sharded tree must keep its url-hash
+                # partitioning (build_cli defaults to one whole-space shard)
+                cmd += ["--num-shards", str(n_shards)]
             if self.codec:
                 cmd += ["--codec", self.codec]
             if self.build_num_cpus:
@@ -216,7 +241,8 @@ class ApiServer:
             os.makedirs(delta, exist_ok=True)
             pq.write_table(t, os.path.join(delta, "pages.parquet"))
             incremental_update(self.index_dir, self.pages_dir, delta,
-                               self.analyzer_spec)
+                               self.analyzer_spec,
+                               num_shards=self._index_num_shards())
             self._engine_gen = gen
         return 200, {"result": True}
 

@@ -116,9 +116,13 @@ def incremental_update(
 
 def _inherit_positions(index_dir: str, build_kwargs: dict) -> None:
     """Delta/compact rebuilds inherit the base index's layout flags
-    (positions, codec) unless the caller overrides — otherwise one update
-    would silently downgrade ``QueryEngine.has_positions`` (an all-shards
-    property) or re-encode deltas under a different stream codec."""
+    (positions, codec, num_buckets) unless the caller overrides — otherwise
+    one update would silently downgrade ``QueryEngine.has_positions`` (an
+    all-shards property), re-encode deltas under a different stream codec,
+    or — worst — re-partition ONE shard of a multi-shard tree under a
+    different bucket count: the engine derives ``num_buckets`` from shard 0,
+    so a shard whose dictionary/segments are hashed mod a different count
+    silently vanishes from every bucket-pruned lookup."""
     sp = os.path.join(index_dir, "shard=0", "stats.json")
     if not os.path.exists(sp):
         return
@@ -128,6 +132,8 @@ def _inherit_positions(index_dir: str, build_kwargs: dict) -> None:
         build_kwargs["positions"] = bool(stats.get("positions", False))
     if "codec" not in build_kwargs:
         build_kwargs["codec"] = stats.get("codec") or "vb"
+    if "num_buckets" not in build_kwargs and stats.get("num_buckets"):
+        build_kwargs["num_buckets"] = int(stats["num_buckets"])
 
 
 def _tombstones_path(index_dir: str) -> str:

@@ -408,6 +408,13 @@ class QueryEngine:
             raise FileNotFoundError(f"no shards under {index_root}")
         stats = [json.load(open(os.path.join(d, "stats.json"))) for d in self.shard_dirs]
         self.num_buckets = stats[0]["num_buckets"]
+        if any(s["num_buckets"] != self.num_buckets for s in stats):
+            # bucket-pruned lookups would silently MISS every shard hashed
+            # under a different count — refuse to serve a mixed-layout tree
+            raise ValueError(
+                f"shards of {index_root} disagree on num_buckets "
+                f"({[s['num_buckets'] for s in stats]}); rebuild the "
+                f"divergent shards with the tree's bucket count")
         self.has_positions = all(s.get("positions", False) for s in stats)
         self.n_docs = sum(s["n_docs"] for s in stats)
         self.total_tf = sum(s["total_tf"] for s in stats)
@@ -433,6 +440,9 @@ class QueryEngine:
         self._docs_locator_cache: dict[str, tuple] = {}
         self._locator_source: dict[str, str] = {}  # shard → sidecar|scan
         self._suggest_cache: dict[str, tuple[str, int]] = {}
+        # memoized (site_lemmas, n_lemmas) for statistics() — an engine
+        # serves one index generation, so this never goes stale in-instance
+        self._statistics_cache: tuple[dict, int] | None = None
 
         # U2 soft deletes (tombstones.json + Parquet id sidecars): correct the
         # global stats exactly and exclude the purged docs from every
@@ -757,18 +767,12 @@ class QueryEngine:
             if not os.path.exists(p):
                 return None
             t = pq.read_table(p)
-            import hashlib
+            from .segments import shard_stats_census
 
             census = json.loads(
                 (t.schema.metadata or {}).get(b"shard_census", b"null") or b"null"
             )
-            current = {
-                os.path.basename(d): hashlib.md5(
-                    open(os.path.join(d, "stats.json"), "rb").read()
-                ).hexdigest()
-                for d in self.shard_dirs
-            }
-            if census != current:
+            if census != shard_stats_census(self.shard_dirs):
                 return None
         meta = t.schema.metadata or {}
         total = int(meta.get(b"n_lemmas_total", b"0"))
@@ -784,17 +788,29 @@ class QueryEngine:
         and lemma counts.  Lemma counts come from the persisted A4 sidecar
         when available (no dictionary scan on the admin path — at 10^12 docs
         the (site × term) table is itself billions of rows); the scan runs
-        only for legacy/purged/multi-shard layouts."""
-        sidecar = self._site_lemmas_sidecar()
-        if sidecar is not None:
-            site_lemmas, n_lemmas = sidecar
+        only for legacy/purged/multi-shard layouts.
+
+        The lemma counts are MEMOIZED per engine instance: an engine serves
+        one index generation (index changes swap in a fresh engine), so
+        re-polling clients (the dashboard refreshes every 5 s) must not
+        re-read the sidecar — or worse, re-run the fallback dictionary scan
+        — per poll.  The response dict itself is rebuilt per call (O(sites)
+        work) because callers annotate it in place (http_api adds
+        ``isIndexing``)."""
+        if self._statistics_cache is not None:
+            site_lemmas, n_lemmas = self._statistics_cache
         else:
-            ts = self._scan_term_stats()
-            live = ts[ts["df"] > 0] if len(ts) else ts
-            site_lemmas = (
-                live.groupby("site")["term"].nunique().to_dict() if len(live) else {}
-            )
-            n_lemmas = int(live["term"].nunique()) if len(live) else 0
+            sidecar = self._site_lemmas_sidecar()
+            if sidecar is not None:
+                site_lemmas, n_lemmas = sidecar
+            else:
+                ts = self._scan_term_stats()
+                live = ts[ts["df"] > 0] if len(ts) else ts
+                site_lemmas = (
+                    live.groupby("site")["term"].nunique().to_dict() if len(live) else {}
+                )
+                n_lemmas = int(live["term"].nunique()) if len(live) else 0
+            self._statistics_cache = (site_lemmas, n_lemmas)
         detailed = [
             {
                 "url": f"https://{site}",

@@ -272,6 +272,24 @@ def list_shards(root: str) -> list[str]:
     return out
 
 
+def shard_stats_census(shard_dirs: list[str]) -> dict[str, str]:
+    """{shard basename → md5 of its stats.json} — the ONE census definition
+    shared by the ``site_lemmas_global`` sidecar writer
+    (build.write_site_lemmas_global), its reader
+    (query._site_lemmas_sidecar) and the fsck
+    (audit._audit_site_lemmas_global).  stats.json is rewritten by every
+    build/merge of a shard, so its digest is a cheap proxy for "this shard
+    changed since the sidecar was written"."""
+    import hashlib
+
+    return {
+        os.path.basename(d): hashlib.md5(
+            open(os.path.join(d, "stats.json"), "rb").read()
+        ).hexdigest()
+        for d in shard_dirs
+    }
+
+
 class SegmentReader:
     """Pruned access to one shard's compressed segments.
 

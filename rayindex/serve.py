@@ -132,6 +132,7 @@ def batch_search(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 32,
     share_locator: bool = True,
+    shared_locators: dict | None = None,
 ) -> rd.Dataset:
     """Serve a query log from an actor pool of engine replicas.
 
@@ -144,6 +145,14 @@ def batch_search(
     F1-F4 builder runs inside the replicas, so snippet generation scales
     with the pool instead of the driver).  Row values are independent of
     batch boundaries and pool size; only row order varies.
+
+    ``shared_locators`` accepts the refs of a prior :func:`share_locators`
+    call so REPEATED batch jobs over the same index reuse one object-store
+    copy instead of re-reading the (multi-hundred-MB at 5 M docs) locator
+    from disk per call; with the default ``share_locator=True`` and no
+    precomputed refs the load happens here, eagerly — callers that may
+    never consume the returned (lazy) Dataset should pass refs or
+    ``share_locator=False``.
     """
     if not isinstance(queries, rd.Dataset):
         items = [{"query": q} for q in queries]
@@ -160,7 +169,9 @@ def batch_search(
     ctor_kwargs = {
         "site": site, "k": k, "scorer": scorer, "with_snippets": with_snippets,
     }
-    if share_locator:
+    if shared_locators is not None:
+        ctor_kwargs["shared_locators"] = shared_locators
+    elif share_locator:
         # locator loaded once on the driver; every pool actor maps the same
         # object-store buffers instead of loading its own copy (the dominant
         # cold-pool cost — at 5 M docs each replica otherwise reads and
@@ -262,28 +273,33 @@ class SearchService:
         self._num_cpus = num_cpus
         self._index_root = index_root
         self._share_locator = share_locator
-        self._replicas = self._spawn(index_root, num_replicas)
+        self._replicas, self._locator_refs = self._spawn(index_root, num_replicas)
         self._rr = 0
         # CURRENT-record identity last synced against (version,
         # published_unix, realpath) — lets sync() detect a rebuild
         # republished at the SAME path, which a path compare misses
         self._synced_token: tuple | None = None
 
-    def _spawn(self, index_root: str, n: int) -> list:
+    def _spawn(self, index_root: str, n: int) -> tuple[list, dict]:
         # locator loaded ONCE here, mapped zero-copy by every replica —
-        # per-replica cold-start and memory no longer scale with doc count
+        # per-replica cold-start and memory no longer scale with doc count.
+        # Returns (replicas, locator_refs); the CALLER commits the refs to
+        # self._locator_refs only once the set is actually serving — a
+        # failed swap must not pin the unused new index's tables for the
+        # service's lifetime, nor drop the in-use ones to replica-held
+        # borrower refs only
         kwargs = dict(self._kwargs)
+        refs: dict = {}
         if self._share_locator:
-            # held on the service too, so the shared tables outlive any
-            # replica restart churn regardless of inner-ref accounting
-            self._locator_refs = share_locators(index_root)
-            kwargs["shared_locators"] = self._locator_refs
-        return [
+            refs = share_locators(index_root)
+            kwargs["shared_locators"] = refs
+        replicas = [
             _ServiceReplica.options(num_cpus=self._num_cpus).remote(
                 index_root, self._analyzer_spec, kwargs
             )
             for _ in range(n)
         ]
+        return replicas, refs
 
     def swap_index(self, index_root: str, *,
                    warmup_queries: Iterable[str] | None = None,
@@ -300,13 +316,16 @@ class SearchService:
         the cluster cannot schedule the replacement set within
         ``ready_timeout_s`` the fresh actors are killed and RuntimeError is
         raised (instead of wedging the sync poller forever)."""
-        fresh = self._spawn(index_root, len(self._replicas))
+        fresh, fresh_refs = self._spawn(index_root, len(self._replicas))
         probe = [r.served.remote() for r in fresh]
         ready, pending = ray.wait(probe, num_returns=len(probe),
                                   timeout=ready_timeout_s)
         if pending:
             for r in fresh:
                 ray.kill(r)
+            # fresh_refs goes out of scope here: the new index's locator
+            # tables are freed once the killed actors' borrower refs drop,
+            # and self._locator_refs still pins the SERVING index's tables
             raise RuntimeError(
                 f"swap_index: {len(pending)}/{len(fresh)} replacement "
                 f"replicas not ready within {ready_timeout_s}s — a swap "
@@ -316,6 +335,9 @@ class SearchService:
             qs = list(warmup_queries)
             ray.get([r.search_batch.remote(qs) for r in fresh])
         old, self._replicas = self._replicas, fresh
+        # commit the new locator tables only now that the fresh set serves;
+        # held on the service so they outlive replica restart churn
+        self._locator_refs = fresh_refs
         self._index_root = index_root
         self._synced_token = None  # a direct swap detaches from any root
         for r in old:

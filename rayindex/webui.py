@@ -23,7 +23,7 @@ JSON endpoints, so it exercises exactly the surface a reference client uses.
 
 from __future__ import annotations
 
-INDEX_HTML = """<!DOCTYPE html>
+INDEX_HTML = r"""<!DOCTYPE html>
 <html lang="en">
 <head>
 <meta charset="utf-8"/>
@@ -126,9 +126,17 @@ const esc = (s) => String(s ?? "").replace(/[&<>"]/g,
 // snippets carry ONLY the builder's <b> bolding as markup; everything else
 // in them is page-derived text and must not reach innerHTML unescaped
 const snip = (s) => esc(s).replace(/&lt;(\/?)b&gt;/g, "<$1b>");
+// corpus-derived URLs go into href: allow-list web schemes so an indexed
+// javascript:/data: url can never become click-to-execute markup
+const safeUrl = (u) => /^https?:\/\//i.test(u || "") ? u : "#";
 
 // --- tabs (hash-routed like the reference) ---------------------------------
 function showTab(id) {
+  // unknown/stale anchors fall back to the dashboard instead of hiding
+  // every tab (a blank page until the user clicks a nav link)
+  if (!id || !document.getElementById(id) ||
+      !document.getElementById(id).classList.contains("tab"))
+    id = "dashboard";
   document.querySelectorAll(".tab").forEach((t) =>
     t.classList.toggle("active", t.id === id));
   document.querySelectorAll("nav a").forEach((a) =>
@@ -140,14 +148,17 @@ if (location.hash) showTab(location.hash.slice(1));
 
 // --- dashboard + site dropdown ---------------------------------------------
 let indexing = false;
+function setIndexing(b) {
+  indexing = !!b;
+  $("#toggleIndexing").textContent = indexing ? "Stop indexing" : "Start indexing";
+  $("#toggleIndexing").classList.toggle("stop", indexing);
+  $("#indexingState").textContent = indexing ? "indexing…" : "";
+}
 function renderStats(st) {
   $("#totalSites").textContent = st.total.sites;
   $("#totalPages").textContent = st.total.pages;
   $("#totalLemmas").textContent = st.total.lemmas;
-  indexing = !!(st.total.isIndexing ?? st.total.indexing);
-  $("#toggleIndexing").textContent = indexing ? "Stop indexing" : "Start indexing";
-  $("#toggleIndexing").classList.toggle("stop", indexing);
-  $("#indexingState").textContent = indexing ? "indexing…" : "";
+  setIndexing(st.total.isIndexing ?? st.total.indexing);
   $("#sites").innerHTML = (st.detailed || []).map((s) => `
     <details class="site"><summary>${esc(s.name)}
       <span class="status">${esc(s.status)}</span></summary>
@@ -163,7 +174,12 @@ function renderStats(st) {
 function refreshStats() {
   api("/api/statistics").then((r) => {
     if (r.result && r.statistics) renderStats(r.statistics);
-    else $("#sites").textContent = r.error || "index is not built yet";
+    else {
+      $("#sites").textContent = r.error || "index is not built yet";
+      // before the FIRST build commits anything servable, the not-built
+      // response still carries isIndexing — keep the stop toggle live
+      if ("isIndexing" in r) setIndexing(r.isIndexing);
+    }
   }).catch(() => {});
 }
 refreshStats();
@@ -197,7 +213,7 @@ function renderMore() {
   $("#results").insertAdjacentHTML("beforeend", next.map((h) => `
     <div class="hit">
       <span class="rel">relevance ${Number(h.relevance).toFixed(3)}</span>
-      <a href="${esc(h.url || h.site || "#")}">${esc(h.title || h.url || ("doc " + h.doc_id))}</a>
+      <a href="${esc(safeUrl(h.url || h.site))}">${esc(h.title || h.url || ("doc " + h.doc_id))}</a>
       <div class="url">${esc(h.url || "")}</div>
       <p>${snip(h.snippet || "")}</p>
     </div>`).join(""));

@@ -104,11 +104,24 @@ def main() -> int:
         )
         print(json.dumps(m), flush=True)
         metrics.append(m)
-    print(json.dumps({
-        "done": True,
-        "shards": [m["shard"] for m in metrics],
-        "build_wall_sec": round(time.monotonic() - t_build0, 3),
-    }), flush=True)
+    build_wall = round(time.monotonic() - t_build0, 3)
+    done = {"done": True, "shards": [m["shard"] for m in metrics],
+            "build_wall_sec": build_wall}
+    if args.num_shards > 1 and lo == 0 and hi == args.num_shards:
+        # this job saw EVERY shard, so it can vouch for the cross-shard A4
+        # sidecar (statistics() without a dictionary scan).  A --shard-range
+        # subset job cannot — engines over such trees fall back to the scan
+        # until an orchestrator (build_all / incremental_update / this path)
+        # regenerates it.  Written after build_wall_sec is computed: the
+        # scaling protocol's N level builds the full range in one job while
+        # the 4N jobs are subsets, so folding the sidecar into the timed
+        # wall would bias only the N side.
+        from rayindex.build import write_site_lemmas_global
+
+        t_sl = time.monotonic()
+        write_site_lemmas_global(args.out)
+        done["site_lemmas_global_sec"] = round(time.monotonic() - t_sl, 3)
+    print(json.dumps(done), flush=True)
     ray.shutdown()
     return 0
 
