@@ -330,12 +330,16 @@ def scaling_jobs() -> None:
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
         )
 
-    def build_wall(p) -> float:
-        """Build-only wall from the job's own final JSON line (excludes Ray
-        runtime startup + worker/shuffle warmup — a real `ray job submit`
-        targets a STANDING cluster and never pays those per job; here every
-        job boots a full Ray runtime, which would bias the 4N level by a
-        constant ~15 s that a production deployment amortizes)."""
+    def build_wall(p) -> tuple[float, float]:
+        """(build-only wall, untimed-extras wall) from the job's own final
+        JSON line.  Build-only excludes Ray runtime startup + worker/shuffle
+        warmup — a real `ray job submit` targets a STANDING cluster and never
+        pays those per job; here every job boots a full Ray runtime, which
+        would bias the 4N level by a constant ~15 s that a production
+        deployment amortizes.  The extras term is work only the FULL-RANGE
+        (N-level) job performs after its timed section (the cross-shard
+        site_lemmas_global sidecar) — subtracted from the N Popen wall so the
+        Popen accounting view stays symmetric across the two levels."""
         out, _ = p.communicate()
         for line in reversed(out.strip().splitlines()):
             try:
@@ -343,7 +347,8 @@ def scaling_jobs() -> None:
             except json.JSONDecodeError:
                 continue
             if "build_wall_sec" in d:
-                return float(d["build_wall_sec"])
+                return (float(d["build_wall_sec"]),
+                        float(d.get("site_lemmas_global_sec", 0.0)))
         raise RuntimeError("job produced no build_wall_sec line")
 
     shutil.rmtree("/tmp/rayindex_scalejobs", ignore_errors=True)
@@ -370,11 +375,12 @@ def scaling_jobs() -> None:
         outs.append((out_n, out_4n))
         t0 = time.monotonic()
         p = job(out_n, 0, n_shards)  # N level: one node builds every shard
-        times_n.append(build_wall(p))
-        popen_n.append(time.monotonic() - t0)
+        wall_n, extra_n = build_wall(p)
+        times_n.append(wall_n)
+        popen_n.append(time.monotonic() - t0 - extra_n)
         t0 = time.monotonic()
         procs = [job(out_4n, s, s + 1) for s in range(n_shards)]  # 4N: one shard/node
-        times_4n.append(max(build_wall(p) for p in procs))
+        times_4n.append(max(build_wall(p)[0] for p in procs))
         popen_4n.append(time.monotonic() - t0)
 
     from rayindex.segments import segments_digest
