@@ -262,6 +262,13 @@ def compact(
             exclude_sites=purged, **build_kwargs,
         )
         out["shards"].append(m)
+    if num_shards > 1:
+        # fresh multi-shard tree → fresh census; without the root sidecar
+        # every statistics() call on the compacted tree falls back to the
+        # full dictionary scan
+        from .build import write_site_lemmas_global
+
+        write_site_lemmas_global(out_dir)
     return out
 
 

@@ -519,6 +519,13 @@ def merge_indexes(
         )
         for ph, sec in shard_metrics.items():
             metrics["phases"][ph] = round(metrics["phases"].get(ph, 0.0) + sec, 3)
+    if n_shards > 1:
+        # the merged shards' stats.json are new, so no prior root-level
+        # site_lemmas_global census can match — regenerate it here or every
+        # statistics() call on the merged tree pays the full dictionary scan
+        from .build import write_site_lemmas_global
+
+        write_site_lemmas_global(out_dir)
     metrics["total_seconds"] = round(time.monotonic() - t_start, 3)
     return metrics
 

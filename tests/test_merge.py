@@ -477,3 +477,54 @@ def test_merge_validates_inputs(halves, tmp_path):
     build_index(pdir, other, spec, num_buckets=8)
     with pytest.raises(ValueError, match="num_buckets"):
         merge_indexes([halves["a"]["idx"], other], str(tmp_path / "x"), spec)
+
+
+def test_sharded_merge_and_compact_write_global_sidecar(
+    ray_session, fixture_corpus, tmp_path
+):
+    """A multi-shard merge/compact output must carry a root-level
+    site_lemmas_global whose census matches the NEW shards' stats.json —
+    otherwise every statistics() call on the merged tree silently pays the
+    full dictionary scan the sidecar exists to avoid."""
+    from rayindex.build import build_all
+    from rayindex.incremental import compact
+
+    spec = fixture_corpus.analyzer_spec
+    pages = _two_site(fixture_corpus.pages)
+    idxs = []
+    for i, tab in enumerate([pages.slice(0, 100), pages.slice(100, pages.num_rows - 100)]):
+        pdir = str(tmp_path / f"gp{i}")
+        write_pages(tab, pdir, 4)
+        out = str(tmp_path / f"gi{i}")
+        build_all(pdir, out, spec, num_shards=2, num_buckets=4)
+        idxs.append(out)
+
+    merged = str(tmp_path / "g_merged")
+    merge_indexes(idxs, merged, spec)
+    assert os.path.exists(
+        os.path.join(merged, "site_lemmas_global", "site_lemmas.parquet")
+    )
+    eng = QueryEngine(merged, spec)
+    sidecar = eng._site_lemmas_sidecar()
+    assert sidecar is not None  # census accepted → no scan on the admin path
+    site_lemmas, n_lemmas = sidecar
+    # sidecar values ≡ the dictionary-scan fallback it replaces
+    ts = eng._scan_term_stats()
+    live = ts[ts["df"] > 0]
+    assert site_lemmas == live.groupby("site")["term"].nunique().to_dict()
+    assert n_lemmas == int(live["term"].nunique())
+
+    # compact (full rebuild minus tombstones) over a 2-shard namespace
+    pdir_all = str(tmp_path / "gp_all")
+    write_pages(pages, pdir_all, 4)
+    base = str(tmp_path / "g_base")
+    build_all(pdir_all, base, spec, num_shards=2, num_buckets=4)
+    purge_site(base, "other.example")
+    compacted = str(tmp_path / "g_compacted")
+    compact(base, pdir_all, spec, compacted, num_shards=2, num_buckets=4)
+    assert os.path.exists(
+        os.path.join(compacted, "site_lemmas_global", "site_lemmas.parquet")
+    )
+    ceng = QueryEngine(compacted, spec)
+    assert ceng._site_lemmas_sidecar() is not None
+    assert "other.example" not in ceng._site_lemmas_sidecar()[0]
