@@ -106,12 +106,18 @@ _PFOR_PCTL = 0.9  # inline-width percentile; outliers beyond it are patched
 
 
 def _bit_widths(v: np.ndarray) -> np.ndarray:
-    """Bits needed per value (0 for 0) — 64 vectorized compares, no loop
-    over values."""
-    w = np.zeros(v.size, dtype=np.uint8)
-    for b in range(64):
-        w += v >= np.uint64(1) << np.uint64(b)
-    return w
+    """Bits needed per value (0 for 0).
+
+    Computed per 32-bit half via ``np.frexp`` on an exact float64 cast
+    (uint32 → float64 is lossless, and frexp's exponent of x>0 is
+    floor(log2(x))+1 = the bit width; frexp(0) is 0).  Four kernel passes
+    instead of the former 64 compares — byte-identical output, ~5-8× less
+    fixed overhead per call, which dominates tail-term posting encodes."""
+    hi = (v >> np.uint64(32)).astype(np.uint32)
+    lo = v.astype(np.uint32)
+    whi = np.frexp(hi.astype(np.float64))[1].astype(np.uint8)
+    wlo = np.frexp(lo.astype(np.float64))[1].astype(np.uint8)
+    return np.where(hi > 0, whi + np.uint8(32), wlo).astype(np.uint8)
 
 
 def pfor_encode_stream(values: np.ndarray, bounds: np.ndarray) -> tuple[bytes, np.ndarray]:
@@ -322,6 +328,128 @@ def encode_postings(
         tfs_blob=tfs_blob,
         dls_blob=dls_blob,
         codec=codec,
+    )
+
+
+@dataclass
+class BatchEncodedPostings:
+    """Vectorized encode of MANY single-block posting lists (the tail of the
+    term distribution: every list has ``1 <= len <= BLOCK_SIZE`` docs, so each
+    list is exactly one block).  Arrays are per-list; blob slices for list
+    ``i`` are ``blob[off[i]:off[i+1]]``.  Per-list bytes are identical to
+    :func:`encode_postings` on that list alone: both codecs encode each block
+    independently (PFor picks widths per block; varbyte is value-local), so
+    batching amortizes the numpy fixed cost without changing a single byte.
+    """
+
+    n: int
+    n_docs: np.ndarray  # int64[n]
+    b_last_doc: np.ndarray  # uint64[n]
+    b_max_tf: np.ndarray  # uint32[n]
+    b_min_dl: np.ndarray  # uint32[n]
+    docs_blob: bytes
+    tfs_blob: bytes
+    dls_blob: bytes
+    doc_off: np.ndarray  # int64[n+1] byte offsets into docs_blob
+    tf_off: np.ndarray
+    dl_off: np.ndarray
+    codec: str
+
+    def get(self, i: int) -> EncodedPostings:
+        """Materialize list ``i`` as an :class:`EncodedPostings` —
+        byte-identical to the per-list encoder's output."""
+        dv, tv, lv = memoryview(self.docs_blob), memoryview(self.tfs_blob), memoryview(self.dls_blob)
+        d0, d1 = int(self.doc_off[i]), int(self.doc_off[i + 1])
+        t0, t1 = int(self.tf_off[i]), int(self.tf_off[i + 1])
+        l0, l1 = int(self.dl_off[i]), int(self.dl_off[i + 1])
+        return EncodedPostings(
+            n_docs=int(self.n_docs[i]),
+            n_blocks=1,
+            b_last_doc=self.b_last_doc[i : i + 1].tobytes(),
+            b_max_tf=self.b_max_tf[i : i + 1].tobytes(),
+            b_min_dl=self.b_min_dl[i : i + 1].tobytes(),
+            b_doc_nbytes=np.uint32(d1 - d0).tobytes(),
+            b_tf_nbytes=np.uint32(t1 - t0).tobytes(),
+            b_dl_nbytes=np.uint32(l1 - l0).tobytes(),
+            docs_blob=bytes(dv[d0:d1]),
+            tfs_blob=bytes(tv[t0:t1]),
+            dls_blob=bytes(lv[l0:l1]),
+            codec=self.codec,
+        )
+
+
+def encode_postings_batch(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    bounds: np.ndarray,
+    codec: str = "pfor",
+) -> BatchEncodedPostings:
+    """Encode many single-block posting lists in one vectorized pass.
+
+    ``bounds`` = ``[0, e0, e1, ..., n]`` delimits consecutive lists in the
+    concatenated streams; every list must have ``1 <= len <= BLOCK_SIZE``
+    docs (one block each) with strictly increasing doc_ids WITHIN a list.
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    dls = np.ascontiguousarray(dls, dtype=np.uint64)
+    bounds = np.asarray(bounds, dtype=np.int64)
+    n_lists = len(bounds) - 1
+    n = doc_ids.size
+    sizes = np.diff(bounds)
+    if n_lists == 0 or n == 0:
+        z = np.zeros(1, np.int64)
+        return BatchEncodedPostings(
+            0, np.empty(0, np.int64), np.empty(0, np.uint64),
+            np.empty(0, np.uint32), np.empty(0, np.uint32),
+            b"", b"", b"", z, z, z, codec,
+        )
+    if sizes.min() < 1 or sizes.max() > BLOCK_SIZE:
+        raise ValueError("every batched list must have 1..BLOCK_SIZE docs")
+    # strictly increasing within each list (boundary pairs exempt) — the same
+    # guard encode_postings applies per list
+    if n > 1:
+        ok = doc_ids[1:] > doc_ids[:-1]
+        interior_starts = bounds[1:-1]
+        if interior_starts.size:
+            ok[interior_starts - 1] = True
+        if not bool(ok.all()):
+            raise ValueError("doc_ids must be strictly increasing")
+
+    # per-list deltas with the list head absolute (each list = one block, and
+    # encode_postings stores block heads absolute)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[1:] = doc_ids[1:] - doc_ids[:-1]
+    deltas[bounds[:-1]] = doc_ids[bounds[:-1]]
+
+    heads = bounds[:-1]
+    b_last = doc_ids[bounds[1:] - 1].astype(np.uint64)
+    b_max_tf = np.maximum.reduceat(tfs, heads).astype(np.uint32)
+    b_min_dl = np.minimum.reduceat(dls, heads).astype(np.uint32)
+
+    if codec == "pfor":
+        def _enc(stream: np.ndarray) -> tuple[bytes, np.ndarray]:
+            return pfor_encode_stream(stream, bounds)
+    elif codec == "vb":
+        def _enc(stream: np.ndarray) -> tuple[bytes, np.ndarray]:
+            blob = varbyte_encode(stream)
+            cum = np.concatenate(([0], np.cumsum(varbyte_lengths(stream))))
+            return blob, np.diff(cum[bounds]).astype(np.uint32)
+    else:
+        raise ValueError(f"unknown postings codec {codec!r}")
+
+    docs_blob, doc_lens = _enc(deltas)
+    tfs_blob, tf_lens = _enc(tfs)
+    dls_blob, dl_lens = _enc(dls)
+
+    def _off(lens: np.ndarray) -> np.ndarray:
+        return np.concatenate(([0], np.cumsum(lens.astype(np.int64))))
+
+    return BatchEncodedPostings(
+        n_lists, sizes.astype(np.int64), b_last, b_max_tf, b_min_dl,
+        docs_blob, tfs_blob, dls_blob,
+        _off(doc_lens), _off(tf_lens), _off(dl_lens), codec,
     )
 
 

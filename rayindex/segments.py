@@ -35,7 +35,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
-from .codec import BlockReader, EncodedPostings, encode_postings
+from .codec import (
+    BLOCK_SIZE,
+    BlockReader,
+    EncodedPostings,
+    encode_postings,
+    encode_postings_batch,
+)
 from .schema import SEGMENT_SCHEMA
 
 # Segments and per-site df rows come out of the SAME shuffle (one wide op per
@@ -93,9 +99,28 @@ def encode_group(df: pd.DataFrame, codec: str = "pfor") -> pa.Table:
 
     pos = df["positions"].to_numpy() if "positions" in df.columns else None
 
+    # tail terms (<= one block of docs) dominate a web vocabulary; encoding
+    # them one pfor/varbyte call per term pays ~1 ms of numpy fixed cost per
+    # TERM.  Batch every single-block term into ONE vectorized encode (blocks
+    # are encoded independently in both codecs, so the per-term blob slices
+    # are byte-identical to the per-term encoder — pinned by tests).
+    lens = ends - starts
+    tail = lens <= BLOCK_SIZE
+    batch = None
+    tail_idx_of_term = np.cumsum(tail) - 1  # term index → position in batch
+    if tail.any():
+        row_sel = np.repeat(tail, lens)
+        tail_bounds = np.concatenate(([0], np.cumsum(lens[tail])))
+        batch = encode_postings_batch(
+            doc_ids[row_sel], tfs[row_sel], dls[row_sel], tail_bounds, codec=codec
+        )
+
     cols: dict[str, list] = {name: [] for name in MIXED_SCHEMA.names}
-    for s, e in zip(starts, ends):
-        enc = encode_postings(doc_ids[s:e], tfs[s:e], dls[s:e], codec=codec)
+    for ti, (s, e) in enumerate(zip(starts, ends)):
+        if tail[ti]:
+            enc = batch.get(int(tail_idx_of_term[ti]))
+        else:
+            enc = encode_postings(doc_ids[s:e], tfs[s:e], dls[s:e], codec=codec)
         if pos is not None:
             blobs = pos[s:e]
             plens = np.fromiter((len(b) for b in blobs), dtype=np.uint32, count=e - s)

@@ -423,7 +423,9 @@ def test_merge_preserves_shard_namespace(ray_session, fixture_corpus, tmp_path):
     out = str(tmp_path / "merged_sharded")
     m = merge_indexes(idxs, out, spec)
     assert m["num_shards"] == 2
-    assert sorted(os.listdir(out)) == ["shard=0", "shard=1"]
+    # shard namespace preserved, plus the root-level cross-shard site_lemmas
+    # sidecar a multi-shard build also writes (commit 3de955c)
+    assert sorted(os.listdir(out)) == ["shard=0", "shard=1", "site_lemmas_global"]
     import json as _json
 
     for s in (0, 1):
