@@ -103,6 +103,7 @@ def varbyte_decode(buf: bytes | memoryview | np.ndarray, count: int | None = Non
 # PForDelta (NewPFD-style) stream codec
 
 _PFOR_PCTL = 0.9  # inline-width percentile; outliers beyond it are patched
+_CHUNK = 512  # blocks per packbits/unpackbits call: caps the bit-matrix at ~34 MB
 
 
 def _bit_widths(v: np.ndarray) -> np.ndarray:
@@ -161,7 +162,7 @@ def pfor_encode_stream(values: np.ndarray, bounds: np.ndarray) -> tuple[bytes, n
     # bit-pack low b bits, grouped by (block length, chosen width)
     packed: list[np.ndarray | None] = [None] * n_blocks
     blocks = np.arange(n_blocks)
-    _CHUNK = 512  # blocks per packbits call: caps the bit-matrix at ~34 MB
+    # module-level _CHUNK: blocks per packbits call, caps the bit-matrix
     for m in np.unique(sizes):
         same_m = blocks[sizes == m]
         for b in np.unique(bsel[same_m]):
@@ -220,14 +221,69 @@ def pfor_decode_stream(
     blob: bytes | np.ndarray, nbytes: np.ndarray, sizes: np.ndarray
 ) -> np.ndarray:
     """Decode a concatenated PFor stream given per-block byte counts and
-    per-block value counts."""
+    per-block value counts.
+
+    Vectorized across blocks (the full-list decode is the query-side ref
+    scorer's and the merge path's hot loop): low-bit planes are unpacked one
+    ``np.unpackbits`` per distinct (block length, bit width) group — the
+    mirror of the encoder's grouping — and exception patches are applied with
+    one ragged gather + one varbyte decode over ALL blocks' high bits.
+    Value-identical to per-block :func:`pfor_decode_block` (pinned by tests).
+    """
     buf = np.frombuffer(blob, dtype=np.uint8) if not isinstance(blob, np.ndarray) else blob
-    off = np.concatenate(([0], np.cumsum(nbytes.astype(np.int64))))
-    out = [
-        pfor_decode_block(buf[off[k] : off[k + 1]], int(sizes[k]))
-        for k in range(len(sizes))
-    ]
-    return np.concatenate(out) if out else np.empty(0, np.uint64)
+    n_blocks = len(sizes)
+    if n_blocks == 0:
+        return np.empty(0, np.uint64)
+    if n_blocks == 1:
+        return pfor_decode_block(buf[: int(np.asarray(nbytes).reshape(-1)[0])], int(sizes[0]))
+    sizes = np.asarray(sizes, dtype=np.int64)
+    off = np.concatenate(([0], np.cumsum(np.asarray(nbytes, dtype=np.int64))))
+    starts = off[:-1]
+    b_arr = buf[starts].astype(np.int64)
+    k_arr = buf[starts + 1].astype(np.int64)
+    psize = (sizes * b_arr + 7) >> 3
+
+    out = np.zeros(int(sizes.sum()), dtype=np.uint64)
+    out_off = np.concatenate(([0], np.cumsum(sizes)))
+
+    blocks = np.arange(n_blocks)
+    for m in np.unique(sizes):
+        sm = blocks[sizes == m]
+        for b in np.unique(b_arr[sm]):
+            if b == 0:
+                continue  # all-low-zero blocks: out is pre-zeroed
+            grp_all = sm[b_arr[sm] == b]
+            m_i, b_i = int(m), int(b)
+            ps = (m_i * b_i + 7) >> 3
+            shifts = np.arange(b_i, dtype=np.uint64)
+            for c0 in range(0, len(grp_all), _CHUNK):
+                grp = grp_all[c0 : c0 + _CHUNK]
+                idx = (starts[grp] + 2)[:, None] + np.arange(ps)
+                bits = np.unpackbits(buf[idx], axis=1, bitorder="little")[:, : m_i * b_i]
+                vals = (
+                    bits.reshape(len(grp), m_i, b_i).astype(np.uint64) << shifts
+                ).sum(axis=2, dtype=np.uint64)
+                out[out_off[grp][:, None] + np.arange(m_i)] = vals
+
+    exc = blocks[k_arr > 0]
+    if exc.size:
+        ks = k_arr[exc]
+
+        def _ragged(starts_: np.ndarray, lens_: np.ndarray) -> np.ndarray:
+            tot = int(lens_.sum())
+            base = np.repeat(starts_, lens_)
+            within = np.arange(tot, dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(lens_)))[:-1], lens_
+            )
+            return buf[base + within]
+
+        pos_starts = starts[exc] + 2 + psize[exc]
+        exc_pos = _ragged(pos_starts, ks).astype(np.int64)
+        h_starts = pos_starts + ks
+        highs = varbyte_decode(_ragged(h_starts, off[exc + 1] - h_starts), int(ks.sum()))
+        gidx = np.repeat(out_off[exc], ks) + exc_pos
+        out[gidx] |= highs << np.repeat(b_arr[exc].astype(np.uint64), ks)
+    return out
 
 
 @dataclass

@@ -154,3 +154,49 @@ def test_unknown_codec_rejected():
             np.array([1], np.uint64), np.ones(1, np.uint64), np.ones(1, np.uint64),
             codec="zzz",
         )
+
+
+def test_pfor_decode_stream_matches_per_block():
+    """The vectorized multi-block decode (query/merge hot loop) is
+    value-identical to per-block pfor_decode_block, including blocks with
+    exception patches and a short tail block."""
+    from rayindex.codec import (
+        BLOCK_SIZE,
+        pfor_decode_block,
+        pfor_decode_stream,
+        pfor_encode_stream,
+    )
+
+    rng = np.random.default_rng(11)
+    for n in (129, 1000, 20000):
+        vals = rng.integers(0, 2**16, n).astype(np.uint64)
+        vals[rng.integers(0, n, max(1, n // 40))] = rng.integers(2**30, 2**50)
+        heads = np.arange(0, n, BLOCK_SIZE)
+        bounds = np.append(heads, n)
+        blob, nbytes = pfor_encode_stream(vals, bounds)
+        buf = np.frombuffer(blob, np.uint8)
+        off = np.concatenate(([0], np.cumsum(nbytes.astype(np.int64))))
+        sizes = np.diff(bounds)
+        ref = np.concatenate(
+            [pfor_decode_block(buf[off[k]:off[k + 1]], int(sizes[k]))
+             for k in range(len(sizes))]
+        )
+        got = pfor_decode_stream(blob, nbytes, sizes)
+        assert np.array_equal(ref, got), n
+
+
+def test_pfor_decode_stream_all_zero_and_varied_widths():
+    from rayindex.codec import pfor_decode_stream, pfor_encode_stream
+
+    # per-block widths differ wildly (zeros, tiny, huge) across blocks
+    parts = [
+        np.zeros(128, np.uint64),
+        np.full(128, 3, np.uint64),
+        np.full(128, 2**40, np.uint64),
+        np.arange(37, dtype=np.uint64),  # short tail
+    ]
+    vals = np.concatenate(parts)
+    bounds = np.concatenate(([0], np.cumsum([len(p) for p in parts])))
+    blob, nbytes = pfor_encode_stream(vals, bounds)
+    got = pfor_decode_stream(blob, nbytes, np.diff(bounds))
+    assert np.array_equal(got, vals)
