@@ -570,11 +570,19 @@ class BlockReader:
         self._dls_buf = np.frombuffer(enc.dls_blob, dtype=np.uint8)
         self._cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         self._docs_all: np.ndarray | None = None
+        self._full: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
 
     def block(self, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         got = self._cache.get(k)
         if got is not None:
             return got
+        if self._full is not None:
+            o = k * BLOCK_SIZE
+            m = int(min(BLOCK_SIZE, self.enc.n_docs - o))
+            d, t, l = self._full
+            out = (d[o : o + m], t[o : o + m], l[o : o + m])
+            self._cache[k] = out
+            return out
         if self.enc.codec == "pfor":
             m = int(min(BLOCK_SIZE, self.enc.n_docs - k * BLOCK_SIZE))
             dec = pfor_decode_block
@@ -589,6 +597,47 @@ class BlockReader:
         out = (docs, tfs, dls)
         self._cache[k] = out
         return out
+
+    def tail(self, k0: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Blocks ``k0..`` of all three streams as (docs, tfs, dls), docs
+        anchored per block exactly like :meth:`block`.
+
+        The first call pays ONE vectorized full-list decode (cached on the
+        reader; readers themselves sit in the engine's FIFO-capped term
+        cache); every call — any ``k0`` — is then a zero-copy slice, because
+        per-block doc anchoring makes the decoded stream position-independent.
+        The WAND bulk-bail path concatenates thousands of tail blocks on
+        frequent terms and must not pay a Python call per block."""
+        if self.n_blocks == 0 or k0 >= self.n_blocks:
+            e = np.empty(0, dtype=np.uint64)
+            return e, e.astype(np.uint32), e.astype(np.uint32)
+        if self._full is None:
+            n = self.enc.n_docs
+            sizes = np.full(self.n_blocks, BLOCK_SIZE, dtype=np.int64)
+            sizes[-1] = n - (self.n_blocks - 1) * BLOCK_SIZE
+            if self.enc.codec == "pfor":
+                deltas = pfor_decode_stream(self._docs_buf, np.diff(self.doc_off), sizes)
+                tfs = pfor_decode_stream(
+                    self._tfs_buf, np.diff(self.tf_off), sizes
+                ).astype(np.uint32)
+                dls = pfor_decode_stream(
+                    self._dls_buf, np.diff(self.dl_off), sizes
+                ).astype(np.uint32)
+            else:
+                deltas = varbyte_decode(self._docs_buf, count=n)
+                tfs = varbyte_decode(self._tfs_buf, count=n).astype(np.uint32)
+                dls = varbyte_decode(self._dls_buf, count=n).astype(np.uint32)
+            docs = np.cumsum(deltas, dtype=np.uint64)
+            if self.n_blocks > 1:
+                block_ends = np.cumsum(sizes)
+                carry = docs[block_ends[:-1] - 1]
+                docs[BLOCK_SIZE:] -= np.repeat(carry, sizes[1:])
+            self._full = (docs, tfs, dls)
+            if self._docs_all is None:
+                self._docs_all = docs
+        o = k0 * BLOCK_SIZE
+        d, t, l = self._full
+        return d[o:], t[o:], l[o:]
 
     def all_docs(self) -> np.ndarray:
         """All doc ids of this sub-list, decoding ONLY the docs stream

@@ -136,12 +136,14 @@ class ChainCursor:
         return int(self.last_doc[self._bk])
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        from .codec import decode_postings
-
-        parts = [decode_postings(r.enc) for r in self.readers]
+        # tail(0) caches the full three-stream decode on each reader, so
+        # repeat queries on a cached term skip the decode entirely
+        parts = [r.tail(0) for r in self.readers if r.n_blocks]
         if not parts:
             e = np.empty(0, np.uint64)
             return e, e.astype(np.uint32), e.astype(np.uint32)
+        if len(parts) == 1:
+            return parts[0]
         return tuple(np.concatenate([p[i] for p in parts]) for i in range(3))  # type: ignore
 
     def remaining(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -150,12 +152,13 @@ class ChainCursor:
         if self._bk < 0 or self._bk >= self.n_blocks:
             e = np.empty(0, np.uint64)
             return e, e.astype(np.uint32), e.astype(np.uint32)
-        pd_, pt, pl = [], [], []
-        for k in range(self._bk, self.n_blocks):
-            ri, local = self._owner[k]
-            d, t, l = self.readers[ri].block(local)
-            if k == self._bk and self._bi:
-                d, t, l = d[self._bi:], t[self._bi:], l[self._bi:]
+        ri0, local0 = self._owner[self._bk]
+        d, t, l = self.readers[ri0].tail(local0)
+        if self._bi:
+            d, t, l = d[self._bi:], t[self._bi:], l[self._bi:]
+        pd_, pt, pl = [d], [t], [l]
+        for ri in range(ri0 + 1, len(self.readers)):
+            d, t, l = self.readers[ri].tail(0)
             pd_.append(d)
             pt.append(t)
             pl.append(l)

@@ -200,3 +200,27 @@ def test_pfor_decode_stream_all_zero_and_varied_widths():
     blob, nbytes = pfor_encode_stream(vals, bounds)
     got = pfor_decode_stream(blob, nbytes, np.diff(bounds))
     assert np.array_equal(got, vals)
+
+
+def test_blockreader_tail_matches_per_block():
+    """tail(k0) (the WAND bulk-bail fast path) equals the per-block concat
+    for every start block, both codecs, including a short tail block."""
+    from rayindex.codec import BlockReader, encode_postings
+
+    rng = np.random.default_rng(7)
+    docs = np.unique(rng.integers(1, 2**40, 1500, dtype=np.uint64))
+    n = docs.size
+    tfs = rng.integers(1, 30, n).astype(np.uint64)
+    dls = rng.integers(1, 4000, n).astype(np.uint64)
+    for codec in ("pfor", "vb"):
+        r = BlockReader(encode_postings(docs, tfs, dls, codec=codec))
+        for k0 in (0, 1, r.n_blocks // 2, r.n_blocks - 1, r.n_blocks):
+            want = [r.block(k) for k in range(k0, r.n_blocks)]
+            got = r.tail(k0)
+            for i in range(3):
+                ref = (
+                    np.concatenate([w[i] for w in want])
+                    if want
+                    else np.empty(0, np.uint64)
+                )
+                assert np.array_equal(got[i], ref), (codec, k0, i)
