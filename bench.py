@@ -267,7 +267,10 @@ def run_once() -> dict:
         from rayindex.segments import segments_digest
 
         result["segments_digest"] = segments_digest(os.path.join(out_dir, "shard=0"))
-    shutil.rmtree(out_dir, ignore_errors=True)
+    if os.environ.get("RAYINDEX_BENCH_KEEP_INDEX"):
+        print(f"kept index: {out_dir}", file=sys.stderr)
+    else:
+        shutil.rmtree(out_dir, ignore_errors=True)
     ray.shutdown()
     return result
 

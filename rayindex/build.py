@@ -128,11 +128,18 @@ def _config_key(**kwargs) -> str:
 # are already PFor-compressed, so they stay on snappy: parquet-level zstd
 # bought <2 % there for extra decode on the hot postings path.
 DOCS_COMPRESSION = "zstd"
+# docs-store fragments carry bounded row groups so the engine's pruned
+# positional take (query._docs_take) decompresses a few thousand body texts
+# per hit, not a whole ~25k-row batch; footer overhead at this size is noise
+DOCS_ROW_GROUP_SIZE = 2048
 
 
 def _write_parquet(ds: rd.Dataset, path: str, partition_cols: list[str] | None = None,
-                   compression: str | None = None):
+                   compression: str | None = None,
+                   row_group_size: int | None = None):
     kw = {"compression": compression} if compression else {}
+    if row_group_size:
+        kw["row_group_size"] = row_group_size
     if partition_cols:
         if "partition_cols" not in inspect.signature(ds.write_parquet).parameters:
             # bucketed shuffle + segment pruning depend on the hive layout;
@@ -376,7 +383,8 @@ class _SideEffectDocsWriter:
             mn = int(pc.min(batch.column("doc_id")).as_py())
             name = f"docs_{mn & 0xFFFFFFFFFFFFFFFF:016x}_{batch.num_rows}.parquet"
             tmp = os.path.join(self.dir, f".{name}.{os.getpid()}.tmp")
-            pq.write_table(batch, tmp, compression=DOCS_COMPRESSION)
+            pq.write_table(batch, tmp, compression=DOCS_COMPRESSION,
+                           row_group_size=DOCS_ROW_GROUP_SIZE)
             os.replace(tmp, os.path.join(self.dir, name))
         return batch
 
@@ -1060,7 +1068,8 @@ def build_index(
         dup_ref = ray.put(_DupMembership(dup_ids))
         with phase_output(docs_dir) as tmp:
             _write_parquet(docs_stream(dup_ids, dup_ref), tmp,
-                           compression=DOCS_COMPRESSION)
+                           compression=DOCS_COMPRESSION,
+                           row_group_size=DOCS_ROW_GROUP_SIZE)
             if _dir_rows(tmp) == 0:
                 _pin_empty_docs(tmp)
         commit_phase(

@@ -67,7 +67,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-from .build import DEFAULT_SALT_TARGET, DOCS_COMPRESSION, _config_key, _write_parquet
+from .build import (DEFAULT_SALT_TARGET, DOCS_COMPRESSION,
+                    DOCS_ROW_GROUP_SIZE, _config_key, _write_parquet)
 from .codec import decode_postings, encode_postings
 from .incremental import load_tombstones
 from .membership import in_sorted
@@ -581,11 +582,13 @@ def _merge_shard(
         with phase_output(os.path.join(shard_dir, "docs")) as tmp:
             if overlap[0].size:
                 _write_parquet(_versioned_scan("docs"), tmp,
-                               compression=DOCS_COMPRESSION)
+                               compression=DOCS_COMPRESSION,
+                               row_group_size=DOCS_ROW_GROUP_SIZE)
             else:
                 _write_parquet(
                     rd.read_parquet(expand_parquet_paths(docs_dirs), filter=site_filter),
                     tmp, compression=DOCS_COMPRESSION,
+                    row_group_size=DOCS_ROW_GROUP_SIZE,
                 )
         commit_phase(shard_dir, "docs", key,
                      {"seconds": round(time.monotonic() - t0, 3)})

@@ -442,6 +442,11 @@ class QueryEngine:
         self._decoded_cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         self._docs_locator_cache: dict[str, tuple] = {}
         self._locator_source: dict[str, str] = {}  # shard → sidecar|scan
+        # docs-store physical geometry for the pruned positional take:
+        # shard → (file paths in scan order, cumulative row offsets), plus a
+        # per-file row-group row-offset cache filled as files are touched
+        self._docs_geometry_cache: dict[str, tuple[list[str], np.ndarray]] = {}
+        self._docs_rg_cache: dict[str, np.ndarray] = {}
         self._suggest_cache: dict[str, tuple[str, int]] = {}
         # memoized (site_lemmas, n_lemmas) for statistics() — an engine
         # serves one index generation, so this never goes stale in-instance
@@ -660,6 +665,78 @@ class QueryEngine:
         hit = ids_sorted[pos_c] == want
         return hit, pos_c
 
+    def _docs_geometry(self, shard_dir: str) -> tuple[list[str], np.ndarray]:
+        """Docs-store physical geometry: fragment paths in scan order (files
+        lexicographic — the order ``rowpos`` addresses) and each fragment's
+        cumulative starting row.  One footer read per fragment, once per
+        engine."""
+        got = self._docs_geometry_cache.get(shard_dir)
+        if got is not None:
+            return got
+        docs_dir = os.path.join(shard_dir, "docs")
+        paths = [
+            os.path.join(docs_dir, f)
+            for f in sorted(os.listdir(docs_dir))
+            if f.endswith(".parquet")
+        ]
+        rows = np.array(
+            [pq.ParquetFile(p).metadata.num_rows for p in paths], dtype=np.int64
+        )
+        got = (paths, np.concatenate(([0], np.cumsum(rows))))
+        self._docs_geometry_cache[shard_dir] = got
+        return got
+
+    def _docs_take(self, shard_dir: str, rowpos: np.ndarray,
+                   columns: list[str] | None) -> pa.Table:
+        """Positional ``take`` over the docs store that decompresses ONLY the
+        row groups holding the requested positions, returning rows in
+        ``rowpos`` order.
+
+        ``pyarrow.dataset.Dataset.take`` scans every fragment of the dataset
+        — at 5 M docs a 10-row snippet fetch paid a full text-column
+        decompression (~10 s measured); this path reads one footer per
+        touched fragment and one ``read_row_groups`` per fragment instead.
+        Fragments written by the build carry bounded row groups
+        (build.DOCS_ROW_GROUP_SIZE), so each hit decompresses a few thousand
+        rows; legacy single-row-group fragments degrade to one fragment per
+        hit, never the whole store."""
+        paths, cum = self._docs_geometry(shard_dir)
+        rowpos = np.asarray(rowpos, dtype=np.int64)
+        frag = np.searchsorted(cum, rowpos, side="right") - 1
+        local = rowpos - cum[frag]
+        pieces: list[pa.Table] = []
+        src: list[np.ndarray] = []  # positions in the input rowpos array
+        for f in np.unique(frag):
+            sel = frag == f
+            loc = local[sel]
+            path = paths[int(f)]
+            rg_cum = self._docs_rg_cache.get(path)
+            pf = pq.ParquetFile(path)
+            if rg_cum is None:
+                m = pf.metadata
+                rg_cum = np.concatenate(
+                    ([0], np.cumsum([m.row_group(i).num_rows
+                                     for i in range(m.num_row_groups)]))
+                ).astype(np.int64)
+                self._docs_rg_cache[path] = rg_cum
+            rgs = np.unique(np.searchsorted(rg_cum, loc, side="right") - 1)
+            t = pf.read_row_groups([int(r) for r in rgs], columns=columns)
+            # row offsets of the chosen groups within the concatenated read
+            read_off = np.concatenate(([0], np.cumsum(np.diff(rg_cum)[rgs])))
+            within = np.searchsorted(rg_cum[rgs], loc, side="right") - 1
+            pieces.append(t.take(pa.array(
+                read_off[within] + (loc - rg_cum[rgs][within]), pa.int64())))
+            src.append(np.flatnonzero(sel))
+        if not pieces:
+            sch = pq.ParquetFile(paths[0]).schema_arrow if paths else pa.schema([])
+            cols = sch if columns is None else pa.schema(
+                [sch.field(c) for c in columns])
+            return pa.table({f.name: pa.array([], f.type) for f in cols})
+        tab = pa.concat_tables(pieces)
+        back = np.empty(rowpos.size, dtype=np.int64)
+        back[np.concatenate(src)] = np.arange(rowpos.size)
+        return tab.take(pa.array(back, pa.int64()))
+
     def _urls_for(self, want: np.ndarray) -> np.ndarray:
         """Vectorized docid → url (object array aligned with ``want``; None
         for unknown ids).  The array-level sibling of the ``doc_meta`` url
@@ -703,7 +780,7 @@ class QueryEngine:
                 continue
             take_idx = rowpos[pos_c[hit]]
             uniq, inv = np.unique(take_idx, return_inverse=True)
-            t = ds_.take(uniq, columns=["warc_ts"])
+            t = self._docs_take(d, uniq, columns=["warc_ts"])
             ts_us = t.column("warc_ts").cast(pa.int64()).to_numpy()
             out[hit] = ts_us[inv]
             found[hit] = True
@@ -741,7 +818,7 @@ class QueryEngine:
                     }
                 continue
             take_idx = np.unique(rowpos[pos_c[hit]])
-            t = ds_.take(take_idx, columns=columns)
+            t = self._docs_take(d, take_idx, columns=columns)
             for row in t.to_pylist():
                 out[int(row["doc_id"])] = row
         return out

