@@ -122,6 +122,13 @@ def run_once() -> dict:
             eng.search(q, k=10, with_snippets=False)
             n_q += 1
     ref_avg = (time.monotonic() - t_ref) / n_q
+    # the full user-facing flow: scoring + top-k doc_meta (pruned positional
+    # take incl. the text column) + F1-F4 snippet assembly per hit
+    t_snip = time.monotonic()
+    for _ in range(2):
+        for q in FLAGSHIP_QUERIES:
+            eng.search(q, k=10, with_snippets=True)
+    snippet_avg = (time.monotonic() - t_snip) / (2 * len(FLAGSHIP_QUERIES))
     t_bm = time.monotonic()
     for _ in range(3):
         for q in FLAGSHIP_QUERIES:
@@ -239,6 +246,7 @@ def run_once() -> dict:
             "build": round(build_sec, 3),
             **{f"phase_{k}": v for k, v in metrics["phases"].items()},
             "query_ref_avg": round(ref_avg, 4),
+            "query_snippet_avg": round(snippet_avg, 4),
             "query_bm25_avg": round(bm_avg, 4),
             "query_wand_avg": round(wand_avg, 4),
             "query_pool_qps": round(pool_qps, 1),

@@ -189,3 +189,30 @@ def test_statistics_sidecar_matches_scan(built_index, fixture_corpus):
     e2._site_lemmas_sidecar = lambda: None  # force the legacy scan path
     slow = e2.statistics()
     assert fast == slow
+
+
+def test_docs_take_equals_dataset_take(built_index, fixture_corpus):
+    """The pruned positional take (query._docs_take) returns exactly what
+    pyarrow Dataset.take returns, in input order, for random position sets
+    including duplicates-free sorted, unsorted, singletons and full range."""
+    import numpy as np
+    import pyarrow.dataset as pads
+    from rayindex.query import QueryEngine
+
+    e = QueryEngine(built_index["out_dir"], fixture_corpus.analyzer_spec)
+    d = e.shard_dirs[0]
+    _ds, _ids, rowpos, _urls = e._docs_locator(d)
+    ds_ = pads.dataset(d + "/docs")
+    n = int(rowpos.max()) + 1
+    rng = np.random.default_rng(23)
+    cases = [
+        np.sort(rng.choice(n, min(7, n), replace=False)),
+        rng.permutation(n)[: min(5, n)],          # unsorted input order
+        np.array([0]), np.array([n - 1]),
+        np.arange(n),                              # full store
+    ]
+    for cols in (["doc_id", "url"], ["doc_id", "url", "title", "text"], None):
+        for want in cases:
+            a = e._docs_take(d, want, columns=cols)
+            b = ds_.take(want, columns=cols)
+            assert a.equals(b), (cols, want[:5])
