@@ -51,6 +51,43 @@ from .snippets import NO_MATCH_SNIPPET, create_snippet
 
 _DONE = 1 << 65  # > any uint64 docid
 
+
+def sorted_member_idx(docs: np.ndarray, cand: np.ndarray,
+                      chunk: int = 8192) -> tuple[np.ndarray, np.ndarray]:
+    """Membership of sorted needles ``cand`` in a sorted-unique posting array
+    ``docs``: returns ``(idx, hit)`` where ``idx`` is the left insertion point
+    (exactly ``np.searchsorted(docs, cand)``) and ``hit[i]`` ⇔
+    ``docs[idx[i]] == cand[i]``.
+
+    For large ``docs`` the plain per-needle binary search is the profiled
+    hot spot of the reference scorer (each search walks log₂|docs| random
+    cache lines of a tens-of-MB decoded array).  Because BOTH sides are
+    sorted, needles are range-partitioned into chunks and each chunk binary-
+    searches only the narrow ``docs`` slice its values can land in — the
+    slice stays cache-resident across the chunk's ~8k searches.  Exactness:
+    ``docs`` unique ⇒ the global insertion point of every needle in chunk
+    *i* lies in ``[hi_{i-1} - 1, hi_i]`` (needle ≥ previous chunk's last
+    value ⇒ pos ≥ pos_right(prev_last) - 1; needle ≤ this chunk's last value
+    ⇒ pos ≤ pos_right(chunk_last)), so the slice search equals the global
+    one; a property test pins equivalence against plain searchsorted."""
+    if docs.size <= (1 << 16) or cand.size <= 2 * chunk:
+        idx = np.searchsorted(docs, cand)
+        hit = (idx < docs.size) & (docs[np.minimum(idx, docs.size - 1)] == cand)
+        return idx, hit
+    idx = np.empty(cand.size, dtype=np.int64)
+    starts = np.arange(0, cand.size, chunk)
+    bounds = cand[np.minimum(starts + chunk - 1, cand.size - 1)]
+    his = np.searchsorted(docs, bounds, side="right")
+    dlo = 0
+    for i in range(starts.size):
+        s = int(starts[i])
+        e = min(s + chunk, cand.size)
+        hi = int(his[i])
+        idx[s:e] = dlo + np.searchsorted(docs[dlo:hi], cand[s:e])
+        dlo = max(dlo, hi - 1)
+    hit = (idx < docs.size) & (docs[np.minimum(idx, docs.size - 1)] == cand)
+    return idx, hit
+
 import re as _re
 
 # Unicode-aware "not a word character": keeps letters of ANY script plus
@@ -942,43 +979,40 @@ class QueryEngine:
         kept = self._query_terms(query, site)
         if not kept:
             return None
-        tf_parts: list[np.ndarray] = []
-        pos_parts: list[np.ndarray] = []
-        cand: np.ndarray | None = None
-        for t, _df in kept:
+        # rarest-first progressive AND with INCREMENTAL Σtf accumulation:
+        # instead of carrying every term's postings-position array through the
+        # shrinking intersection (one boolean gather per prior term per step)
+        # the running tf sum rides along as ONE array — integer tf sums in
+        # float64 stay exact (< 2^53) and order-independent, so scores are
+        # bit-identical to the materialize-positions formulation this replaces
+        t0, _ = kept[0]
+        cand, tfs_first, _dls = self._decoded(t0)
+        acc: np.ndarray | None = None  # None ⇔ acc would equal tfs_first
+        for t, _df in kept[1:]:
             docs, tfs, _dls = self._decoded(t)
-            tf_parts.append(tfs)
-            if cand is None:
-                cand = docs
-                pos_parts.append(np.arange(docs.size, dtype=np.int64))
+            # both sides sorted: chunked binary-search membership (see
+            # sorted_member_idx) beats both np.isin and plain searchsorted
+            # on the rarest-first shrinking cand
+            idx, hit = sorted_member_idx(docs, cand)
+            cand = cand[hit]
+            gathered = tfs[idx[hit]]
+            if acc is None:
+                acc = tfs_first[hit].astype(np.float64) + gathered
             else:
-                # both sides sorted: binary-search membership beats the
-                # sort-based np.isin on the rarest-first shrinking cand;
-                # carrying each term's postings POSITIONS through the
-                # intersection means scoring below never re-searches the
-                # big decoded arrays
-                idx = np.searchsorted(docs, cand)
-                hit = idx < docs.size
-                hit[hit] = docs[idx[hit]] == cand[hit]
-                cand = cand[hit]
-                pos_parts = [p[hit] for p in pos_parts]
-                pos_parts.append(idx[hit])
-        assert cand is not None
+                acc = acc[hit] + gathered
+        if acc is None:
+            acc = tfs_first.astype(np.float64)
         if site is not None:
             m = self._site_membership(site).contains(cand)
             cand = cand[m]
-            pos_parts = [p[m] for p in pos_parts]
+            acc = acc[m]
         if len(self.tombstones):
             m = self._not_excluded(cand)
             cand = cand[m]
-            pos_parts = [p[m] for p in pos_parts]
+            acc = acc[m]
         if cand.size == 0:
             return None
-        abs_rel = np.zeros(cand.size, dtype=np.float64)
-        for tfs, pos in zip(tf_parts, pos_parts):
-            # integer tf sums in float64: exact, order-independent
-            abs_rel += tfs[pos]
-        return cand, abs_rel
+        return cand, acc
 
     def search(self, query: str, site: str | None = None, k: int | None = 10,
                with_snippets: bool = True) -> dict:
@@ -1014,12 +1048,17 @@ class QueryEngine:
         preselect: when ``k`` is set and the candidate set is large, keep
         only rows tying-or-beating the k-th score before the lexsort —
         identical ranking (ties included), O(n) select instead of an
-        O(n log n) sort of the full match set."""
-        rel = abs_rel / abs_rel.max()
+        O(n log n) sort of the full match set.  The relevance divide happens
+        AFTER the preselect (the max always survives it), so the full match
+        set pays one float64 max-reduce, not a full-size IEEE divide —
+        surviving rows divide by the identical max, so values are bit-equal
+        to dividing first."""
+        mx = abs_rel.max()
         if k and cand.size > 4 * k:
             kth = np.partition(abs_rel, cand.size - k)[cand.size - k]
             sel = abs_rel >= kth
-            cand, rel, abs_rel = cand[sel], rel[sel], abs_rel[sel]
+            cand, abs_rel = cand[sel], abs_rel[sel]
+        rel = abs_rel / mx
         order = np.lexsort((cand, -rel))
         if k:
             order = order[:k]
@@ -1425,9 +1464,8 @@ class QueryEngine:
                 continue
             docs, _tfs, _dls = self._decoded(t)
             if docs.size:
-                idx = np.searchsorted(docs, cand)
-                idx_c = np.minimum(idx, docs.size - 1)
-                drop |= docs[idx_c] == cand
+                _idx, hit = sorted_member_idx(docs, cand)
+                drop |= hit
         if drop.any():
             cand, abs_rel = cand[~drop], abs_rel[~drop]
         if cand.size == 0:
@@ -1475,10 +1513,7 @@ class QueryEngine:
             if cand is None:
                 cand = docs
             else:
-                idx = np.searchsorted(docs, cand)
-                hit = idx < docs.size
-                hit[hit] = docs[idx[hit]] == cand[hit]
-                cand = cand[hit]
+                cand = cand[sorted_member_idx(docs, cand)[1]]
             steps.append({"term": r["term"], "postings": int(docs.size),
                           "candidates_after": int(cand.size)})
         got = self._conjunctive_match(query, site) if kept else None
@@ -1601,10 +1636,7 @@ class QueryEngine:
         def member(cand: np.ndarray, docs: np.ndarray) -> np.ndarray:
             if not (cand.size and docs.size):
                 return np.zeros(cand.size, dtype=bool)
-            idx = np.searchsorted(docs, cand)
-            hit = idx < docs.size
-            hit[hit] = docs[idx[hit]] == cand[hit]
-            return hit
+            return sorted_member_idx(docs, cand)[1]
 
         def eval_node(node) -> np.ndarray:
             kind = node[0]
