@@ -572,6 +572,18 @@ class BlockReader:
         self._docs_all: np.ndarray | None = None
         self._full: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
 
+    def drop_decoded(self) -> None:
+        """Release every decoded-array cache this reader holds (the full
+        three-stream decode ``tail()`` pins, the docs-only ``all_docs()``
+        cache, and the per-block cache — whose entries may be VIEWS of the
+        full decode and would otherwise keep it alive).  The compressed
+        blobs stay; the next access re-decodes.  The query engine calls this
+        when a term leaves its decoded-pin budget so long-lived engines hold
+        a bounded number of decoded posting lists."""
+        self._full = None
+        self._docs_all = None
+        self._cache.clear()
+
     def block(self, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         got = self._cache.get(k)
         if got is not None:

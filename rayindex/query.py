@@ -70,6 +70,8 @@ def sorted_member_idx(docs: np.ndarray, cand: np.ndarray,
     value ⇒ pos ≥ pos_right(prev_last) - 1; needle ≤ this chunk's last value
     ⇒ pos ≤ pos_right(chunk_last)), so the slice search equals the global
     one; a property test pins equivalence against plain searchsorted."""
+    if docs.size == 0:
+        return np.zeros(cand.size, dtype=np.int64), np.zeros(cand.size, dtype=bool)
     if docs.size <= (1 << 16) or cand.size <= 2 * chunk:
         idx = np.searchsorted(docs, cand)
         hit = (idx < docs.size) & (docs[np.minimum(idx, docs.size - 1)] == cand)
@@ -477,6 +479,12 @@ class QueryEngine:
         self._site_docs_cache: dict[str, "BloomVerifiedSet"] = {}
         self._readers_cache: dict[str, list[BlockReader]] = {}
         self._decoded_cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        # terms whose READERS pin a full decoded posting list (BlockReader
+        # tail() caches it for the WAND bulk-bail path): a FIFO of the same
+        # cap as the decoded cache; eviction drops the readers' decoded
+        # arrays so a long-lived engine's decoded footprint stays bounded by
+        # 2 × DECODED_CACHE_CAP terms rather than by the readers-cache cap
+        self._full_pins: dict[str, list[BlockReader]] = {}
         self._docs_locator_cache: dict[str, tuple] = {}
         self._locator_source: dict[str, str] = {}  # shard → sidecar|scan
         # docs-store physical geometry for the pruned positional take:
@@ -611,9 +619,33 @@ class QueryEngine:
         if got is None:
             got = self._cursor(term).decode_all()
             if len(self._decoded_cache) >= self.DECODED_CACHE_CAP:
-                self._decoded_cache.pop(next(iter(self._decoded_cache)))
+                t_old = next(iter(self._decoded_cache))
+                self._decoded_cache.pop(t_old)
+                # decode_all pinned the full decode on the term's readers
+                # too (same arrays for single-reader terms): drop those with
+                # the cache entry unless the WAND pin FIFO still wants them
+                if t_old not in self._full_pins:
+                    for r in self._readers_cache.get(t_old, ()):
+                        r.drop_decoded()
             self._decoded_cache[term] = got
         return got
+
+    def _note_full_pins(self, term: str, readers: list[BlockReader]) -> None:
+        """Register a term whose readers cached a full decode outside
+        :meth:`_decoded` (the WAND bulk-bail ``tail()`` path) in a FIFO of
+        ``DECODED_CACHE_CAP`` terms; evicted terms drop their readers'
+        decoded arrays (compressed blobs stay) unless the decoded cache
+        still owns the same arrays."""
+        if not any(r._full is not None or r._docs_all is not None for r in readers):
+            return
+        self._full_pins.pop(term, None)
+        self._full_pins[term] = readers
+        while len(self._full_pins) > self.DECODED_CACHE_CAP:
+            t_old = next(iter(self._full_pins))
+            rs = self._full_pins.pop(t_old)
+            if t_old not in self._decoded_cache:
+                for r in rs:
+                    r.drop_decoded()
 
     def _site_membership(self, site: str) -> "BloomVerifiedSet":
         """J5 site-restricted candidate filter as a BOUNDED membership
@@ -2198,9 +2230,15 @@ class QueryEngine:
             key=lambda t: (self.term_global_df(t), t),
         )
         entries: list[tuple[float, ChainCursor]] = []
+        used: list[tuple[str, ChainCursor]] = []
         for t in terms:
             df = self.term_global_df(t)
             if df == 0:
                 continue
-            entries.append((self._idf(df), self._cursor(t)))
-        return wand_topk(entries, self._contrib, k, excluded=self.tombstones)
+            cur = self._cursor(t)
+            entries.append((self._idf(df), cur))
+            used.append((t, cur))
+        out = wand_topk(entries, self._contrib, k, excluded=self.tombstones)
+        for t, cur in used:
+            self._note_full_pins(t, cur.readers)
+        return out

@@ -62,6 +62,10 @@ def test_empty_needles_and_boundaries():
     empty = np.empty(0, dtype=np.uint64)
     idx, hit = sorted_member_idx(docs, empty)
     assert idx.size == 0 and hit.size == 0
+    # empty HAYSTACK with non-empty needles: all misses, no IndexError
+    # (reachable when a dictionary-known term decodes to zero postings)
+    idx, hit = sorted_member_idx(empty, np.array([1, 2, 3], dtype=np.uint64))
+    assert not hit.any() and idx.size == 3
     # all needles below the haystack / all above (idx == docs.size)
     below = np.arange(0, 9, dtype=np.uint64)
     above = docs[-1] + 1 + np.arange(5_000, dtype=np.uint64)

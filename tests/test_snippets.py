@@ -99,12 +99,27 @@ def test_fast_sentence_stream_equals_literal_f1_scan():
         assert fast == ref, (trial, words, text)
 
 
-def test_create_snippet_delimiter_word_falls_back():
-    """A query word containing a sentence delimiter uses the literal scan
-    (the anchor may span runs there) and still matches the old behavior."""
-    from rayindex.snippets import create_snippet
+def test_create_snippet_delimiter_word_falls_back(monkeypatch):
+    """A query word containing a sentence delimiter must route through the
+    literal F1 scan (the anchor may span delimiter runs there, which the
+    fast run-expansion cannot handle); delimiter-free queries must take the
+    fast path.  Routing is pinned with raising sentinels, and the fallback's
+    output value is pinned exactly."""
+    from rayindex import snippets as sn
 
     text = "alpha x.y beta. other sentence"
-    assert create_snippet("x.y", text) == create_snippet("x.y", text)
-    got = create_snippet("x.y beta", text)
-    assert "<b>" in got or got  # stable, no crash
+    assert sn.create_snippet("x.y", text) == "alpha <b>x.y</b> beta"
+    assert sn.create_snippet("x.y beta", text) == "alpha <b>x.y</b> "
+
+    def _boom(*_a, **_k):
+        raise AssertionError("wrong sentence-candidate path")
+
+    # delimiter in a query word → the fast path must NOT be consulted
+    monkeypatch.setattr(sn, "_sentences_fast", _boom)
+    assert sn.create_snippet("x.y", text) == "alpha <b>x.y</b> beta"
+    monkeypatch.undo()
+    # delimiter-free query → the literal scan must NOT be consulted
+    # (the 'y ' value is the reference's F2-F4 trim-quirk output, pinned
+    # as-is; what matters here is the routing plus value stability)
+    monkeypatch.setattr(sn, "_sentences_ref", _boom)
+    assert sn.create_snippet("beta", text) == "y "
