@@ -28,7 +28,7 @@ def run_once() -> dict:
     # "parser" (default, robust per-doc HTML parse) or "fast" (vectorized
     # regex path, byte-identical on well-formed corpora — tests assert equal
     # segment digests); surfaced here so both capabilities are measurable
-    extractor = os.environ.get("RAYINDEX_BENCH_EXTRACTOR", "parser")
+    extractor = os.environ.get("RAYINDEX_BENCH_EXTRACTOR", "hybrid")
     # real Common-Crawl pages are tens of KB; the synthetic documents are a
     # few hundred bytes — body_repeat approximates realistic page sizes
     body_repeat = int(os.environ.get("RAYINDEX_BENCH_BODY", "8"))

@@ -90,7 +90,13 @@ except Exception:  # noqa: BLE001
     _sys.modules.setdefault("fsspec.implementations.http", _m)
 
 from .analyze import LemmatizeStage
-from .extract import extract_batch, extract_batch_fast
+from .extract import extract_batch, extract_batch_fast, extract_batch_hybrid
+
+_EXTRACTORS = {
+    "hybrid": extract_batch_hybrid,
+    "parser": extract_batch,
+    "fast": extract_batch_fast,
+}
 from .schema import DOCS_SCHEMA, doc_ids_for_urls, hash64_strings, term_bucket, range_salt
 from .segments import commit_phase, encode_group, phase_done, phase_output
 
@@ -254,10 +260,12 @@ class _PrepareDocs:
     extract text/title."""
 
     def __init__(self, shard_index: int, num_shards: int, url_filter: bool, dup_ref=None,
-                 exclude_sites: list[str] | None = None, extractor: str = "parser"):
-        # "parser" = per-doc HTML parser (robust to adversarial markup);
-        # "fast" = vectorized regex path, byte-identical on well-formed pages
-        self.extract = extract_batch_fast if extractor == "fast" else extract_batch
+                 exclude_sites: list[str] | None = None, extractor: str = "hybrid"):
+        # "hybrid" (default) = RE2 vectorized path with per-row parser
+        # fallback on detector-flagged markup — byte-identical to "parser"
+        # on ANY input at ~2x its speed; "parser" = per-doc HTML parser;
+        # "fast" = unguarded vectorized regex path (well-formed corpora only)
+        self.extract = _EXTRACTORS[extractor]
         self.shard_index = shard_index
         self.num_shards = num_shards
         self.url_filter = url_filter
@@ -347,7 +355,7 @@ class _FinishDupDocs:
     streaming path)."""
 
     def __init__(self, exclude_sites: list[str] | None, extractor: str):
-        self.extract = extract_batch_fast if extractor == "fast" else extract_batch
+        self.extract = _EXTRACTORS[extractor]
         self.exclude_sites = frozenset(exclude_sites or ())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -900,7 +908,7 @@ def build_index(
     shuffle_mode: str = "bucketed",  # "bucketed" (map-side partitioned write +
     # per-(bucket, salt) reduce tasks) or "groupby" (Ray sort-based shuffle);
     # both produce byte-identical segments
-    extractor: str = "parser",  # "parser" | "fast" (vectorized regex path)
+    extractor: str = "hybrid",  # "hybrid" (RE2 + parser fallback) | "parser" | "fast"
     positions: bool = False,  # positional postings (phrase/proximity layer)
     codec: str = "pfor",  # postings stream codec: "pfor" (default) | "vb"
     extract_batch_size: int = 2048,

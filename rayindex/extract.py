@@ -73,10 +73,23 @@ class _TextExtractor(HTMLParser):
 
 
 def extract_text(html: str) -> str:
-    """Visible text with jsoup ``Element.text()`` whitespace semantics."""
+    """Visible text with jsoup ``Element.text()`` whitespace semantics.
+
+    CPython's HTMLParser raises (AssertionError from ``_markupbase``) on
+    malformed marked sections like ``<![rc``; a crawl-scale corpus WILL
+    contain such bytes, and one bad page must not kill a build task — fall
+    back to the regex path for that row (deterministic, and the hybrid
+    extractor inherits the same choice because it delegates to this
+    function).
+    """
     p = _TextExtractor()
-    p.feed(html)
-    p.close()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        import pandas as pd
+
+        return extract_text_fast(pd.Series([html])).iloc[0]
     return _WS_RUN.sub(" ", "".join(p.parts)).strip()
 
 
@@ -142,6 +155,134 @@ def extract_batch_fast(batch: pa.Table) -> pa.Table:
     batch = batch.append_column("extracted_text", pa.array(texts.to_numpy(), type=pa.string()))
     batch = batch.append_column("title", pa.array(titles.to_numpy(), type=pa.string()))
     return batch
+
+
+# ---------------------------------------------------------------------------
+# Hybrid path: the vectorized kernels over every row — run as pyarrow.compute
+# RE2 kernels (C++, zero-copy, no Python objects) — plus a vectorized SUSPECT
+# detector that routes only rows whose markup could make the regex path
+# diverge from the parser back through ``extract_text``.  Every known
+# divergence class has a detector (each one is a case in
+# tests/test_extract.py; the classes were found by fuzzing hybrid vs parser
+# over ~250k adversarial rows):
+#
+#   A. quotes that CPython pairs differently from a first-'>' truncation —
+#      a ``>`` inside a quoted attr value, quotes inside tag/attr NAMES
+#      (two-stage: A2a name-token quotes, A2b residual-quote validation
+#      after erasing well-formed '="..."' values and paired bare strings);
+#   B. a ``<`` that is not a tag start (``< b``, ``<1>``) — the parser keeps
+#      it as text, the regexes may strip it;
+#   C. CDATA / exotic declarations (``<![``);
+#   D. an entity interrupted by a tag (``&l<b></b>t;``) — stripping the tag
+#      first would fuse a decodable entity the parser never sees;
+#   E. a tag-open with another ``<`` before its ``>`` or unclosed at EOF;
+#   G. an end tag not followed by a letter (``</ p>`` is an end tag to the
+#      parser, invisible to the block regex);
+#   H. CPython's tolerant tag-name scan runs through punctuation ('<p"x>' is
+#      a tag NAMED 'p"x') while the regexes' \b stops at it;
+#   P. a PI/declaration with a nested '<' (the parser may consume a block
+#      tag INSIDE the instruction);
+#   T. <template> — NOT a CDATA element in CPython: block tags inside it
+#      still fire separator events while the span removal deletes them
+#      wholesale; template is rare enough to always take the parser path;
+#   F. script/style/<!-- tokens SURVIVING the skip-block and comment removal
+#      passes (unclosed blocks, comment/script interleave), plus a per-type
+#      open/close count mismatch for the CDATA tags (nesting/interleaving
+#      pairs differently in CDATA mode than in a non-greedy span removal).
+#
+# Detectors are deliberately conservative: a false positive only costs that
+# row a parser pass; a miss would cost correctness, so each regex flags the
+# whole construct class.  The skip-block pass runs BEFORE the comment pass
+# (CPython's HTMLParser enters CDATA mode inside <script>, so comment
+# markers inside script bodies are script text, not comments).
+#
+# RE2 has no lookarounds, so the "not followed by" branches are expanded
+# into char-class + end-of-string alternatives.
+_SPECIAL_TAG_ALT = "|".join(sorted(_BLOCK_TAGS | _SKIP_TAGS))
+_RE2_MISC = (
+    r"<([^a-zA-Z!/?]|$)"  # B: not a tag start
+    r"|<!\["  # C: CDATA-ish declaration
+    r"|&[-a-zA-Z0-9#]{0,32}<"  # D: entity cut by a tag (incl. bare '&<')
+    r"|</?[a-zA-Z][^\s/>]*[\"']"  # A2a: quote inside the tag-NAME token
+    r"|</?[a-zA-Z][^>]*<"  # E: '<' inside a tag span
+    r"|</?[a-zA-Z][^<>]*$"  # E': tag open never closed at EOF
+    r"|</([^a-zA-Z]|$)"  # G: end tag not followed by a letter
+    r"|<[?!][^<>]*<"  # P: PI/declaration with a nested '<'
+    r"|(?i)</?template\b"  # T: template always takes the parser path
+    r"|(?i)(</?(" + _SPECIAL_TAG_ALT + r"))[^\w \t\n\r\f/>]"  # H
+)
+_RE2_ATTR_VALUE = r"=[\t\n\r\f ]*(\"[^\"<>]*\"|'[^'<>]*')"
+_RE2_BARE_QSTRING = r"\"[^\"<>=]*\"|'[^'<>=]*'"
+_RE2_SPAN_QUOTE = r"<[^<>]*[\"']"
+_RE2_RESIDUAL = r"(?i)</?(script|style|template)\b|<!--"
+_RE2_BLOCK_TAG = r"(?i)</?(" + "|".join(sorted(_BLOCK_TAGS)) + r")\b[^>]*/?>"
+_CDATA_TAGS = ("script", "style")  # CPython's CDATA_CONTENT_ELEMENTS
+
+
+def suspect_mask(htmls: pa.Array) -> pa.Array:
+    """Pass-1 suspects over raw html (pass 2 — the residual skip/comment
+    check — runs inside ``extract_batch_hybrid`` on the intermediate)."""
+    import pyarrow.compute as pc
+
+    quoteless = pc.replace_substring_regex(htmls, pattern=_RE2_ATTR_VALUE, replacement="=V")
+    quoteless = pc.replace_substring_regex(quoteless, pattern=_RE2_BARE_QSTRING, replacement="Q")
+    suspect = pc.or_(
+        pc.match_substring_regex(quoteless, _RE2_SPAN_QUOTE),
+        pc.match_substring_regex(htmls, _RE2_MISC),
+    )
+    if pc.any(pc.match_substring_regex(htmls, r"(?i)<(script|style)\b")).as_py():
+        for tag in _CDATA_TAGS:
+            opens = pc.count_substring_regex(htmls, rf"(?i)<{tag}\b")
+            closes = pc.count_substring_regex(htmls, rf"(?i)</{tag}\b")
+            suspect = pc.or_(suspect, pc.not_equal(opens, closes))
+    return suspect
+
+
+def extract_batch_hybrid(batch: pa.Table) -> pa.Table:
+    """Vectorized extraction with per-row parser fallback — byte-identical to
+    ``extract_batch`` on ANY input (fuzzed in tests), at RE2 speed on the
+    well-formed majority.  This is the default build extractor."""
+    import pyarrow.compute as pc
+
+    html_col = batch.column("html")
+    if isinstance(html_col, pa.ChunkedArray):
+        html_col = html_col.combine_chunks()
+    s0 = html_col if pa.types.is_string(html_col.type) else pc.cast(html_col, pa.string())
+    if len(s0) == 0:
+        batch = batch.append_column("extracted_text", pa.array([], type=pa.string()))
+        return batch.append_column("title", pa.array([], type=pa.string()))
+    suspect = suspect_mask(s0)
+    x = s0
+    for tag in ("script", "style", "template"):
+        x = pc.replace_substring_regex(
+            x, pattern=rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", replacement=""
+        )
+    x = pc.replace_substring_regex(x, pattern=r"(?s)<!--.*?-->", replacement="")
+    suspect = pc.or_(suspect, pc.match_substring_regex(x, _RE2_RESIDUAL))
+    x = pc.replace_substring_regex(x, pattern=_RE2_BLOCK_TAG, replacement="\n")
+    x = pc.replace_substring_regex(x, pattern=r"<[^>]+>", replacement="")
+    amp = pc.match_substring(x, "&")
+    if pc.any(amp).as_py():
+        import html as _html
+
+        vals = x.to_pylist()
+        x = pa.array(
+            [_html.unescape(v) if m else v for v, m in zip(vals, amp.to_pylist())],
+            type=pa.string(),
+        )
+    x = pc.replace_substring_regex(x, pattern=r"[ \t\n\r\f\v]+", replacement=" ")
+    x = pc.utf8_trim(x, " \t\n\r\f\v")
+    if pc.any(suspect).as_py():
+        sus = s0.filter(suspect).to_pylist()
+        x = pc.replace_with_mask(
+            x, suspect, pa.array([extract_text(h) for h in sus], type=pa.string())
+        )
+    titles = pc.fill_null(
+        pc.struct_field(pc.extract_regex(s0, r"(?s)<title>(?P<t>.*?)</title>"), "t"), ""
+    )
+    batch = batch.append_column("extracted_text", x)
+    return batch.append_column("title", titles)
+
 
 
 def extract_batch(batch: pa.Table) -> pa.Table:

@@ -165,6 +165,10 @@ def test_fast_extractor_build_digest_equal(ray_session, fixture_corpus, tmp_path
     build_index(pdir, a, fixture_corpus.analyzer_spec, num_buckets=4, extractor="parser")
     build_index(pdir, b, fixture_corpus.analyzer_spec, num_buckets=4, extractor="fast")
     assert segments_digest(f"{a}/shard=0") == segments_digest(f"{b}/shard=0")
+    # the default (hybrid) must also be digest-identical to the parser build
+    c = str(tmp_path / "ic")
+    build_index(pdir, c, fixture_corpus.analyzer_spec, num_buckets=4)
+    assert segments_digest(f"{a}/shard=0") == segments_digest(f"{c}/shard=0")
 
 
 def test_empty_corpus_builds_and_queries(ray_session, tmp_path):
