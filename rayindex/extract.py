@@ -147,9 +147,13 @@ def extract_batch_fast(batch: pa.Table) -> pa.Table:
     import pandas as pd
 
     raw = batch.column("html").to_pandas()
-    htmls = raw.str.decode("utf-8") if raw.dtype == object and len(raw) and isinstance(raw.iloc[0], bytes) else raw
+    nonnull = raw.dropna()
+    is_bytes = raw.dtype == object and len(nonnull) and isinstance(nonnull.iloc[0], bytes)
+    htmls = raw.str.decode("utf-8") if is_bytes else raw
     if not isinstance(htmls, pd.Series):
         htmls = pd.Series(htmls)
+    # null html (failed fetch) = empty page — matches extract_batch
+    htmls = htmls.fillna("")
     texts = extract_text_fast(htmls)
     titles = extract_titles_fast(htmls)
     batch = batch.append_column("extracted_text", pa.array(texts.to_numpy(), type=pa.string()))
@@ -248,6 +252,9 @@ def extract_batch_hybrid(batch: pa.Table) -> pa.Table:
     if isinstance(html_col, pa.ChunkedArray):
         html_col = html_col.combine_chunks()
     s0 = html_col if pa.types.is_string(html_col.type) else pc.cast(html_col, pa.string())
+    # null html (failed fetch) = empty page — matches extract_batch; a null
+    # here would otherwise flow a null extracted_text into the analyzer
+    s0 = pc.fill_null(s0, "")
     if len(s0) == 0:
         batch = batch.append_column("extracted_text", pa.array([], type=pa.string()))
         return batch.append_column("title", pa.array([], type=pa.string()))
@@ -297,6 +304,10 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     titles = []
     for raw in htmls:
         s = raw.decode("utf-8") if isinstance(raw, (bytes, bytearray)) else raw
+        if s is None:
+            # null html (failed fetch) = empty page; one bad row must not
+            # kill a build task, and downstream already handles "" docs
+            s = ""
         texts.append(extract_text(s))
         titles.append(extract_title(s))
     batch = batch.append_column("extracted_text", pa.array(texts, type=pa.string()))

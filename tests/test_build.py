@@ -227,3 +227,29 @@ def test_fused_build_equals_two_phase(ray_session, fixture_corpus, tmp_path):
     mtime = os.path.getmtime(f"{a}/shard=0/segments")
     build_index(pdir, a, fixture_corpus.analyzer_spec, num_buckets=4, resume=True)
     assert os.path.getmtime(f"{a}/shard=0/segments") == mtime
+
+
+def test_null_html_row_builds_as_empty_page(ray_session, fixture_corpus, tmp_path):
+    """A null html row (failed fetch) must not kill the build: the page is
+    indexed as an empty doc (counted, zero postings) and the rest of the
+    corpus is unaffected — with the default (hybrid) extractor AND the
+    parser path."""
+    import pyarrow as pa
+
+    from rayindex.build import build_index
+    from rayindex.fixtures import write_pages
+    from rayindex.query import QueryEngine
+
+    pages = fixture_corpus.pages.slice(0, 20)
+    cols = {name: pages.column(name).to_pylist() for name in pages.schema.names}
+    cols["html"][7] = None
+    cols["text"][7] = ""
+    t = pa.table(cols, schema=pages.schema)
+    pdir = str(tmp_path / "pages")
+    write_pages(t, pdir, 2)
+    for extractor in ("hybrid", "parser"):
+        out = str(tmp_path / f"idx_{extractor}")
+        build_index(pdir, out, fixture_corpus.analyzer_spec, num_buckets=4,
+                    extractor=extractor)
+        eng = QueryEngine(out, fixture_corpus.analyzer_spec)
+        assert eng.n_docs == 20, extractor

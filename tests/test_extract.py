@@ -190,3 +190,26 @@ def test_hybrid_empty_batch():
     assert out.num_rows == 0
     assert out.column("extracted_text").type == pa.string()
     assert out.column("title").type == pa.string()
+
+
+def test_null_html_is_empty_page_in_all_extractors():
+    """A crawl table WILL contain null html rows (failed fetches); the
+    semantics are 'empty page' ("" text, "" title) in every extractor — one
+    null row must neither kill a build task nor emit a null extracted_text."""
+    import pyarrow as pa
+
+    from rayindex.extract import extract_batch_fast, extract_batch_hybrid
+
+    t = pa.table({
+        "url": ["a", "b", "c"],
+        "html": pa.array([b"<p>hi</p>", None, b"x<b>y</b>z"], type=pa.binary()),
+    })
+    for fn in (extract_batch, extract_batch_fast, extract_batch_hybrid):
+        out = fn(t)
+        assert out.column("extracted_text").to_pylist() == ["hi", "", "xyz"], fn.__name__
+        assert out.column("title").to_pylist() == ["", "", ""], fn.__name__
+    # all-null batch (the fast path's bytes-dtype sniff must not trip on it)
+    t2 = pa.table({"url": ["a"], "html": pa.array([None], type=pa.binary())})
+    for fn in (extract_batch, extract_batch_fast, extract_batch_hybrid):
+        out = fn(t2)
+        assert out.column("extracted_text").to_pylist() == [""], fn.__name__
