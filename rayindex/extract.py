@@ -149,7 +149,7 @@ def extract_batch_fast(batch: pa.Table) -> pa.Table:
     raw = batch.column("html").to_pandas()
     nonnull = raw.dropna()
     is_bytes = raw.dtype == object and len(nonnull) and isinstance(nonnull.iloc[0], bytes)
-    htmls = raw.str.decode("utf-8") if is_bytes else raw
+    htmls = raw.str.decode("utf-8", errors="replace") if is_bytes else raw
     if not isinstance(htmls, pd.Series):
         htmls = pd.Series(htmls)
     # null html (failed fetch) = empty page — matches extract_batch
@@ -251,7 +251,19 @@ def extract_batch_hybrid(batch: pa.Table) -> pa.Table:
     html_col = batch.column("html")
     if isinstance(html_col, pa.ChunkedArray):
         html_col = html_col.combine_chunks()
-    s0 = html_col if pa.types.is_string(html_col.type) else pc.cast(html_col, pa.string())
+    if pa.types.is_string(html_col.type):
+        s0 = html_col
+    else:
+        try:
+            s0 = pc.cast(html_col, pa.string())  # zero-copy validate, common case
+        except pa.lib.ArrowInvalid:
+            # non-UTF-8 bytes (real crawls contain them): U+FFFD-replace like
+            # the parser path — Python-loop only on batches with bad bytes
+            s0 = pa.array(
+                [b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray)) else b
+                 for b in html_col.to_pylist()],
+                type=pa.string(),
+            )
     # null html (failed fetch) = empty page — matches extract_batch; a null
     # here would otherwise flow a null extracted_text into the analyzer
     s0 = pc.fill_null(s0, "")
@@ -303,7 +315,9 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     texts = []
     titles = []
     for raw in htmls:
-        s = raw.decode("utf-8") if isinstance(raw, (bytes, bytearray)) else raw
+        # errors="replace": a non-UTF-8 page (real crawls contain them) must
+        # not kill the build task — U+FFFD per bad byte, same in every path
+        s = raw.decode("utf-8", "replace") if isinstance(raw, (bytes, bytearray)) else raw
         if s is None:
             # null html (failed fetch) = empty page; one bad row must not
             # kill a build task, and downstream already handles "" docs

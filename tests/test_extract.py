@@ -213,3 +213,21 @@ def test_null_html_is_empty_page_in_all_extractors():
     for fn in (extract_batch, extract_batch_fast, extract_batch_hybrid):
         out = fn(t2)
         assert out.column("extracted_text").to_pylist() == [""], fn.__name__
+
+
+def test_non_utf8_html_replaced_in_all_extractors():
+    """Real crawls contain non-UTF-8 pages; one must not kill a build task.
+    Canonical semantics: U+FFFD per bad byte (Python errors="replace"),
+    identical across the parser, fast and hybrid paths."""
+    import pyarrow as pa
+
+    from rayindex.extract import extract_batch_fast, extract_batch_hybrid
+
+    t = pa.table({
+        "url": ["a", "b"],
+        "html": pa.array([b"<p>caf\xe9</p>", b"<p>ok</p>"], type=pa.binary()),
+    })
+    want = ["caf�", "ok"]
+    for fn in (extract_batch, extract_batch_fast, extract_batch_hybrid):
+        out = fn(t)
+        assert out.column("extracted_text").to_pylist() == want, fn.__name__
