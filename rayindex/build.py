@@ -228,6 +228,17 @@ def _content_tie(htmls: list) -> list[str]:
     return [_h.md5(h if isinstance(h, bytes) else h.encode()).hexdigest() for h in htmls]
 
 
+def _drop_null_urls(batch: pa.Table) -> pa.Table:
+    """Rows with a null url are unidentifiable — no doc_id, no dedup key, no
+    servable link — so they are dropped at ingest.  One malformed crawl row
+    must neither kill a build task (hash64 of None) nor collapse every
+    null-url row into one phantom 'duplicate' group."""
+    url = batch.column("url")
+    if url.null_count:
+        batch = batch.filter(pc.is_valid(url))
+    return batch
+
+
 def _docs_table(batch: pa.Table, doc_ids: np.ndarray,
                 exclude_sites: frozenset, extract_fn) -> pa.Table:
     """Shared P1 tail: site from url, site exclusion, text/title extraction →
@@ -248,7 +259,12 @@ def _docs_table(batch: pa.Table, doc_ids: np.ndarray,
             "url": batch.column("url"),
             "site": pa.array(site.to_numpy(), pa.string()),
             "title": batch.column("title"),
-            "warc_ts": batch.column("warc_ts").cast(pa.timestamp("us")),
+            # null warc_ts (missing fetch time) = epoch 0, so any
+            # real-timestamped duplicate copy wins keep-latest dedup
+            "warc_ts": pc.fill_null(
+                batch.column("warc_ts").cast(pa.timestamp("us")),
+                pa.scalar(0, pa.timestamp("us")),
+            ),
             "text": batch.column("extracted_text"),
         }
     )
@@ -282,6 +298,7 @@ class _PrepareDocs:
         return self.dups
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = _drop_null_urls(batch)
         if self.url_filter:
             keep = pc.invert(pc.match_substring_regex(batch.column("url"), _URL_REJECT_RE))
             batch = batch.filter(keep)
@@ -320,6 +337,7 @@ class _DupCandidates:
         if self.dups is None:
             ref = self._dup_ref
             self.dups = ray.get(ref) if isinstance(ref, ray.ObjectRef) else _DupMembership(np.empty(0, np.int64))
+        batch = _drop_null_urls(batch)
         if self.url_filter:
             keep = pc.invert(pc.match_substring_regex(batch.column("url"), _URL_REJECT_RE))
             batch = batch.filter(keep)
@@ -335,7 +353,9 @@ class _DupCandidates:
             {
                 "doc_id": pa.array(ids[mask], pa.int64()),
                 "url": batch.column("url"),
-                "ts_us": batch.column("warc_ts").cast(pa.int64()),
+                # epoch-0 fill keeps the winner sort key total when a copy
+                # has a null fetch time (matches _docs_table's fill)
+                "ts_us": pc.fill_null(batch.column("warc_ts").cast(pa.int64()), 0),
                 "html": batch.column("html"),
                 "tie": pa.array(_content_tie(batch.column("html").to_pylist()), pa.string()),
             }
@@ -741,6 +761,7 @@ def _detect_dup_ids(pages_path, shard_index: int, num_shards: int,
     filter cannot distinguish bit-identical copies in different batches.)"""
 
     def skinny(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_urls(batch)
         if url_filter and batch.num_rows:
             keep = pc.invert(pc.match_substring_regex(batch.column("url"), _URL_REJECT_RE))
             batch = batch.filter(keep)

@@ -253,3 +253,35 @@ def test_null_html_row_builds_as_empty_page(ray_session, fixture_corpus, tmp_pat
                     extractor=extractor)
         eng = QueryEngine(out, fixture_corpus.analyzer_spec)
         assert eng.n_docs == 20, extractor
+
+
+def test_null_url_dropped_null_ts_epoch0(ray_session, fixture_corpus, tmp_path):
+    """Malformed crawl rows: a null url is unidentifiable → dropped at
+    ingest (not hashed into a phantom doc); a null warc_ts indexes at epoch 0
+    so a real-timestamped duplicate copy wins keep-latest dedup."""
+    import pyarrow as pa
+
+    from rayindex.build import build_index
+    from rayindex.fixtures import write_pages
+    from rayindex.query import QueryEngine
+
+    pages = fixture_corpus.pages.slice(0, 12)
+    cols = {n: pages.column(n).to_pylist() for n in pages.schema.names}
+    cols["url"][3] = None          # dropped
+    cols["warc_ts"][5] = None      # indexed at epoch 0
+    # duplicate of row 6: null-ts copy with different html; the REAL-ts
+    # original must win keep-latest dedup
+    for n in cols:
+        cols[n].append(cols[n][6])
+    cols["warc_ts"][-1] = None
+    cols["html"][-1] = b"<p>stale copy</p>"
+    cols["text"][-1] = "stale copy"
+    t = pa.table(cols, schema=pages.schema)
+    pdir = str(tmp_path / "pages")
+    write_pages(t, pdir, 2)
+    out = str(tmp_path / "idx")
+    build_index(pdir, out, fixture_corpus.analyzer_spec, num_buckets=4)
+    eng = QueryEngine(out, fixture_corpus.analyzer_spec)
+    assert eng.n_docs == 11  # 12 - null-url - dup
+    # the real-timestamped copy won: the stale copy's unique term is absent
+    assert eng.search("stale", k=5)["count"] == 0
