@@ -197,12 +197,43 @@ def pfor_encode_stream(values: np.ndarray, bounds: np.ndarray) -> tuple[bytes, n
     return b"".join(parts), nbytes
 
 
+def _unpack_le_windows(
+    sw: np.ndarray, plane_starts: np.ndarray, m: int, b: int
+) -> np.ndarray:
+    """Unpack ``m`` little-endian ``b``-bit values from each of the planes
+    starting at ``plane_starts`` (byte offsets into the buffer behind ``sw``).
+
+    ``sw`` is ``sliding_window_view(buf_padded, 8)`` — every row is the 8-byte
+    window at one byte offset, read as one uint64.  Value ``j`` of a plane
+    occupies bits ``[j·b, j·b+b)``; its window starts at byte ``(j·b)>>3`` and
+    the value is ``(window >> (j·b & 7)) & ((1<<b)-1)``.  Valid for
+    ``b <= 56`` (window must cover ``(j·b & 7) + b <= 64`` bits).  Bytes the
+    window reads past a plane's end feed only bits ``>= j·b+b`` — masked out —
+    so planes never need per-block padding, only the buffer-level 8-byte pad.
+
+    ~5× faster than the unpackbits route at web-index doc-delta widths
+    (b≈40-50: hashed doc_ids make within-block deltas large): the unpackbits
+    path materializes a (G·m·b)-byte bit tensor then widens it 8×, while this
+    is one contiguous (G·m, 8)-byte gather reinterpreted in place.
+    """
+    bit = np.arange(m, dtype=np.int64) * b
+    q = bit >> 3
+    r = (bit & 7).astype(np.uint64)
+    gq = (plane_starts[:, None] + q[None, :]).reshape(-1)
+    win = sw[gq].view(np.uint64).reshape(len(plane_starts), m)
+    return (win >> r[None, :]) & np.uint64((1 << b) - 1)
+
+
 def pfor_decode_block(buf: np.ndarray, m: int) -> np.ndarray:
     """Decode one PFor block of ``m`` values from its byte slice."""
     b = int(buf[0])
     k_exc = int(buf[1])
     psize = (m * b + 7) // 8
-    if b:
+    if 3 <= b <= 56:
+        pad = np.concatenate([buf[2 : 2 + psize], np.zeros(8, np.uint8)])
+        sw = np.lib.stride_tricks.sliding_window_view(pad, 8)
+        vals = _unpack_le_windows(sw, np.zeros(1, np.int64), m, b)[0].copy()
+    elif b:
         bits = np.unpackbits(buf[2 : 2 + psize], bitorder="little")[: m * b]
         shifts = np.arange(b, dtype=np.uint64)
         vals = (bits.reshape(m, b).astype(np.uint64) << shifts).sum(
@@ -246,6 +277,11 @@ def pfor_decode_stream(
     out = np.zeros(int(sizes.sum()), dtype=np.uint64)
     out_off = np.concatenate(([0], np.cumsum(sizes)))
 
+    # 8-byte-window unpack (see _unpack_le_windows) needs the buffer padded so
+    # the last plane's final window stays in bounds; one memcpy of the blob
+    sw = np.lib.stride_tricks.sliding_window_view(
+        np.concatenate([buf, np.zeros(8, np.uint8)]), 8
+    )
     blocks = np.arange(n_blocks)
     for m in np.unique(sizes):
         sm = blocks[sizes == m]
@@ -258,11 +294,18 @@ def pfor_decode_stream(
             shifts = np.arange(b_i, dtype=np.uint64)
             for c0 in range(0, len(grp_all), _CHUNK):
                 grp = grp_all[c0 : c0 + _CHUNK]
-                idx = (starts[grp] + 2)[:, None] + np.arange(ps)
-                bits = np.unpackbits(buf[idx], axis=1, bitorder="little")[:, : m_i * b_i]
-                vals = (
-                    bits.reshape(len(grp), m_i, b_i).astype(np.uint64) << shifts
-                ).sum(axis=2, dtype=np.uint64)
+                if 3 <= b_i <= 56:
+                    # 8-byte-window gather: ~24 B traffic/value, independent
+                    # of b.  The unpackbits tensor costs ~8·b B/value, so the
+                    # window wins from b≈3 up (hashed-docid deltas sit at
+                    # b≈40-50); below that the bit tensor is already tiny.
+                    vals = _unpack_le_windows(sw, starts[grp] + 2, m_i, b_i)
+                else:
+                    idx = (starts[grp] + 2)[:, None] + np.arange(ps)
+                    bits = np.unpackbits(buf[idx], axis=1, bitorder="little")[:, : m_i * b_i]
+                    vals = (
+                        bits.reshape(len(grp), m_i, b_i).astype(np.uint64) << shifts
+                    ).sum(axis=2, dtype=np.uint64)
                 out[out_off[grp][:, None] + np.arange(m_i)] = vals
 
     exc = blocks[k_arr > 0]
