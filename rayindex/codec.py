@@ -593,6 +593,72 @@ def decode_postings(enc: EncodedPostings) -> tuple[np.ndarray, np.ndarray, np.nd
     return doc_ids, tfs, dls
 
 
+@dataclass
+class _ArrayEnc:
+    """Shim standing in for :class:`EncodedPostings` behind an
+    :class:`ArrayBlockReader` (callers read ``reader.enc.n_docs``)."""
+
+    n_docs: int
+    codec: str = "array"
+
+
+class ArrayBlockReader:
+    """BlockReader-compatible view over already-decoded, docid-sorted
+    (docs, tfs, dls) arrays.
+
+    The multi-shard query path merges each shard's sub-lists into one
+    docid-ordered list; re-compressing that merge just so a BlockReader can
+    decode it again cost more than the decode itself (encode ≈ 148 ms +
+    re-decode ≈ 109 ms per 500 k postings).  This reader serves the same
+    block interface straight from the arrays: block metadata (last_doc,
+    max_tf, min_dl) comes from one ``reduceat`` pass, ``block``/``tail`` are
+    zero-copy slices.  ``drop_decoded`` is a no-op — the arrays ARE the
+    storage — so cache-eviction hooks may call it freely; eviction of the
+    reader itself frees the memory."""
+
+    def __init__(self, docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray):
+        n = int(len(docs))
+        self.enc = _ArrayEnc(n_docs=n)
+        self.n_blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+        heads = np.arange(0, n, BLOCK_SIZE)
+        if n:
+            self.last_doc = np.ascontiguousarray(
+                docs[np.minimum(heads + BLOCK_SIZE, n) - 1], dtype=np.uint64
+            )
+            self.max_tf = np.maximum.reduceat(tfs, heads).astype(np.uint32)
+            self.min_dl = np.minimum.reduceat(dls, heads).astype(np.uint32)
+        else:
+            self.last_doc = np.empty(0, np.uint64)
+            self.max_tf = np.empty(0, np.uint32)
+            self.min_dl = np.empty(0, np.uint32)
+        self._full = (
+            np.ascontiguousarray(docs, dtype=np.uint64),
+            np.ascontiguousarray(tfs, dtype=np.uint32),
+            np.ascontiguousarray(dls, dtype=np.uint32),
+        )
+        self._docs_all = self._full[0]
+
+    def drop_decoded(self) -> None:
+        pass  # arrays are the storage; nothing cheaper to fall back to
+
+    def block(self, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        o = k * BLOCK_SIZE
+        m = int(min(BLOCK_SIZE, self.enc.n_docs - o))
+        d, t, l = self._full
+        return d[o : o + m], t[o : o + m], l[o : o + m]
+
+    def tail(self, k0: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if self.n_blocks == 0 or k0 >= self.n_blocks:
+            e = np.empty(0, dtype=np.uint64)
+            return e, e.astype(np.uint32), e.astype(np.uint32)
+        o = k0 * BLOCK_SIZE
+        d, t, l = self._full
+        return d[o:], t[o:], l[o:]
+
+    def all_docs(self) -> np.ndarray:
+        return self._docs_all
+
+
 class BlockReader:
     """Lazy per-block access for WAND: decode a block only when needed."""
 

@@ -584,7 +584,10 @@ class QueryEngine:
         for r in self.readers:
             readers.extend(r.postings(term, bucket))
         if len(self.readers) > 1 and len(readers) > 1:
-            # multi-shard docid ranges interleave → merge-decode into one list
+            # multi-shard docid ranges interleave → merge-decode into one
+            # docid-ordered list served straight from the decoded arrays
+            # (ArrayBlockReader); re-compressing the merge just to decode it
+            # again on first use cost ~2× the decode itself
             docs_l, tfs_l, dls_l = [], [], []
             for br in readers:
                 from .codec import decode_postings
@@ -596,19 +599,18 @@ class QueryEngine:
             docs = np.concatenate(docs_l)
             order = np.argsort(docs, kind="stable")
             docs = docs[order]
-            tfs = np.concatenate(tfs_l)[order].astype(np.uint64)
-            dls = np.concatenate(dls_l)[order].astype(np.uint64)
+            tfs = np.concatenate(tfs_l)[order]
+            dls = np.concatenate(dls_l)[order]
             # shard-namespaced doc ids make cross-shard equality impossible
             # (schema.py); this guard covers legacy/mixed-layout indexes where
-            # a collision would otherwise crash the strictly-increasing encoder
+            # a collision would otherwise produce a non-strictly-increasing list
             if docs.size > 1:
                 uniq = np.concatenate(([True], docs[1:] != docs[:-1]))
                 if not uniq.all():
                     docs, tfs, dls = docs[uniq], tfs[uniq], dls[uniq]
-            from .codec import encode_postings
+            from .codec import ArrayBlockReader
 
-            enc = encode_postings(docs, tfs, dls)
-            readers = [BlockReader(enc)]
+            readers = [ArrayBlockReader(docs, tfs, dls)]
         if len(self._readers_cache) >= self.READERS_CACHE_CAP:
             self._readers_cache.pop(next(iter(self._readers_cache)))
         self._readers_cache[term] = readers
