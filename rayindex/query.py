@@ -312,9 +312,12 @@ def wand_topk(
         theta = heap[0][0] if len(heap) >= k else -math.inf
         acc = 0.0
         pivot = -1
+        # strict >: ties break doc_id ASC and traversal is doc-ascending, so
+        # every heap entry's doc_id is below any unscored doc's — a candidate
+        # whose upper bound only TIES θ can never displace an incumbent
         for pos, i in enumerate(by_doc):
             acc += term_ub[i]
-            if acc >= theta or len(heap) < k:
+            if acc > theta or len(heap) < k:
                 pivot = pos
                 break
         if pivot < 0:
@@ -327,7 +330,7 @@ def wand_topk(
                 cur = cursors[i][1]
                 if cur._bk < cur.n_blocks:
                     bm_sum += float(block_ub[i][cur._bk])
-            if len(heap) >= k and bm_sum < theta:
+            if len(heap) >= k and bm_sum <= theta:  # ties lose doc-asc → skip
                 skips += 1
                 cand_last = min(cursors[i][1].block_last() for i in prefix)
                 beyond = [cursors[i][1].doc for i in by_doc if cursors[i][1].doc > pivot_doc]

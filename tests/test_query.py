@@ -234,3 +234,39 @@ def test_explain_matches_search(engine, fixture_corpus):
 
     none = engine.explain("ыыыыыы")
     assert none["count"] == 0 and none["intersection_order"] == []
+
+
+def test_wand_tie_heavy_equals_bruteforce():
+    """Tie-aware pruning (upper bound == θ skips: ties lose the doc-asc
+    tie-break to incumbents, which always carry smaller doc ids because the
+    traversal is doc-ascending) must stay exactly equal to brute force on
+    corpora built almost entirely of exact score ties."""
+    from rayindex.codec import BlockReader, encode_postings
+    from rayindex.query import ChainCursor, wand_topk
+
+    rng = np.random.default_rng(3)
+    k1, b, avgdl = 1.2, 0.75, 10.0
+
+    def contrib(idf, tf, dl):
+        return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    for trial in range(60):
+        nterms = int(rng.integers(1, 4))
+        entries, parts = [], []
+        for _t in range(nterms):
+            n = int(rng.integers(1, 2000))
+            docs = np.sort(rng.choice(100000, size=n, replace=False).astype(np.uint64))
+            tfs = rng.choice([1, 1, 1, 2], size=n).astype(np.uint64)
+            dls = rng.choice([10, 10, 20], size=n).astype(np.uint64)
+            idf = float(rng.choice([0.5, 1.0, 1.0]))
+            entries.append((idf, ChainCursor([BlockReader(encode_postings(docs, tfs, dls))])))
+            parts.append((idf, docs, tfs, dls))
+        k = int(rng.integers(1, 20))
+        got = wand_topk(entries, contrib, k)
+        score: dict[int, float] = {}
+        for idf, docs, tfs, dls in parts:
+            for d, tf, dl in zip(docs.tolist(), tfs.tolist(), dls.tolist()):
+                score[d] = score.get(d, 0.0) + contrib(idf, float(tf), float(dl))
+        want = [(int(d), float(s)) for d, s in
+                sorted(score.items(), key=lambda x: (-x[1], x[0]))[:k]]
+        assert got == want, trial
