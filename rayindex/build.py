@@ -526,13 +526,25 @@ class _AddSalt:
         return batch.append_column("salt", pa.array(salts, pa.int32()))
 
 
+# salted sub-lists per reduce unit: one unit reads its bucket's heavy-term
+# rows ONCE and encodes this many consecutive salts from it, instead of one
+# read per salt — a head term with df = S·salt_target postings costs
+# ceil(S/SALT_CHUNK) bucket reads rather than S (the read amplification that
+# dominated P4 beyond the per-shard design scale)
+SALT_CHUNK = 8
+
+
 class _EncodeUnit:
-    """Bucketed-shuffle reduce task: one (bucket, salt) unit per call.
+    """Bucketed-shuffle reduce task: one (bucket, salt range) unit per call.
 
     Reads only its bucket's postings directory (the map-side partitioned
     write colocated the bucket), derives salts for the broadcast heavy-term
-    set, slices its salt, and encodes — identical output to the groupby path.
-    """
+    set, and encodes each salt in its range — identical output to the
+    groupby path.  Salted units (salt_lo > 0) read only heavy-term rows and
+    push the salt range's docid window into the scan (range_salt assigns
+    salts by docid range, so the window is exact per distinct salt count and
+    a superset across them): per-unit materialization stays ~SALT_CHUNK ×
+    salt_target rows no matter how heavy the term."""
 
     def __init__(self, postings_dir: str, heavy_ref, positions: bool = False,
                  codec: str = "pfor"):
@@ -547,6 +559,27 @@ class _EncodeUnit:
             self.heavy = _resolve_ref(self._heavy_ref)
         return self.heavy
 
+    def _salt_filter(self, lo: int, hi: int, heavy: dict):
+        """Scan filter for salts [lo, hi): term membership + docid window."""
+        if not heavy:
+            return None
+        counts = set(heavy.values())
+        isin = pc.field("term").isin(list(heavy))
+        if lo == 0:
+            # salt 0 holds every non-heavy row plus each heavy term's first
+            # docid stripe; V >= 2 always (heavy maps only n_salts > 1)
+            hi0 = max((2**63) // v for v in counts) if counts else 2**63
+            return ~isin | (pc.field("doc_id") < hi0)
+        vs = [v for v in counts if v > lo]
+        if not vs:
+            return isin & (pc.field("doc_id") < 0)  # no term reaches this salt
+        dlo = min(lo * ((2**63) // v) for v in vs)
+        dhi = max((2**63 if hi >= v else hi * ((2**63) // v)) for v in vs)
+        flt = isin & (pc.field("doc_id") >= dlo)
+        if dhi < 2**63:  # int64 cannot represent 2^63 — open-ended instead
+            flt = flt & (pc.field("doc_id") < dhi)
+        return flt
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.dataset as pads
 
@@ -555,16 +588,14 @@ class _EncodeUnit:
         out = []
         heavy = self._get_heavy()
         for unit in batch.to_pylist():
-            b, s = int(unit["bucket"]), int(unit["salt"])
+            b = int(unit["bucket"])
+            lo, hi = int(unit["salt_lo"]), int(unit["salt_hi"])
             d = os.path.join(self.postings_dir, f"bucket={b}")
             dset = pads.dataset(d, format="parquet")
-            # salt units beyond 0 contain only heavy-term rows — push the term
-            # filter into the read instead of materializing the whole bucket
-            flt = pc.field("term").isin(list(heavy)) if (s > 0 and heavy) else None
             cols = ["doc_id", "site", "term", "tf", "doc_len"]
             if self.positions:
                 cols.append("positions")
-            t = dset.to_table(columns=cols, filter=flt)
+            t = dset.to_table(columns=cols, filter=self._salt_filter(lo, hi, heavy))
             if t.num_rows == 0:
                 continue
             salts = derive_salts(
@@ -572,13 +603,14 @@ class _EncodeUnit:
                 t.column("doc_id").to_pandas().to_numpy(),
                 heavy,
             )
-            sel = salts == s
-            if not sel.any():
-                continue
-            df = t.filter(pa.array(sel)).to_pandas()
-            df["bucket"] = b
-            df["salt"] = s
-            out.append(encode_group(df, codec=self.codec))
+            for s in range(lo, hi):
+                sel = salts == s
+                if not sel.any():
+                    continue
+                df = t.filter(pa.array(sel)).to_pandas()
+                df["bucket"] = b
+                df["salt"] = s
+                out.append(encode_group(df, codec=self.codec))
         if not out:
             return MIXED_SCHEMA.empty_table()
         return pa.concat_tables(out)
@@ -913,12 +945,32 @@ def _dir_rows(d: str) -> int:
     return total
 
 
+# per-bucket document volume the P4 encode units are sized for: one unit
+# materializes its whole bucket, so per-task memory grows with bucket size.
+# 32 buckets held this at the designed 5M-docs-per-shard envelope
+# (~160k docs/bucket); beyond that, a FIXED bucket count makes each reduce
+# task's working set grow linearly with the corpus until the box spills —
+# the measured failure mode of the 10M single-shard run (phase_segments
+# 877s vs the ~200s trend).  Auto-sizing doubles the bucket count instead,
+# keeping per-task memory flat while parallelism rises with the data.
+BUCKET_DOCS_TARGET = 160_000
+
+
+def _auto_num_buckets(rows: int, num_shards: int) -> int:
+    per_shard = max(1, rows // max(1, num_shards))
+    need = (per_shard + BUCKET_DOCS_TARGET - 1) // BUCKET_DOCS_TARGET
+    b = DEFAULT_NUM_BUCKETS
+    while b < need and b < 4096:
+        b *= 2
+    return b
+
+
 def build_index(
     pages_path: str | list[str],
     out_dir: str,
     analyzer_spec: dict,
     *,
-    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    num_buckets: int | None = None,
     shard_index: int = 0,
     num_shards: int = 1,
     salt_df_threshold: int | None = None,
@@ -938,6 +990,10 @@ def build_index(
     resume: bool = True,
 ) -> dict[str, Any]:
     """Build one index shard; returns metrics. Resumable per phase."""
+    if num_buckets is None:
+        # resolved BEFORE the config key: a resumed build re-derives the same
+        # value (the count is parquet metadata of the same input, no data read)
+        num_buckets = _auto_num_buckets(_count_input_rows(pages_path), num_shards)
     shard_dir = os.path.join(out_dir, f"shard={shard_index}")
     os.makedirs(shard_dir, exist_ok=True)
     key = _config_key(
@@ -1261,11 +1317,18 @@ def build_index(
                     for term, hb in zip(hterms, hbuckets):
                         if int(hb) in bucket_salts:
                             bucket_salts[int(hb)].update(range(heavy[term]))
-                units = [
-                    {"bucket": b, "salt": s}
-                    for b in present
-                    for s in sorted(bucket_salts[b])
-                ]
+                # one unit per SALT_CHUNK consecutive salts: salted units read
+                # their bucket's heavy rows once per chunk (docid-windowed),
+                # not once per salt — see _EncodeUnit
+                units = []
+                for b in present:
+                    units.append({"bucket": b, "salt_lo": 0, "salt_hi": 1})
+                    pos_salts = sorted(s for s in bucket_salts[b] if s > 0)
+                    for i in range(0, len(pos_salts), SALT_CHUNK):
+                        chunk = pos_salts[i : i + SALT_CHUNK]
+                        units.append(
+                            {"bucket": b, "salt_lo": chunk[0], "salt_hi": chunk[-1] + 1}
+                        )
                 units_ds = rd.from_items(units)
                 segs = units_ds.map_batches(
                     _EncodeUnit(postings_dir, heavy_ref, positions, codec),

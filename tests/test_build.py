@@ -285,3 +285,41 @@ def test_null_url_dropped_null_ts_epoch0(ray_session, fixture_corpus, tmp_path):
     assert eng.n_docs == 11  # 12 - null-url - dup
     # the real-timestamped copy won: the stale copy's unique term is absent
     assert eng.search("stale", k=5)["count"] == 0
+
+
+def test_bucketed_chunked_salts_equal_groupby_mode(ray_session, fixture_corpus, tmp_path):
+    """The chunked salted reduce units (one read per SALT_CHUNK consecutive
+    salts, docid-windowed scan filter) must be byte-identical to Ray's
+    sort-based groupby shuffle.  salt_target=4 over the whole fixture forces
+    head terms past SALT_CHUNK salts so multi-chunk units actually run."""
+    from rayindex.build import SALT_CHUNK, build_index
+    from rayindex.fixtures import write_pages
+    from rayindex.segments import segments_digest
+
+    pages = fixture_corpus.pages
+    pdir = str(tmp_path / "pages")
+    write_pages(pages, pdir, 4)
+    a, b = str(tmp_path / "ia"), str(tmp_path / "ib")
+    kw = dict(num_buckets=4, salt_df_threshold=8, salt_target=4)
+    build_index(pdir, a, fixture_corpus.analyzer_spec, shuffle_mode="bucketed", **kw)
+    build_index(pdir, b, fixture_corpus.analyzer_spec, shuffle_mode="groupby", **kw)
+    assert segments_digest(f"{a}/shard=0") == segments_digest(f"{b}/shard=0")
+    # the config genuinely exercised a multi-chunk unit
+    seg = pads.dataset(f"{a}/shard=0/segments").to_table(columns=["term", "salt", "kind"])
+    seg = seg.filter(pc.equal(seg.column("kind"), "seg"))
+    max_salt = pc.max(seg.column("salt")).as_py()
+    assert max_salt is not None and max_salt >= SALT_CHUNK
+
+
+def test_auto_num_buckets_scales_with_input():
+    from rayindex.build import (BUCKET_DOCS_TARGET, DEFAULT_NUM_BUCKETS,
+                                _auto_num_buckets)
+
+    assert _auto_num_buckets(0, 1) == DEFAULT_NUM_BUCKETS
+    assert _auto_num_buckets(500_000, 1) == DEFAULT_NUM_BUCKETS
+    assert _auto_num_buckets(BUCKET_DOCS_TARGET * DEFAULT_NUM_BUCKETS, 1) == DEFAULT_NUM_BUCKETS
+    assert _auto_num_buckets(10_000_000, 1) == 64
+    assert _auto_num_buckets(20_000_000, 1) == 128
+    # sharded builds size per shard: the 20M 4-shard deployment keeps 32
+    assert _auto_num_buckets(20_000_000, 4) == DEFAULT_NUM_BUCKETS
+    assert _auto_num_buckets(10**9, 1) == 4096  # capped

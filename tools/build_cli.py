@@ -63,7 +63,7 @@ def main() -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
-    from rayindex.build import DEFAULT_NUM_BUCKETS, build_index
+    from rayindex.build import build_index
 
     if args.analyzer_spec_json:
         spec = json.load(open(args.analyzer_spec_json))
@@ -97,7 +97,7 @@ def main() -> int:
         m = build_index(
             args.pages, args.out, spec,
             shard_index=s, num_shards=args.num_shards,
-            num_buckets=args.num_buckets or DEFAULT_NUM_BUCKETS,
+            num_buckets=args.num_buckets,  # None → auto-sized from input rows
             dedup_urls=not args.no_dedup,
             url_filter=args.url_filter,
             codec=args.codec,
