@@ -488,6 +488,11 @@ class QueryEngine:
         # arrays so a long-lived engine's decoded footprint stays bounded by
         # 2 × DECODED_CACHE_CAP terms rather than by the readers-cache cap
         self._full_pins: dict[str, list[BlockReader]] = {}
+        # terms served by a merged ArrayBlockReader (multi-shard trees): the
+        # reader IS the decoded arrays, so drop_decoded() frees nothing —
+        # bound these by the decoded budget and evict them from the readers
+        # cache entirely (next access re-reads + re-merges the shards)
+        self._merged_terms: dict[str, None] = {}
         self._docs_locator_cache: dict[str, tuple] = {}
         self._locator_source: dict[str, str] = {}  # shard → sidecar|scan
         # docs-store physical geometry for the pruned positional take:
@@ -614,6 +619,14 @@ class QueryEngine:
             from .codec import ArrayBlockReader
 
             readers = [ArrayBlockReader(docs, tfs, dls)]
+            self._merged_terms.pop(term, None)
+            self._merged_terms[term] = None
+            while len(self._merged_terms) > self.DECODED_CACHE_CAP:
+                t_old = next(iter(self._merged_terms))
+                self._merged_terms.pop(t_old)
+                self._readers_cache.pop(t_old, None)
+                self._decoded_cache.pop(t_old, None)
+                self._full_pins.pop(t_old, None)
         if len(self._readers_cache) >= self.READERS_CACHE_CAP:
             self._readers_cache.pop(next(iter(self._readers_cache)))
         self._readers_cache[term] = readers

@@ -65,3 +65,35 @@ def test_engine_decoded_pins_bounded(engine, fixture_corpus, monkeypatch):
     for w in words:
         assert eng.search(w, k=5, with_snippets=False)["count"] == baseline[w][0]
         assert eng.bm25_wand(w, k=5) == baseline[w][1]
+
+
+def test_merged_array_readers_bounded_by_decoded_budget(ray_session, tmp_path):
+    """Multi-shard merged readers ARE their decoded arrays (ArrayBlockReader:
+    drop_decoded frees nothing), so the engine must bound them by the decoded
+    budget and evict them from the readers cache entirely — results identical
+    after eviction forces a re-merge."""
+    from rayindex.build import build_all
+    from rayindex.codec import ArrayBlockReader
+    from rayindex.fixtures import gen_fixture, write_pages
+
+    fx = gen_fixture(n_pages=60, n_lemmas=40, seed=9)
+    pdir = str(tmp_path / "pages")
+    write_pages(fx.pages, pdir, 4)
+    out = str(tmp_path / "idx")
+    build_all(pdir, out, fx.analyzer_spec, num_shards=2, num_buckets=4)
+    eng = QueryEngine(out, fx.analyzer_spec)
+    eng.DECODED_CACHE_CAP = 3
+    terms = sorted({t for q in fx.queries
+                    for t in eng.analyzer.collect_lemmas(q["query"])})
+    terms = [t for t in terms if eng.term_global_df(t) > 0][:8]
+    assert len(terms) >= 5
+    first = terms[0]
+    before = eng.bm25_topk(first, k=5, algorithm="exhaustive")
+    for t in terms:  # churn well past the cap
+        eng._cursor(t)
+    merged = [t for t, rs in eng._readers_cache.items()
+              if rs and isinstance(rs[0], ArrayBlockReader)]
+    assert len(eng._merged_terms) <= eng.DECODED_CACHE_CAP
+    assert len(merged) <= eng.DECODED_CACHE_CAP
+    if first not in eng._readers_cache:  # evicted → re-merge must be identical
+        assert eng.bm25_topk(first, k=5, algorithm="exhaustive") == before
