@@ -566,9 +566,17 @@ class _EncodeUnit:
         counts = set(heavy.values())
         isin = pc.field("term").isin(list(heavy))
         if lo == 0:
-            # salt 0 holds every non-heavy row plus each heavy term's first
-            # docid stripe; V >= 2 always (heavy maps only n_salts > 1)
-            hi0 = max((2**63) // v for v in counts) if counts else 2**63
+            # salt-0 ranges hold every non-heavy row plus each heavy term's
+            # first docid stripes; V >= 2 always (heavy maps only n_salts > 1).
+            # hi is honored (unit construction emits [0, 1) today, but the
+            # window must not silently drop salts if that ever changes)
+            hi0 = (
+                max((2**63 if hi >= v else hi * ((2**63) // v)) for v in counts)
+                if counts
+                else 2**63
+            )
+            if hi0 >= 2**63:  # int64 cannot represent 2^63 — open-ended
+                return None
             return ~isin | (pc.field("doc_id") < hi0)
         vs = [v for v in counts if v > lo]
         if not vs:
@@ -990,10 +998,12 @@ def build_index(
     resume: bool = True,
 ) -> dict[str, Any]:
     """Build one index shard; returns metrics. Resumable per phase."""
+    input_rows = _count_input_rows(pages_path)  # footer metadata only; also
+    # feeds the empty-input check below — walked once per build
     if num_buckets is None:
         # resolved BEFORE the config key: a resumed build re-derives the same
         # value (the count is parquet metadata of the same input, no data read)
-        num_buckets = _auto_num_buckets(_count_input_rows(pages_path), num_shards)
+        num_buckets = _auto_num_buckets(input_rows, num_shards)
     shard_dir = os.path.join(out_dir, f"shard={shard_index}")
     os.makedirs(shard_dir, exist_ok=True)
     key = _config_key(
@@ -1014,7 +1024,7 @@ def build_index(
     metrics: dict[str, Any] = {"shard": shard_index, "phases": {}}
     t_start = time.monotonic()
 
-    if not (resume and phase_done(shard_dir, "stats", key)) and _count_input_rows(pages_path) == 0:
+    if not (resume and phase_done(shard_dir, "stats", key)) and input_rows == 0:
         _write_empty_shard(shard_dir, num_buckets, analyzer_spec, shard_index,
                            num_shards, key, positions=positions, codec=codec)
         metrics["phases"] = {p: 0.0 for p in ("docs", "postings", "prestats", "segments", "stats")}

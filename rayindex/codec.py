@@ -37,6 +37,7 @@ codec-independent.  The positional layer stays varbyte under either codec
 
 from __future__ import annotations
 
+import sys
 from dataclasses import dataclass
 
 import numpy as np
@@ -197,6 +198,12 @@ def pfor_encode_stream(values: np.ndarray, bounds: np.ndarray) -> tuple[bytes, n
     return b"".join(parts), nbytes
 
 
+# the window-gather unpack reinterprets 8 raw bytes as one uint64 in NATIVE
+# byte order; the blobs are little-endian, so the fast path is LE-hosts-only
+# (big-endian hosts keep the endian-neutral unpackbits route)
+_LE_HOST = sys.byteorder == "little"
+
+
 def _unpack_le_windows(
     sw: np.ndarray, plane_starts: np.ndarray, m: int, b: int
 ) -> np.ndarray:
@@ -229,7 +236,7 @@ def pfor_decode_block(buf: np.ndarray, m: int) -> np.ndarray:
     b = int(buf[0])
     k_exc = int(buf[1])
     psize = (m * b + 7) // 8
-    if 3 <= b <= 56:
+    if 3 <= b <= 56 and _LE_HOST:
         pad = np.concatenate([buf[2 : 2 + psize], np.zeros(8, np.uint8)])
         sw = np.lib.stride_tricks.sliding_window_view(pad, 8)
         vals = _unpack_le_windows(sw, np.zeros(1, np.int64), m, b)[0].copy()
@@ -294,7 +301,7 @@ def pfor_decode_stream(
             shifts = np.arange(b_i, dtype=np.uint64)
             for c0 in range(0, len(grp_all), _CHUNK):
                 grp = grp_all[c0 : c0 + _CHUNK]
-                if 3 <= b_i <= 56:
+                if 3 <= b_i <= 56 and _LE_HOST:
                     # 8-byte-window gather: ~24 B traffic/value, independent
                     # of b.  The unpackbits tensor costs ~8·b B/value, so the
                     # window wins from b≈3 up (hashed-docid deltas sit at

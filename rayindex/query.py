@@ -628,7 +628,11 @@ class QueryEngine:
                 self._decoded_cache.pop(t_old, None)
                 self._full_pins.pop(t_old, None)
         if len(self._readers_cache) >= self.READERS_CACHE_CAP:
-            self._readers_cache.pop(next(iter(self._readers_cache)))
+            t_old = next(iter(self._readers_cache))
+            self._readers_cache.pop(t_old)
+            # keep the merged-term FIFO exact: a stale key here would count
+            # against the merged budget and evict live merged readers early
+            self._merged_terms.pop(t_old, None)
         self._readers_cache[term] = readers
         return ChainCursor(readers)
 

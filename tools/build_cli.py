@@ -32,7 +32,15 @@ def main() -> int:
     ap.add_argument("--num-shards", type=int, default=1)
     ap.add_argument("--shard-range", default=None,
                     help="START:END shard slice for this job (default: all)")
-    ap.add_argument("--num-buckets", type=int, default=None)
+    def _positive_int(v: str) -> int:
+        n = int(v)
+        if n <= 0:
+            raise argparse.ArgumentTypeError("--num-buckets must be a positive integer")
+        return n
+
+    ap.add_argument("--num-buckets", type=_positive_int, default=None,
+                    help="term-hash buckets per shard (default: auto-sized "
+                         "from the input row count)")
     ap.add_argument("--no-dedup", action="store_true")
     ap.add_argument("--codec", default="pfor", choices=["vb", "pfor"],
                     help="postings stream codec (delta+varbyte or PForDelta)")
