@@ -68,7 +68,7 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 # fsspec.implementations.http fails to import here (no aiohttp), so every
 # ray.data read/write retries the import; concurrent first-imports race and
@@ -788,45 +788,148 @@ def write_site_lemmas(shard_dir: str) -> None:
     _write_site_lemmas_sidecar(shard_dir, "site_lemmas", refs)
 
 
+def _skinny_dup_ids(batch: pa.Table, shard_index: int, num_shards: int,
+                    url_filter: bool) -> np.ndarray:
+    """Shared D1 filter chain: url batch → this shard's int64 doc_ids, with
+    the EXACT ingest semantics of the main stream (null-url drop, M8 url
+    filter, url-space shard filter) so the duplicate census and the dedup
+    filter can never disagree about which rows exist."""
+    batch = _drop_null_urls(batch)
+    if url_filter and batch.num_rows:
+        keep = pc.invert(pc.match_substring_regex(batch.column("url"), _URL_REJECT_RE))
+        batch = batch.filter(keep)
+    if num_shards > 1 and batch.num_rows:
+        h = hash64_strings(batch.column("url").to_pandas().to_numpy())
+        batch = batch.filter(pa.array(h % np.uint64(num_shards) == shard_index))
+    if batch.num_rows == 0:
+        return np.empty(0, np.int64)
+    return doc_ids_for_urls(
+        batch.column("url").to_pandas().to_numpy(), shard_index, num_shards
+    )
+
+
+def _list_parquet_files(pages_path) -> list[str]:
+    paths = pages_path if isinstance(pages_path, list) else [pages_path]
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, names in os.walk(p):
+                files.extend(
+                    os.path.join(root, f) for f in names if f.endswith(".parquet")
+                )
+        elif str(p).endswith(".parquet"):
+            files.append(p)
+    return sorted(files)
+
+
+# planning targets for the duplicate census: rows of url strings one scan
+# task reads (bounds per-task memory at ~tens of MB of urls + 8 B/row of
+# ids) and rows one reduce task sorts (8 B/row → a 4 M-row bucket sorts
+# 32 MB, milliseconds).
+_DUP_SCAN_ROWS = 512_000
+_DUP_BUCKET_ROWS = 4_000_000
+
+
+@ray.remote
+def _dup_scan_unit(units: list, shard_index: int, num_shards: int,
+                   url_filter: bool, n_buckets: int):
+    """D1 map side: read the url column of the assigned row-group ranges,
+    apply the shared ingest filters, and hash-partition the resulting ids
+    into ``n_buckets`` outputs (``num_returns=n_buckets``) so each reduce
+    task fetches ONLY its bucket's ids — a hand-rolled skinny shuffle of
+    8-byte values instead of a sort-based groupby over every row."""
+    per_bucket: list[list[np.ndarray]] = [[] for _ in range(n_buckets)]
+    for path, rg_lo, rg_hi in units:
+        pf = pq.ParquetFile(path)
+        rgs = list(range(rg_lo, min(rg_hi, pf.metadata.num_row_groups)))
+        if not rgs:
+            continue
+        t = pf.read_row_groups(rgs, columns=["url"])
+        ids = _skinny_dup_ids(t, shard_index, num_shards, url_filter)
+        if not ids.size:
+            continue
+        if n_buckets == 1:
+            per_bucket[0].append(ids)
+            continue
+        b = (ids.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        sb, sids = b[order], ids[order]
+        bounds = np.searchsorted(sb, np.arange(n_buckets + 1))
+        for k in range(n_buckets):
+            lo, hi = bounds[k], bounds[k + 1]
+            if hi > lo:
+                per_bucket[k].append(sids[lo:hi])
+    out = [
+        np.concatenate(chunks) if chunks else np.empty(0, np.int64)
+        for chunks in per_bucket
+    ]
+    return out[0] if n_buckets == 1 else tuple(out)
+
+
+@ray.remote
+def _dup_reduce_unit(*chunks) -> np.ndarray:
+    """D1 reduce side: ids appearing more than once within one hash bucket
+    (buckets partition the id space, so within-bucket dups ARE global dups)."""
+    live = [c for c in chunks if c.size]
+    if not live:
+        return np.empty(0, np.int64)
+    s = np.sort(np.concatenate(live))
+    return np.unique(s[1:][s[1:] == s[:-1]])
+
+
 def _detect_dup_ids(pages_path, shard_index: int, num_shards: int,
                     url_filter: bool) -> np.ndarray:
     """D1 step 1: sorted int64 array of doc_ids that occur more than once.
 
-    A SKINNY url-only aggregate — the common no-duplicates case costs one
-    pruned column scan and returns an empty array.  The result is broadcast
-    (``ray.put``) as a compact numpy array (8 bytes per duplicate) and probed
-    with vectorized ``searchsorted``; with url-space sharding each shard's
-    duplicate set stays bounded.  (Winner SELECTION happens later in an exact
-    per-doc_id groupby on the side path, not here — a broadcast winner-key
-    filter cannot distinguish bit-identical copies in different batches.)"""
-
-    def skinny(batch: pa.Table) -> pa.Table:
-        batch = _drop_null_urls(batch)
-        if url_filter and batch.num_rows:
-            keep = pc.invert(pc.match_substring_regex(batch.column("url"), _URL_REJECT_RE))
-            batch = batch.filter(keep)
-        if num_shards > 1 and batch.num_rows:
-            h = hash64_strings(batch.column("url").to_pandas().to_numpy())
-            batch = batch.filter(pa.array(h % np.uint64(num_shards) == shard_index))
-        ids = doc_ids_for_urls(
-            batch.column("url").to_pandas().to_numpy(), shard_index, num_shards
-        )
-        return pa.table({"doc_id": pa.array(ids, pa.int64())})
-
-    agg = (
-        rd.read_parquet(pages_path, columns=["url"])
-        .map_batches(skinny, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="n"))
-    )
-    dups = agg.map_batches(
-        lambda t: t.filter(pc.greater(t.column("n"), 1)),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).to_pandas()
-    if len(dups) == 0 or "doc_id" not in dups.columns:
+    A SKINNY url-only scan planned from parquet METADATA: row-group ranges
+    are grouped into ~``_DUP_SCAN_ROWS``-row map tasks, each hash-partitions
+    its ids across ``n_buckets`` reduce tasks that sort 8-byte values — the
+    duplicate census never touches Ray Data's sort-based groupby, whose
+    all-to-all machinery dominated phase_docs at the 10 M-page scale (the
+    id stream itself is only 8 B/row).  The result is broadcast (``ray.put``)
+    as a compact numpy array and probed with vectorized ``searchsorted``;
+    with url-space sharding each shard's duplicate set stays bounded.
+    (Winner SELECTION happens later in an exact per-doc_id groupby on the
+    side path, not here — a broadcast winner-key filter cannot distinguish
+    bit-identical copies in different batches.)"""
+    files = _list_parquet_files(pages_path)
+    plans: list[list[tuple[str, int, int]]] = []  # groups of (path, rg_lo, rg_hi)
+    acc_rows, total_rows = 0, 0
+    cur: list[tuple[str, int, int]] = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        total_rows += md.num_rows
+        lo = 0
+        for rg in range(md.num_row_groups):
+            acc_rows += md.row_group(rg).num_rows
+            if acc_rows >= _DUP_SCAN_ROWS:
+                cur.append((f, lo, rg + 1))
+                plans.append(cur)
+                cur, acc_rows, lo = [], 0, rg + 1
+        if lo < md.num_row_groups:
+            cur.append((f, lo, md.num_row_groups))
+    if cur:
+        plans.append(cur)
+    if not plans or total_rows == 0:
         return np.empty(0, np.int64)
-    return np.sort(dups["doc_id"].to_numpy().astype(np.int64))
+    n_buckets = max(1, min(64, -(-total_rows // _DUP_BUCKET_ROWS)))
+    map_refs = [
+        _dup_scan_unit.options(num_returns=n_buckets).remote(
+            plan, shard_index, num_shards, url_filter, n_buckets
+        )
+        for plan in plans
+    ]
+    if n_buckets == 1:
+        red = [_dup_reduce_unit.remote(*map_refs)]
+    else:
+        red = [
+            _dup_reduce_unit.remote(*[m[k] for m in map_refs])
+            for k in range(n_buckets)
+        ]
+    parts = [p for p in ray.get(red) if p.size]
+    if not parts:
+        return np.empty(0, np.int64)
+    return np.sort(np.concatenate(parts))
 
 
 def _sample_heavy_terms(

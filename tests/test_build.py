@@ -323,3 +323,63 @@ def test_auto_num_buckets_scales_with_input():
     # sharded builds size per shard: the 20M 4-shard deployment keeps 32
     assert _auto_num_buckets(20_000_000, 4) == DEFAULT_NUM_BUCKETS
     assert _auto_num_buckets(10**9, 1) == 4096  # capped
+
+
+def test_detect_dup_ids_matches_brute_force(ray_session, tmp_path, monkeypatch):
+    """The metadata-planned map/reduce duplicate census must agree with a
+    brute-force pandas count under every ingest filter (null urls, M8 url
+    reject, url-space sharding), across multiple files and row groups, with
+    the multi-task / multi-bucket paths forced."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import rayindex.build as B
+    from rayindex.schema import doc_ids_for_urls, hash64_strings
+
+    rng = np.random.default_rng(7)
+    urls = []
+    for i in range(600):
+        urls.append(f"https://s{i % 7}.example.com/p{i}")
+    # duplicates within and across files, triples included
+    urls += [urls[i] for i in rng.choice(600, 80, replace=False)]
+    urls += [urls[3], urls[3], urls[500]]
+    # rows the ingest filters must drop
+    urls += [None, None, "https://s0.example.com/img.PNG",
+             "https://s1.example.com/a?b=1", "https://s2.example.com/doc.pdf"]
+    rng.shuffle(urls)
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    third = len(urls) // 3
+    for fi, chunk in enumerate((urls[:third], urls[third:2 * third], urls[2 * third:])):
+        t = pa.table({"url": pa.array(chunk, pa.string()),
+                      "html": pa.array([b"<p>x</p>"] * len(chunk), pa.binary())})
+        pq.write_table(t, pdir / f"part{fi}.parquet", row_group_size=50)
+
+    def brute(shard_index, num_shards, url_filter):
+        s = pd.Series([u for u in urls if u is not None])
+        if url_filter:
+            s = s[~s.str.contains(B._URL_REJECT_RE, regex=True)]
+        if num_shards > 1:
+            h = hash64_strings(s.to_numpy())
+            s = s[h % np.uint64(num_shards) == shard_index]
+        if len(s) == 0:
+            return np.empty(0, np.int64)
+        ids = pd.Series(doc_ids_for_urls(s.to_numpy(), shard_index, num_shards))
+        vc = ids.value_counts()
+        return np.sort(vc[vc > 1].index.to_numpy().astype(np.int64))
+
+    # force many map tasks and several reduce buckets
+    monkeypatch.setattr(B, "_DUP_SCAN_ROWS", 64)
+    monkeypatch.setattr(B, "_DUP_BUCKET_ROWS", 100)
+    for num_shards in (1, 2):
+        for shard_index in range(num_shards):
+            for url_filter in (False, True):
+                got = B._detect_dup_ids(str(pdir), shard_index, num_shards, url_filter)
+                want = brute(shard_index, num_shards, url_filter)
+                assert np.array_equal(got, want), (num_shards, shard_index, url_filter)
+                assert got.dtype == np.int64
+    # single-bucket path (num_returns == 1)
+    monkeypatch.setattr(B, "_DUP_BUCKET_ROWS", 10_000_000)
+    got1 = B._detect_dup_ids(str(pdir), 0, 1, False)
+    assert np.array_equal(got1, brute(0, 1, False))
