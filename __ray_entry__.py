@@ -293,6 +293,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_audit": __import__(
             "rayindex.pipelines", fromlist=["index_audit"]
         ).index_audit,
+        # --- S2 source connector: WARC (Common Crawl layout) roundtrip ---
+        "warc_roundtrip": __import__(
+            "rayindex.pipelines", fromlist=["warc_roundtrip"]
+        ).warc_roundtrip,
         # --- SQL-checked via md5_number_upper (≡ LE64 of md5 bytes) ------
         "minhash_lsh_pairs": textops.minhash_lsh_pairs,
         "simhash": textops.simhash,
@@ -1649,4 +1653,12 @@ def oracle_sql() -> dict[str, str]:
     # distributed serving tier ≡ single-process engine, row for row
     out["engine_batch_search"] = out["engine_search_scores"]
     out["engine_merged_search"] = out["engine_search_scores"]
+    # WARC sink→source roundtrip: the invariant is per-page byte identity —
+    # the oracle pins the all-true table over every page url, so a lost
+    # record breaks the row count and a corrupted byte breaks the hash
+    out["warc_roundtrip"] = (
+        "SELECT 'https://' || source || '.bench.example/d/' || "
+        "lpad(CAST(doc_id AS VARCHAR), 8, '0') || '/0' AS url, "
+        "CAST(1 AS BOOLEAN) AS roundtrip_ok FROM documents"
+    )
     return out

@@ -1095,3 +1095,44 @@ def engine_wand_topk(sf_dir: str, queries: list[str] | None = None) -> pd.DataFr
         for d, s in keep:
             rows.append({"query": q, "url": meta[d]["url"], "score": float(s)})
     return pd.DataFrame(rows, columns=["query", "url", "score"])
+
+
+def warc_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """S2 WARC ingest conformance, ORACLE-CHECKABLE: the documents-seeded
+    pages are written to a member-gzipped WARC archive set (the Common Crawl
+    layout) by the distributed sink, read back by the streaming ``read_warc``
+    source, and byte-compared row-for-row against the Parquet originals.
+    Returns one (url, roundtrip_ok) row per page; the oracle pins the
+    all-true table, so a lost record breaks the row count and a corrupted
+    byte or timestamp breaks the hash."""
+    import shutil
+    import tempfile
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from .sources import read_warc, write_warc
+
+    pages_dir = bench_pages(sf_dir)
+    tmp = tempfile.mkdtemp(prefix="rayindex_warc_rt_")
+    try:
+        write_warc(rd.read_parquet(pages_dir), tmp, gzip_members=True)
+        back = read_warc(tmp).to_pandas()[["url", "warc_ts", "html"]]
+        orig = (
+            pads.dataset(pages_dir)
+            .to_table(columns=["url", "warc_ts", "html"])
+            .to_pandas()
+        )
+        m = orig.merge(back, on="url", how="left", suffixes=("", "_rt"))
+        ok = (
+            m["html_rt"].notna()
+            & (m["html"] == m["html_rt"])
+            & (m["warc_ts"] == m["warc_ts_rt"])
+        )
+        return (
+            pd.DataFrame({"url": m["url"], "roundtrip_ok": ok.astype(bool)})
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
