@@ -165,7 +165,7 @@ def run_once() -> dict:
     # always-on tier: long-lived replicas, caches warm — steady-state qps
     from rayindex.serve import SearchService
 
-    svc = SearchService(out_dir, SIMPLE_SPEC, k=10)
+    svc = SearchService(out_dir, SIMPLE_SPEC, k=10, result_cache_entries=0)
     try:
         svc.warmup(pool_log[:: max(1, len(pool_log) // 32)])
         t_warm = time.monotonic()
@@ -489,7 +489,8 @@ def serving_scaling() -> None:
     log = (log * (1024 // len(log) + 1))[:1024]
     qps = {}
     for n in (r_small, 4 * r_small):
-        svc = SearchService(index_dir, SIMPLE_SPEC, k=10, num_replicas=n)
+        svc = SearchService(index_dir, SIMPLE_SPEC, k=10, num_replicas=n,
+                            result_cache_entries=0)
         try:
             # warm EVERY replica on the full distinct query set: otherwise the
             # 4R level pays 4x more cold postings-decode work during the timed
@@ -540,7 +541,8 @@ def serving_curve() -> None:
     curve = []
     for n in (1, 2, 4, 8, 16):
         log = (base * (256 * n // len(base) + 1))[: 256 * n]
-        svc = SearchService(index_dir, SIMPLE_SPEC, k=10, num_replicas=n)
+        svc = SearchService(index_dir, SIMPLE_SPEC, k=10, num_replicas=n,
+                            result_cache_entries=0)
         try:
             svc.warmup(sorted(set(log)))
             t0 = time.monotonic()

@@ -214,18 +214,61 @@ def share_locators(index_root: str) -> dict[str, "ray.ObjectRef"]:
 @ray.remote
 class _ServiceReplica:
     """One long-lived engine replica; wraps :class:`SearchReplica` so the
-    online and batch tiers share one code path (and one conformance pin)."""
+    online and batch tiers share one code path (and one conformance pin).
 
-    def __init__(self, index_root: str, analyzer_spec: dict, kwargs: dict):
+    Carries a FIFO-capped per-replica RESULT cache (the node-local request
+    cache of production engines): a repeated query returns its cached k-row
+    slice without touching the scorer.  Capacity is per replica, so cache
+    memory scales with the pool, not the corpus; invalidation is structural —
+    ``swap_index``/``sync`` spawn fresh replicas, so a new index can never
+    serve a stale entry."""
+
+    def __init__(self, index_root: str, analyzer_spec: dict, kwargs: dict,
+                 result_cache_entries: int = 256):
         self._replica = SearchReplica(index_root, analyzer_spec, **kwargs)
         self._served = 0
+        self._schema = SNIPPET_SCHEMA if kwargs.get("with_snippets") else RESULT_SCHEMA
+        self._cache: dict[str, pa.Table] = {}  # insertion-ordered → FIFO
+        self._cache_cap = int(result_cache_entries)
+        self._cache_hits = 0
 
     def search_batch(self, queries: list[str]) -> pa.Table:
         self._served += len(queries)
-        return self._replica(pa.table({"query": pa.array(queries, pa.string())}))
+        if not self._cache_cap:
+            return self._replica(pa.table({"query": pa.array(queries, pa.string())}))
+        fresh: dict[str, pa.Table] = {}
+        missing = [q for q in dict.fromkeys(queries) if q not in self._cache]
+        if missing:
+            import pyarrow.compute as pc
+
+            t = self._replica(pa.table({"query": pa.array(missing, pa.string())}))
+            qcol = t.column("query")
+            for q in missing:
+                fresh[q] = t.filter(pc.equal(qcol, q))
+        # a hit is any occurrence served without a scorer run: cached from a
+        # prior batch, or a duplicate occurrence within this one
+        self._cache_hits += len(queries) - len(missing)
+        # per-OCCURRENCE reassembly in submission order — byte-identical to
+        # the uncached batch (SearchReplica emits per-query blocks in input
+        # order, and filter preserves within-query row order)
+        parts = []
+        for q in queries:
+            part = fresh.get(q)
+            if part is None:
+                part = self._cache[q]
+            if part.num_rows:
+                parts.append(part)
+        for q, part in fresh.items():
+            self._cache[q] = part
+            if len(self._cache) > self._cache_cap:
+                self._cache.pop(next(iter(self._cache)))
+        return pa.concat_tables(parts) if parts else self._schema.empty_table()
 
     def served(self) -> int:
         return self._served
+
+    def cache_hits(self) -> int:
+        return self._cache_hits
 
 
 class SearchService:
@@ -260,6 +303,7 @@ class SearchService:
         with_snippets: bool = False,
         num_cpus: float = 1.0,
         share_locator: bool = True,
+        result_cache_entries: int = 256,
     ):
         if num_replicas is None:
             from .textops import auto_concurrency
@@ -273,6 +317,7 @@ class SearchService:
         self._num_cpus = num_cpus
         self._index_root = index_root
         self._share_locator = share_locator
+        self._result_cache_entries = int(result_cache_entries)
         self._replicas, self._locator_refs = self._spawn(index_root, num_replicas)
         self._rr = 0
         # CURRENT-record identity last synced against (version,
@@ -295,7 +340,8 @@ class SearchService:
             kwargs["shared_locators"] = refs
         replicas = [
             _ServiceReplica.options(num_cpus=self._num_cpus).remote(
-                index_root, self._analyzer_spec, kwargs
+                index_root, self._analyzer_spec, kwargs,
+                result_cache_entries=self._result_cache_entries,
             )
             for _ in range(n)
         ]
@@ -413,7 +459,9 @@ class SearchService:
 
     def stats(self) -> dict:
         served = ray.get([r.served.remote() for r in self._replicas])
-        return {"num_replicas": len(self._replicas), "served_per_replica": served}
+        hits = ray.get([r.cache_hits.remote() for r in self._replicas])
+        return {"num_replicas": len(self._replicas), "served_per_replica": served,
+                "result_cache_hits": hits}
 
     def shutdown(self) -> None:
         for r in self._replicas:

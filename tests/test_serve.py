@@ -315,3 +315,40 @@ def test_swap_index_capacity_timeout(ray_session, built_index, fixture_corpus):
         assert svc.search(q).num_rows == before  # old replicas intact
     finally:
         svc.shutdown()
+
+
+def test_service_result_cache_identical_and_counted(
+    ray_session, built_index, fixture_corpus, query_log
+):
+    """The per-replica FIFO result cache must be invisible in the output:
+    cached, uncached and duplicate-in-chunk serves are byte-identical to the
+    no-cache service, hits are counted, and the cap evicts FIFO."""
+    from rayindex.serve import SearchService
+
+    # duplicates WITHIN a chunk and across calls
+    qs = query_log[:4] + [query_log[0], query_log[1], query_log[0]]
+    svc_off = SearchService(
+        built_index["out_dir"], fixture_corpus.analyzer_spec,
+        num_replicas=1, result_cache_entries=0,
+    )
+    svc_on = SearchService(
+        built_index["out_dir"], fixture_corpus.analyzer_spec,
+        num_replicas=1, result_cache_entries=3,
+    )
+    try:
+        want = svc_off.search_many(qs, chunk_size=len(qs)).to_pandas()
+        got1 = svc_on.search_many(qs, chunk_size=len(qs)).to_pandas()
+        # one chunk, one replica → row order must match exactly
+        pd.testing.assert_frame_equal(got1, want)
+        st = svc_on.stats()
+        # the three duplicate occurrences were cache hits
+        assert st["result_cache_hits"] == [3]
+        assert svc_off.stats()["result_cache_hits"] == [0]
+        # repeat serve: every cached query hits; evicted ones recompute —
+        # output identical either way
+        got2 = svc_on.search_many(qs, chunk_size=len(qs)).to_pandas()
+        pd.testing.assert_frame_equal(got2, want)
+        assert svc_on.stats()["result_cache_hits"][0] > 3
+    finally:
+        svc_off.shutdown()
+        svc_on.shutdown()
