@@ -316,7 +316,20 @@ def ingest_warc(warc_paths: Union[str, List[str]], pages_dir: str, *,
                 keep_http_errors: bool = False) -> str:
     """WARC archives → Parquet pages directory in PAGES_SCHEMA (the build's
     input contract: ``build_index`` plans its dup census and docs stream
-    from parquet metadata, so ingest materializes once, build reads many)."""
+    from parquet metadata, so ingest materializes once, build reads many).
+
+    Idempotent: a completed ingest leaves an ``_INGESTED`` marker and is
+    skipped on re-run (the resumable-build story); a crashed partial ingest
+    has no marker, so the rerun clears the stale fragments first."""
+    marker = os.path.join(pages_dir, "_INGESTED")
+    if os.path.exists(marker):
+        return pages_dir
+    if os.path.isdir(pages_dir):
+        for name in os.listdir(pages_dir):
+            if name.endswith(".parquet"):
+                os.unlink(os.path.join(pages_dir, name))
     os.makedirs(pages_dir, exist_ok=True)
     read_warc(warc_paths, keep_http_errors=keep_http_errors).write_parquet(pages_dir)
+    with open(marker, "w") as f:
+        f.write("ok")
     return pages_dir

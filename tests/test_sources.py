@@ -120,3 +120,35 @@ def test_build_from_warc_digest_equal(ray_session, fixture_corpus, tmp_path):
     build_index(pq_a, ia, fixture_corpus.analyzer_spec, **kw)
     build_index(pq_b, ib, fixture_corpus.analyzer_spec, **kw)
     assert segments_digest(f"{ia}/shard=0") == segments_digest(f"{ib}/shard=0")
+
+
+def test_ingest_warc_idempotent(ray_session, fixture_corpus, tmp_path):
+    """A completed ingest is skipped on re-run (marker); a partial ingest
+    (no marker, stale fragments) is cleared and redone — never duplicated."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rayindex.sources import ingest_warc, write_warc
+
+    pages = fixture_corpus.pages
+    warc_dir = tmp_path / "w"
+    write_warc(rd.from_arrow(pages), str(warc_dir))
+    out = tmp_path / "pq"
+
+    def rows():
+        return sum(
+            pq.ParquetFile(p).metadata.num_rows for p in out.glob("*.parquet")
+        )
+
+    ingest_warc(str(warc_dir), str(out))
+    assert rows() == pages.num_rows
+    ingest_warc(str(warc_dir), str(out))  # marker short-circuits
+    assert rows() == pages.num_rows
+    # simulate a crashed partial ingest: marker gone, stale fragment present
+    (out / "_INGESTED").unlink()
+    ingest_warc(str(warc_dir), str(out))
+    assert rows() == pages.num_rows
+    # the build's readers ignore the marker file
+    import pyarrow.dataset as pads
+
+    assert pads.dataset(str(out)).count_rows() == pages.num_rows

@@ -41,6 +41,10 @@ def main() -> int:
     ap.add_argument("--num-buckets", type=_positive_int, default=None,
                     help="term-hash buckets per shard (default: auto-sized "
                          "from the input row count)")
+    ap.add_argument("--warc", action="store_true",
+                    help="--pages points at WARC archives (plain or Common "
+                         "Crawl member-gzip): ingest to <out>/pages_parquet "
+                         "first, then build over the Parquet")
     ap.add_argument("--no-dedup", action="store_true")
     ap.add_argument("--codec", default="pfor", choices=["vb", "pfor"],
                     help="postings stream codec (delta+varbyte or PForDelta)")
@@ -99,11 +103,18 @@ def main() -> int:
         rd.range(ncpu, override_num_blocks=ncpu).map_batches(_spin, batch_size=1).materialize()
         rd.range(10_000).groupby("id").count().materialize()
 
+    pages_path = args.pages
+    if args.warc:
+        from rayindex.sources import ingest_warc
+
+        pages_path = os.path.join(args.out, "pages_parquet")
+        ingest_warc(args.pages, pages_path)
+
     t_build0 = time.monotonic()
     metrics = []
     for s in range(lo, hi):
         m = build_index(
-            args.pages, args.out, spec,
+            pages_path, args.out, spec,
             shard_index=s, num_shards=args.num_shards,
             num_buckets=args.num_buckets,  # None → auto-sized from input rows
             dedup_urls=not args.no_dedup,
