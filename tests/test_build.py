@@ -355,6 +355,8 @@ def test_detect_dup_ids_matches_brute_force(ray_session, tmp_path, monkeypatch):
         t = pa.table({"url": pa.array(chunk, pa.string()),
                       "html": pa.array([b"<p>x</p>"] * len(chunk), pa.binary())})
         pq.write_table(t, pdir / f"part{fi}.parquet", row_group_size=50)
+    # zero-row fragment: the metadata planner must skip it without a unit
+    pq.write_table(t.schema.empty_table(), pdir / "part-empty.parquet")
 
     def brute(shard_index, num_shards, url_filter):
         s = pd.Series([u for u in urls if u is not None])
