@@ -291,14 +291,17 @@ class _WarcBatchWriter:
         self.gzip_members = gzip_members
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows:
+        # null-url rows are unrepresentable as WARC records (no target URI)
+        # and are skipped by pages_to_warc_bytes — count what was written
+        written = batch.num_rows - batch.column("url").null_count
+        if written:
             ext = "warc.gz" if self.gzip_members else "warc"
             path = os.path.join(self.out_dir, f"part-{uuid.uuid4().hex}.{ext}")
             tmp = path + ".tmp"
             with open(tmp, "wb") as f:
                 f.write(pages_to_warc_bytes(batch, self.gzip_members))
             os.rename(tmp, path)
-        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+        return pa.table({"n": pa.array([written], pa.int64())})
 
 
 def write_warc(ds, out_dir: str, *, gzip_members: bool = False) -> int:

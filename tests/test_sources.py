@@ -21,8 +21,18 @@ def test_warc_roundtrip(ray_session, fixture_corpus, tmp_path, gzip_members):
     import ray.data as rd
 
     pages = fixture_corpus.pages
+    # a null-url row is unrepresentable in WARC: skipped, not counted
+    null_row = pa.table(
+        {"url": pa.array([None], pa.string()),
+         "warc_ts": pa.array([None], pa.timestamp("us")),
+         "html": pa.array([b"<p>orphan</p>"], pa.binary()),
+         "text": pa.array([""], pa.string()),
+         "lang": pa.array([""], pa.string())},
+        schema=pages.schema,
+    )
     out = tmp_path / ("w_gz" if gzip_members else "w")
-    n = write_warc(rd.from_arrow(pages), str(out), gzip_members=gzip_members)
+    n = write_warc(rd.from_arrow(pa.concat_tables([pages, null_row])),
+                   str(out), gzip_members=gzip_members)
     assert n == pages.num_rows
     got = read_warc(str(out)).to_arrow_refs()
     import ray as _ray
