@@ -293,10 +293,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_audit": __import__(
             "rayindex.pipelines", fromlist=["index_audit"]
         ).index_audit,
-        # --- S2 source connector: WARC (Common Crawl layout) roundtrip ---
+        # --- S2 source connectors: WARC (Common Crawl layout) and JSONL
+        # (LLM-pipeline interchange) roundtrips ---------------------------
         "warc_roundtrip": __import__(
             "rayindex.pipelines", fromlist=["warc_roundtrip"]
         ).warc_roundtrip,
+        "jsonl_roundtrip": __import__(
+            "rayindex.pipelines", fromlist=["jsonl_roundtrip"]
+        ).jsonl_roundtrip,
         # --- SQL-checked via md5_number_upper (≡ LE64 of md5 bytes) ------
         "minhash_lsh_pairs": textops.minhash_lsh_pairs,
         "simhash": textops.simhash,
@@ -1661,4 +1665,7 @@ def oracle_sql() -> dict[str, str]:
         "lpad(CAST(doc_id AS VARCHAR), 8, '0') || '/0' AS url, "
         "CAST(1 AS BOOLEAN) AS roundtrip_ok FROM documents"
     )
+    # same invariant for the JSONL connector (text/lang compared too — the
+    # JSONL path carries the full PAGES row, where WARC derives text/lang)
+    out["jsonl_roundtrip"] = out["warc_roundtrip"]
     return out

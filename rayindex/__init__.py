@@ -20,4 +20,5 @@ from .build import build_all, build_index  # noqa: E402,F401
 from .incremental import incremental_update, index_page, purge_site  # noqa: E402,F401
 from .publish import current_record, publish_index, resolve_current  # noqa: E402,F401
 from .query import QueryEngine  # noqa: E402,F401
-from .sources import ingest_warc, read_warc, write_warc  # noqa: E402,F401
+from .sources import (ingest_warc, read_pages_jsonl, read_warc,  # noqa: E402,F401
+                      write_pages_jsonl, write_warc)

@@ -1136,3 +1136,44 @@ def warc_roundtrip(sf_dir: str) -> pd.DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def jsonl_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """JSONL connector conformance, ORACLE-CHECKABLE (the warc_roundtrip
+    pattern): pages → JSONL (base64 html, epoch-µs ts) via the distributed
+    sink → ``read_pages_jsonl`` → byte-compare against the Parquet originals.
+    One (url, roundtrip_ok) row per page; the oracle pins the all-true
+    table."""
+    import shutil
+    import tempfile
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from .sources import read_pages_jsonl, write_pages_jsonl
+
+    pages_dir = bench_pages(sf_dir)
+    tmp = tempfile.mkdtemp(prefix="rayindex_jsonl_rt_")
+    try:
+        write_pages_jsonl(rd.read_parquet(pages_dir), tmp)
+        back = read_pages_jsonl(tmp).to_pandas()[["url", "warc_ts", "html", "text", "lang"]]
+        orig = (
+            pads.dataset(pages_dir)
+            .to_table(columns=["url", "warc_ts", "html", "text", "lang"])
+            .to_pandas()
+        )
+        m = orig.merge(back, on="url", how="left", suffixes=("", "_rt"))
+        ok = (
+            m["html_rt"].notna()
+            & (m["html"] == m["html_rt"])
+            & (m["warc_ts"] == m["warc_ts_rt"])
+            & (m["text"] == m["text_rt"])
+            & (m["lang"] == m["lang_rt"])
+        )
+        return (
+            pd.DataFrame({"url": m["url"], "roundtrip_ok": ok.astype(bool)})
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

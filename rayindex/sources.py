@@ -32,6 +32,7 @@ from datetime import datetime, timezone
 from typing import Iterator, List, Union
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .schema import PAGES_SCHEMA
 
@@ -336,3 +337,106 @@ def ingest_warc(warc_paths: Union[str, List[str]], pages_dir: str, *,
     with open(marker, "w") as f:
         f.write("ok")
     return pages_dir
+
+
+# --- JSONL pages connector (the LLM-data-pipeline interchange format) ------
+#
+# One JSON object per line: {"url", "warc_ts", "html_b64", "text", "lang"}.
+# html travels base64-encoded (JSON cannot carry raw bytes); warc_ts travels
+# as int64 epoch-MICROSECONDS (unambiguous — no timezone/precision inference).
+# The reader also accepts "html" as a plain UTF-8 string and ISO-8601 warc_ts
+# strings, the shapes other tools emit.
+
+
+def _jsonl_normalize(batch: pa.Table) -> pa.Table:
+    """Any JSONL field shape → PAGES_SCHEMA."""
+    import base64
+
+    n = batch.num_rows
+    names = set(batch.column_names)
+
+    def col(name):
+        return batch.column(name) if name in names else pa.nulls(n)
+
+    url = col("url").cast(pa.string())
+    ts_raw = col("warc_ts")
+    if pa.types.is_timestamp(ts_raw.type):
+        ts = ts_raw.cast(pa.timestamp("us"))
+    elif pa.types.is_integer(ts_raw.type):
+        ts = ts_raw.cast(pa.int64()).cast(pa.timestamp("us"))
+    elif pa.types.is_string(ts_raw.type):
+        ts = pa.array(
+            [_parse_warc_ts(s.encode()) if s is not None else None
+             for s in ts_raw.to_pylist()],
+            pa.timestamp("us"),
+        )
+    else:
+        ts = pa.nulls(n, pa.timestamp("us"))
+    if "html_b64" in names:
+        html = pa.array(
+            [base64.b64decode(s) if s is not None else None
+             for s in batch.column("html_b64").to_pylist()],
+            pa.binary(),
+        )
+    elif "html" in names:
+        html = pa.array(
+            [s.encode() if isinstance(s, str) else s
+             for s in batch.column("html").to_pylist()],
+            pa.binary(),
+        )
+    else:
+        html = pa.nulls(n, pa.binary())
+    text = pc.fill_null(col("text").cast(pa.string()), "")
+    lang = pc.fill_null(col("lang").cast(pa.string()), "")
+    return pa.table(
+        {"url": url, "warc_ts": ts, "html": html, "text": text, "lang": lang},
+        schema=PAGES_SCHEMA,
+    )
+
+
+def read_pages_jsonl(paths: Union[str, List[str]]):
+    """JSONL pages → PAGES_SCHEMA Dataset (``ray.data.read_json`` under the
+    hood: one streaming read task per file, blocks normalized per batch)."""
+    return _rd.read_json(paths, file_extensions=None).map_batches(
+        _jsonl_normalize, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+class _JsonlBatchWriter:
+    """Side-effect sink stage: one .jsonl file per Arrow batch."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import base64
+        import json as _json
+
+        if batch.num_rows:
+            urls = batch.column("url").to_pylist()
+            tss = batch.column("warc_ts").cast(pa.int64()).to_pylist()
+            htmls = batch.column("html").to_pylist()
+            texts = batch.column("text").to_pylist()
+            langs = batch.column("lang").to_pylist()
+            path = os.path.join(self.out_dir, f"part-{uuid.uuid4().hex}.jsonl")
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                for u, t, h, x, lg in zip(urls, tss, htmls, texts, langs):
+                    f.write(_json.dumps({
+                        "url": u,
+                        "warc_ts": t,
+                        "html_b64": base64.b64encode(h).decode() if h is not None else None,
+                        "text": x,
+                        "lang": lg,
+                    }) + "\n")
+            os.rename(tmp, path)
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+
+def write_pages_jsonl(ds, out_dir: str) -> int:
+    """Distributed JSONL sink over a PAGES dataset; returns rows written."""
+    os.makedirs(out_dir, exist_ok=True)
+    counts = ds.map_batches(
+        _JsonlBatchWriter(out_dir), batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    return int(counts["n"].sum()) if len(counts) else 0

@@ -162,3 +162,39 @@ def test_ingest_warc_idempotent(ray_session, fixture_corpus, tmp_path):
     import pyarrow.dataset as pads
 
     assert pads.dataset(str(out)).count_rows() == pages.num_rows
+
+
+def test_jsonl_roundtrip_and_shapes(ray_session, fixture_corpus, tmp_path):
+    """PAGES → JSONL (html base64, epoch-µs ts) → PAGES is lossless including
+    text/lang; the reader also accepts the shapes other tools emit (plain
+    string html, ISO warc_ts, missing optional fields)."""
+    import json
+
+    import ray.data as rd
+
+    from rayindex.sources import read_pages_jsonl, write_pages_jsonl
+
+    pages = fixture_corpus.pages
+    out = tmp_path / "jl"
+    n = write_pages_jsonl(rd.from_arrow(pages), str(out))
+    assert n == pages.num_rows
+    got = read_pages_jsonl(str(out)).to_arrow_refs()
+    import ray as _ray
+
+    got = pa.concat_tables([_ray.get(r) for r in got])
+    assert got.schema.equals(pages.schema)
+    assert got.sort_by("url").equals(pages.sort_by("url"))
+
+    # foreign shape: string html, ISO ts, no text/lang fields
+    alt = tmp_path / "alt.jsonl"
+    with open(alt, "w") as f:
+        f.write(json.dumps({"url": "https://a.example/x",
+                            "warc_ts": "2024-05-06T07:08:09Z",
+                            "html": "<p>hi</p>"}) + "\n")
+        f.write(json.dumps({"url": "https://a.example/y",
+                            "warc_ts": "2024-05-06T07:08:10Z",
+                            "html": "<p>yo</p>"}) + "\n")
+    t = read_pages_jsonl(str(alt)).to_pandas().sort_values("url").reset_index(drop=True)
+    assert t["html"][0] == b"<p>hi</p>"
+    assert str(t["warc_ts"][0]) == "2024-05-06 07:08:09"
+    assert list(t["text"]) == ["", ""] and list(t["lang"]) == ["", ""]
