@@ -27,6 +27,8 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Sum
 
+from .joins import safe_join
+
 US = 1_000_000
 
 
@@ -261,7 +263,11 @@ def range_join_errors(sf_dir: str, window_minutes: int = 60) -> rd.Dataset:
         )
 
     right = errs.map_batches(err_us, batch_format="pyarrow", zero_copy_batch=True)
-    joined = left.join(right, join_type="inner", num_partitions=16, on=("user_id",))
+    # a filtered-to-empty errors block would skip err_us and keep the
+    # pre-rename schema — consolidate the right side before the hash join;
+    # left is a schema-pinned map product of the read (big side, no guard)
+    joined = safe_join(left, right, join_type="inner", num_partitions=16,
+                       on=("user_id",), guard_left=False)
 
     def in_window(t: pa.Table) -> pa.Table:
         ts = t.column("ts_us").to_numpy()
@@ -360,8 +366,9 @@ def retention_cohorts(sf_dir: str, period_minutes: int = 10) -> rd.Dataset:
     cohort = up.groupby("user_id").aggregate(Min("per", alias_name="cohort"))
     from .textops import _task_cpus
 
-    joined = up.join(cohort, join_type="inner",
-                     num_partitions=max(2, _task_cpus() // 2), on=("user_id",))
+    # both sides are hash-shuffle aggregates (schema-less empty partitions)
+    joined = safe_join(up, cohort, join_type="inner",
+                       num_partitions=max(2, _task_cpus() // 2), on=("user_id",))
 
     def offsets(t: pa.Table) -> pa.Table:
         per = t.column("per").to_numpy()

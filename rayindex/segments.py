@@ -495,7 +495,13 @@ def export_postings(index_root: str) -> "ray.data.Dataset":
         ncpu = int(__import__("ray").cluster_resources().get("CPU", 8))
     except Exception:  # noqa: BLE001
         ncpu = 8
-    joined = exploded.join(
-        urls, join_type="inner", num_partitions=max(2, ncpu // 2), on=("doc_id",)
+    # both sides are schema-pinned read/decode products (no aggregate
+    # upstream; the urls read keeps its schema even when filtered empty) —
+    # guards off, routed through safe_join for the uniform audit surface
+    from .joins import safe_join
+
+    joined = safe_join(
+        exploded, urls, join_type="inner", num_partitions=max(2, ncpu // 2),
+        on=("doc_id",), guard_left=False, guard_right=False,
     )
     return joined.select_columns(["url", "term", "tf"])

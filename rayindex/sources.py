@@ -141,6 +141,17 @@ def _parse_http_response(block: bytes) -> tuple[bytes, int]:
     return body, status
 
 
+def _extensions_for(paths, extensions: list) -> "list | None":
+    """Directory reads keep the extension filter (a leftover ``part-*.tmp``
+    from a crashed sink, or any stray file, would otherwise kill the whole
+    read task with 'not a WARC record header'); explicit single-file paths
+    stay unfiltered so any filename can be read directly."""
+    plist = [paths] if isinstance(paths, str) else list(paths)
+    if any(os.path.isdir(p) for p in plist):
+        return extensions
+    return None
+
+
 def _iter_warc_records(stream) -> Iterator[tuple[dict, bytes]]:
     """Yield (headers lower-cased, raw block bytes) per WARC record."""
     rd = _ByteLines(stream)
@@ -161,6 +172,19 @@ def _iter_warc_records(stream) -> Iterator[tuple[dict, bytes]]:
             headers[k.strip().lower()] = v.strip()
         n = int(headers.get(b"content-length", b"0"))
         block = rd.read_exact(n)
+        if len(block) < n:
+            # truncated archive (e.g. an interrupted download): read_exact
+            # drained the stream short of Content-Length — indexing the
+            # partial body as valid html would be silent corruption, so
+            # drop the record and flag the archive
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "truncated WARC record: expected %d body bytes, got %d — "
+                "dropping the partial record and stopping this archive",
+                n, len(block),
+            )
+            return
         yield headers, block
 
 
@@ -194,7 +218,7 @@ try:  # Ray is a hard dependency of the package, but keep the import explicit
 
         def __init__(self, paths, *, batch_rows: int = _DEFAULT_BATCH_ROWS,
                      keep_http_errors: bool = False, **kwargs):
-            kwargs.setdefault("file_extensions", None)
+            kwargs.setdefault("file_extensions", _extensions_for(paths, self._FILE_EXTENSIONS))
             super().__init__(paths, **kwargs)
             self._batch_rows = batch_rows
             self._keep_http_errors = keep_http_errors
@@ -265,16 +289,20 @@ def pages_to_warc_bytes(table: pa.Table, gzip_members: bool = False) -> bytes:
             + body
         )
         # WARC/1.0 dates are second-resolution; keep sub-second timestamps
-        # lossless via the WARC/1.1 fractional form when needed
-        dt = ts or datetime(1970, 1, 1)
-        fmt = "%Y-%m-%dT%H:%M:%S.%fZ" if dt.microsecond else "%Y-%m-%dT%H:%M:%SZ"
-        date = dt.strftime(fmt)
+        # lossless via the WARC/1.1 fractional form when needed.  A null
+        # warc_ts omits the header entirely (the reader returns None for a
+        # missing WARC-Date), keeping the write→read roundtrip lossless for
+        # null timestamps instead of aliasing them to 1970-01-01.
+        date_hdr = b""
+        if ts is not None:
+            fmt = "%Y-%m-%dT%H:%M:%S.%fZ" if ts.microsecond else "%Y-%m-%dT%H:%M:%SZ"
+            date_hdr = b"WARC-Date: " + ts.strftime(fmt).encode() + b"\r\n"
         rec = (
             b"WARC/1.0\r\n"
             b"WARC-Type: response\r\n"
             b"WARC-Record-ID: <urn:uuid:" + uuid.uuid5(uuid.NAMESPACE_URL, url).hex.encode() + b">\r\n"
             b"WARC-Target-URI: " + url.encode() + b"\r\n"
-            b"WARC-Date: " + date.encode() + b"\r\n"
+            + date_hdr +
             b"Content-Type: application/http; msgtype=response\r\n"
             b"Content-Length: " + str(len(http)).encode() + b"\r\n"
             b"\r\n" + http + b"\r\n\r\n"
@@ -397,9 +425,9 @@ def _jsonl_normalize(batch: pa.Table) -> pa.Table:
 def read_pages_jsonl(paths: Union[str, List[str]]):
     """JSONL pages → PAGES_SCHEMA Dataset (``ray.data.read_json`` under the
     hood: one streaming read task per file, blocks normalized per batch)."""
-    return _rd.read_json(paths, file_extensions=None).map_batches(
-        _jsonl_normalize, batch_format="pyarrow", zero_copy_batch=True
-    )
+    return _rd.read_json(
+        paths, file_extensions=_extensions_for(paths, ["jsonl"])
+    ).map_batches(_jsonl_normalize, batch_format="pyarrow", zero_copy_batch=True)
 
 
 class _JsonlBatchWriter:

@@ -25,6 +25,7 @@ import ray.data as rd
 from ray.data.aggregate import Count as _Count, Min, Sum
 
 from .analyze import EN_STOPWORDS, simple_analyzer
+from .joins import safe_join
 
 # ---------------------------------------------------------------------------
 # tokenization (shared by df / doclen / tf / search entries)
@@ -1209,8 +1210,11 @@ def _min_label_clusters(labels: rd.Dataset, edges: rd.Dataset,
     prev_sum = labels.sum("label")
     for _ in range(max_iters):
         cand = (
-            labels.join(edges, join_type="inner", num_partitions=num_partitions,
-                        on=("node",), right_on=("src",))
+            # labels is aggregate-derived (can carry schema-less empties);
+            # edges is pre-materialized + consolidated by its caller
+            safe_join(labels, edges, join_type="inner",
+                      num_partitions=num_partitions, on=("node",),
+                      right_on=("src",), guard_right=False)
             .map_batches(
                 lambda t: pa.table({"node": t.column("dst"), "label": t.column("label")}),
                 batch_format="pyarrow", zero_copy_batch=True,
@@ -1246,9 +1250,11 @@ def dedup_corpus(sf_dir: str, out_dir: str | None = None) -> rd.Dataset:
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
     )
-    kept = docs.join(
-        winners, join_type="inner", num_partitions=max(2, _task_cpus() // 2),
-        on=("doc_id",),
+    # winners rides a dedup aggregate → guard; docs is a schema-pinned read
+    kept = safe_join(
+        docs, winners, join_type="inner",
+        num_partitions=max(2, _task_cpus() // 2), on=("doc_id",),
+        guard_left=False,
     )
     if out_dir:
         kept.write_parquet(out_dir, partition_cols=["source"])
@@ -1308,18 +1314,32 @@ class _PQ:
                         C[c] = X[mk].mean(axis=0)
             self.books.append(C)
 
+    def encode(self, emb: np.ndarray) -> np.ndarray:
+        """Rows → (n, m) uint8 codes (the persisted sidecar of IVF-PQ)."""
+        codes = np.empty((len(emb), self.m), dtype=np.uint8)
+        for s in range(self.m):
+            X = emb[:, s * self.sub:(s + 1) * self.sub]
+            C = self.books[s]
+            codes[:, s] = np.argmin(
+                ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1), axis=1
+            ).astype(np.uint8)
+        return codes
+
+    def estimate_from_codes(self, codes: np.ndarray, q: np.ndarray) -> np.ndarray:
+        """ADC estimate from PERSISTED codes — the serving path: m lookup
+        tables of n_centroids dot products, one gather per subspace, no
+        float payload touched."""
+        est = np.zeros(len(codes), dtype=np.float64)
+        for s in range(self.m):
+            lut = self.books[s] @ q[s * self.sub:(s + 1) * self.sub]
+            est += lut[codes[:, s].astype(np.intp)]
+        return est
+
     def estimate(self, emb: np.ndarray, q: np.ndarray) -> np.ndarray:
         """ADC dot-product estimate of ``emb @ q`` (rows already normalized):
         per subspace, code each row to its nearest codeword and read the
         codeword·q lookup table."""
-        est = np.zeros(len(emb), dtype=np.float64)
-        for s in range(self.m):
-            X = emb[:, s * self.sub:(s + 1) * self.sub]
-            C = self.books[s]
-            codes = np.argmin(((X[:, None, :] - C[None, :, :]) ** 2).sum(-1), axis=1)
-            lut = C @ q[s * self.sub:(s + 1) * self.sub]
-            est += lut[codes]
-        return est
+        return self.estimate_from_codes(self.encode(emb), q)
 
 
 class _IvfAdcRerank:
@@ -1676,8 +1696,12 @@ def source_overlap(sf_dir: str, k: int = 3, w: int = 4) -> rd.Dataset:
 
     fps = winnow_fingerprints(sf_dir, k=k, w=w)
     src = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
-    joined = fps.join(src, join_type="inner",
-                      num_partitions=max(2, _task_cpus() // 2), on=("doc_id",))
+    # both sides are schema-pinned read/map products (no aggregate upstream),
+    # so the empty-partition guards are off — routed through safe_join for
+    # the uniform audit surface
+    joined = safe_join(fps, src, join_type="inner",
+                       num_partitions=max(2, _task_cpus() // 2), on=("doc_id",),
+                       guard_left=False, guard_right=False)
     sf = joined.groupby(["source", "fp"]).aggregate(_Count(alias_name="_n"))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -2111,7 +2135,9 @@ def lm_score(sf_dir: str, add_k: int = 1) -> rd.Dataset:
     cbw = cb.map_batches(add_w1, batch_format="pyarrow", zero_copy_batch=True)
     cu = cbw.groupby("w1").aggregate(Sum("cb", alias_name="cu"))
     nparts = max(2, _task_cpus() // 2)
-    model = cbw.join(cu, join_type="inner", num_partitions=nparts, on=("w1",))
+    # both sides ride hash-shuffle aggregates (cb's empty partitions SKIP
+    # add_w1 and stay schema-less) — the r4 driver-red site; guard both
+    model = safe_join(cbw, cu, join_type="inner", num_partitions=nparts, on=("w1",))
 
     k = int(add_k)
 
@@ -2125,7 +2151,10 @@ def lm_score(sf_dir: str, add_k: int = 1) -> rd.Dataset:
         return pa.table({"bigram": t.column("bigram"), "logp": pa.array(lp, pa.float64())})
 
     scored = model.map_batches(add_logp, batch_format="pyarrow", zero_copy_batch=True)
-    joined = db.join(scored, join_type="inner", num_partitions=nparts, on=("bigram",))
+    # scored descends from a join whose empty partitions skip add_logp;
+    # db is a schema-pinned map product of the read (big side, no guard)
+    joined = safe_join(db, scored, join_type="inner", num_partitions=nparts,
+                       on=("bigram",), guard_left=False)
 
     def per_doc(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("bigram", kind="stable")
@@ -2169,9 +2198,13 @@ def tfidf(sf_dir: str) -> rd.Dataset:
         return t.append_column("idf", pa.array(idf, pa.float64()))
 
     df_idf = df.map_batches(add_idf, batch_format="pyarrow", zero_copy_batch=True)
-    joined = tf.join(
-        df_idf, join_type="inner", num_partitions=max(2, _task_cpus() // 2),
-        on=("term",),
+    # df_idf rides term_df's aggregate (empty partitions skip add_idf and
+    # stay schema-less — the r4 driver-red site); tf is a schema-pinned
+    # map product of the read (big side, no guard)
+    joined = safe_join(
+        tf, df_idf, join_type="inner",
+        num_partitions=max(2, _task_cpus() // 2), on=("term",),
+        guard_left=False,
     )
 
     def weight(t: pa.Table) -> pa.Table:
@@ -2227,9 +2260,12 @@ def _curated_join(sf_dir: str, winners: rd.Dataset, min_chars: int,
         return t.filter(pa.array(h < rate_pct))
 
     sampled = docs.map_batches(keep_sampled, batch_format="pyarrow", zero_copy_batch=True)
-    kept = sampled.join(
-        winners, join_type="inner", num_partitions=max(2, _task_cpus() // 2),
-        on=("doc_id",),
+    # winners descends from dedup aggregates → guard; sampled is a
+    # schema-pinned read/filter product (big side, no guard)
+    kept = safe_join(
+        sampled, winners, join_type="inner",
+        num_partitions=max(2, _task_cpus() // 2), on=("doc_id",),
+        guard_left=False,
     ).select_columns(["doc_id", "source", "n_chars"])
     if out_dir:
         kept.write_parquet(out_dir, partition_cols=["source"])
@@ -2626,8 +2662,12 @@ def pmi_bigrams(sf_dir: str, k: int = 20, min_n: int = 5) -> rd.Dataset:
         batch_format="pyarrow", zero_copy_batch=True,
     )
     nparts = max(2, _task_cpus() // 2)
-    joined = top.join(uni_a, join_type="inner", num_partitions=nparts, on=("w1",)).join(
-        uni_b, join_type="inner", num_partitions=nparts, on=("w2",)
+    # every side here descends from a hash-shuffle aggregate (top via the
+    # bigram groupby, uni_a/uni_b via the unigram count whose empty
+    # partitions skip the rename map) — the r4 driver-red site; guard all
+    joined = safe_join(
+        safe_join(top, uni_a, join_type="inner", num_partitions=nparts, on=("w1",)),
+        uni_b, join_type="inner", num_partitions=nparts, on=("w2",),
     )
 
     def score(t: pa.Table) -> pa.Table:
@@ -2801,8 +2841,12 @@ def dup_ngram_fraction(sf_dir: str, n: int = 2) -> rd.Dataset:
         .groupby("gram")
         .aggregate(Sum("doc_id_count", alias_name="df"))
     )
-    joined = gtab.join(
-        df, join_type="inner", num_partitions=max(2, _task_cpus() // 2), on=("gram",)
+    # df rides a hash-shuffle aggregate (schema-less empty partitions);
+    # gtab is a schema-pinned map product of the read (big side, no guard)
+    joined = safe_join(
+        gtab, df, join_type="inner",
+        num_partitions=max(2, _task_cpus() // 2), on=("gram",),
+        guard_left=False,
     )
 
     def weigh(t: pa.Table) -> pa.Table:
