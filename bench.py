@@ -151,6 +151,27 @@ def run_once() -> dict:
     )
     bm25_rank_identity = n_ident / len(id_q)
 
+    # head-term prelists (r4 weak-item: the O(df) dense-term tail): price the
+    # build-time artifact, then measure the single-dense-term top-k it bounds
+    # — full decode path vs prelist path, with rank identity asserted
+    from rayindex.prelists import build_prelists
+
+    t_pl = time.monotonic()
+    pl_summary = build_prelists(out_dir)
+    prelist_build_sec = time.monotonic() - t_pl
+    all_words = sorted({w for q in id_q for w in q.split()})
+    all_terms = sorted({t for w in all_words for t in eng.analyzer.collect_lemmas(w)})
+    dense_term = max(all_terms, key=eng.term_global_df)
+    t_df = time.monotonic()
+    for _ in range(3):
+        dense_exact = eng.bm25_exhaustive(dense_term, k=10)
+    dense_full_avg = (time.monotonic() - t_df) / 3
+    t_dp = time.monotonic()
+    for _ in range(5):
+        dense_pre = eng.bm25_topk(dense_term, k=10)  # auto → prelist
+    dense_prelist_avg = (time.monotonic() - t_dp) / 5
+    prelist_rank_identity = 1.0 if dense_pre == dense_exact else 0.0
+
     # distributed serving-tier throughput: a derived 2-word query log through
     # batch_search's actor pool (one engine replica per actor, state loaded
     # once); the wall INCLUDES pool spin-up — the honest cold-job number
@@ -252,6 +273,11 @@ def run_once() -> dict:
             "query_pool_qps": round(pool_qps, 1),
             "query_pool_qps_warm": round(warm_qps, 1),
             "bm25_rank_identity": round(bm25_rank_identity, 3),
+            "prelist_build_sec": round(prelist_build_sec, 3),
+            "prelist_terms": int(pl_summary["n_terms"]),
+            "query_bm25_dense_full": round(dense_full_avg, 4),
+            "query_bm25_dense_prelist": round(dense_prelist_avg, 4),
+            "prelist_rank_identity": prelist_rank_identity,
             "ann_lsh_recall": recall["lsh"],
             "ann_ivf_recall": recall["ivf"],
             "ann_lsh_probed_frac": probed["lsh"],
@@ -563,6 +589,68 @@ def serving_curve() -> None:
     ray.shutdown()
 
 
+def serving_cache() -> None:
+    """Result-cache pricing on a Zipf query log (r4 verdict ask #8): every
+    headline serving number is measured with the cache OFF; this mode
+    records the ON story — steady-state hit rate and qps, cache off vs on,
+    across Zipf exponents.  Both settings are warmed on the full distinct
+    query set (equal engine warmth; for the ON run this is the steady state
+    the node-local request cache claim is about), and the hit rate is the
+    DELTA over the timed log only, so warmup fills are not counted."""
+    import time
+
+    import numpy as np
+    import ray
+
+    from rayindex.pipelines import FLAGSHIP_QUERIES, SIMPLE_SPEC, WAND_QUERIES, build_bench_index
+    from rayindex.serve import SearchService
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=ncpus, include_dashboard=False,
+                 logging_level="ERROR")
+    index_dir = build_bench_index(sf_dir, repeat=20)
+    words = sorted({w for q in FLAGSHIP_QUERIES + WAND_QUERIES for w in q.split()})
+    distinct = [f"{a} {b}" for a in words for b in words if a < b][:512]
+    n_log = 4096
+    rows = []
+    rng = np.random.default_rng(17)
+    for s in (0.7, 1.0, 1.3):
+        p = 1.0 / np.arange(1, len(distinct) + 1, dtype=np.float64) ** s
+        p /= p.sum()
+        log = list(rng.choice(distinct, size=n_log, p=p))
+        for cap in (0, 1024):
+            svc = SearchService(index_dir, SIMPLE_SPEC, k=10, num_replicas=4,
+                                result_cache_entries=cap)
+            try:
+                svc.warmup(distinct)
+                pre = sum(svc.stats()["result_cache_hits"])
+                t0 = time.monotonic()
+                svc.search_many(log, chunk_size=16)
+                qps = n_log / (time.monotonic() - t0)
+                hits = sum(svc.stats()["result_cache_hits"]) - pre
+            finally:
+                svc.shutdown()
+            rows.append({"zipf_s": s, "cache_entries": cap,
+                         "qps": round(qps, 1),
+                         "hit_rate": round(hits / n_log, 3)})
+    on = {r["zipf_s"]: r["qps"] for r in rows if r["cache_entries"]}
+    off = {r["zipf_s"]: r["qps"] for r in rows if not r["cache_entries"]}
+    print(json.dumps({
+        "metric": "serving_cache_speedup_zipf1",
+        "value": round(on[1.0] / off[1.0], 2),
+        "unit": "ratio",
+        "rows": rows,
+        "n_queries": n_log,
+        "n_distinct": len(distinct),
+        "replicas": 4,
+        "sf": sf_dir,
+        "num_cpus": ncpus,
+    }))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling-cpus" in sys.argv:
         scaling()  # single-driver CPU model (8 vs 32 in one process)
@@ -572,5 +660,7 @@ if __name__ == "__main__":
         serving_scaling()  # R vs 4R replica scaling on the serving tier
     elif "--serving-curve" in sys.argv:
         serving_curve()  # qps vs replica count (saturation analysis)
+    elif "--serving-cache" in sys.argv:
+        serving_cache()  # result-cache hit-rate/qps on a Zipf log
     else:
         print(json.dumps(run_once()))

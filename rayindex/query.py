@@ -453,6 +453,13 @@ class QueryEngine:
             raise FileNotFoundError(f"no shards under {index_root}")
         stats = [json.load(open(os.path.join(d, "stats.json"))) for d in self.shard_dirs]
         self.num_buckets = stats[0]["num_buckets"]
+        # pre-tombstone totals, kept for prelist-artifact validation (the
+        # impact order was computed against THESE stats; a purge changes
+        # avgdl and invalidates the artifact)
+        self._raw_n_docs = sum(s["n_docs"] for s in stats)
+        self._raw_total_tf = sum(s["total_tf"] for s in stats)
+        self._prelists_meta: dict | None | bool = False  # False = not yet probed
+        self._prelist_cache: dict[str, tuple | None] = {}
         if any(s["num_buckets"] != self.num_buckets for s in stats):
             # bucket-pruned lookups would silently MISS every shard hashed
             # under a different count — refuse to serve a mixed-layout tree
@@ -2227,17 +2234,78 @@ class QueryEngine:
     # web scale) amortizes the loop.
     DENSE_TOPK_THRESHOLD = 1 << 22  # Σdf below this → bulk vectorized scoring
 
+    # -- impact-ordered prelists (head-term build artifact) -----------------
+    def _prelists_valid(self) -> bool:
+        """The artifact is honored only when everything its order depends on
+        matches this engine: (k1, b), the shard stats its avgdl/idf used, and
+        a purge-free tree (tombstones change avgdl and the live set)."""
+        if self._prelists_meta is False:
+            from .prelists import load_meta
+
+            self._prelists_meta = load_meta(self.index_root)
+        m = self._prelists_meta
+        return bool(
+            m
+            and float(m.get("k1", -1)) == float(self.k1)
+            and float(m.get("b", -1)) == float(self.b)
+            and int(m.get("n_docs", -1)) == int(self._raw_n_docs)
+            and int(m.get("total_tf", -1)) == int(self._raw_total_tf)
+            and not self.purged_sites
+            and not len(self.tombstones)
+        )
+
+    def _prelist(self, term: str):
+        got = self._prelist_cache.get(term, False)
+        if got is False:
+            from .prelists import read_prelist
+
+            got = read_prelist(self.index_root, term)
+            if len(self._prelist_cache) >= self.DECODED_CACHE_CAP:
+                self._prelist_cache.pop(next(iter(self._prelist_cache)))
+            self._prelist_cache[term] = got
+        return got
+
+    def _bm25_prelist_single(self, term: str, k: int) -> list[tuple[int, float]] | None:
+        """Serve a single-dense-term top-k from the impact-ordered prelist:
+        the stored order IS (contrib desc, doc asc) under this engine's
+        exact parameters, so the first k entries are the exhaustive top-k —
+        O(k) instead of O(df).  Returns None when the artifact can't answer
+        exactly (missing, stale, or truncated below k)."""
+        if not self._prelists_valid():
+            return None
+        got = self._prelist(term)
+        if got is None:
+            return None
+        docs, tfs, dls, df = got
+        if len(docs) < min(k, df):
+            return None  # truncated below k — fall back to the full path
+        df_live = self.term_global_df(term)
+        if df_live != df:
+            return None  # dictionary drifted from the artifact
+        idf = self._idf(df_live)
+        n = min(k, len(docs))
+        contrib = self._contrib(
+            idf, tfs[:n].astype(np.float64), dls[:n].astype(np.float64)
+        )
+        return [(int(d), float(s)) for d, s in zip(docs[:n], contrib)]
+
     def bm25_topk(self, query: str, k: int = 10, algorithm: str = "auto") -> list[tuple[int, float]]:
-        """Production BM25 top-k. ``auto`` picks vectorized bulk scoring for
-        small/medium posting volumes and block-max WAND beyond; both return
-        identical rankings."""
+        """Production BM25 top-k. ``auto`` picks the head-term prelist for
+        single-dense-term queries (O(k), exact), vectorized bulk scoring for
+        small/medium posting volumes and block-max WAND beyond; all paths
+        return identical rankings."""
         if algorithm == "exhaustive":
             return self.bm25_exhaustive(query, k)
         if algorithm == "wand":
             return self.bm25_wand(query, k)
-        total = sum(
-            self.term_global_df(t) for t in self.analyzer.collect_lemmas(query)
-        )
+        terms = {t for t in self.analyzer.collect_lemmas(query)}
+        if len(terms) == 1 and algorithm in ("auto", "prelist"):
+            got = self._bm25_prelist_single(next(iter(terms)), k)
+            if got is not None:
+                return got
+        if algorithm == "prelist":
+            return self.bm25_exhaustive(query, k)  # documented fallback
+        total = sum(self.term_global_df(t) for t in terms)
         if total == 0:
             return []
         if total <= self.DENSE_TOPK_THRESHOLD:

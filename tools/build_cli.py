@@ -48,6 +48,8 @@ def main() -> int:
     ap.add_argument("--no-dedup", action="store_true")
     ap.add_argument("--codec", default="pfor", choices=["vb", "pfor"],
                     help="postings stream codec (delta+varbyte or PForDelta)")
+    ap.add_argument("--positions", action="store_true",
+                    help="build the positional postings layer (phrase/NEAR)")
     ap.add_argument("--url-filter", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="local-mode CPU count (ignored on a real cluster)")
@@ -120,6 +122,7 @@ def main() -> int:
             dedup_urls=not args.no_dedup,
             url_filter=args.url_filter,
             codec=args.codec,
+            positions=args.positions,
         )
         print(json.dumps(m), flush=True)
         metrics.append(m)
