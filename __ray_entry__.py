@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_near_clusters": textops.dedup_near_clusters,  # pairs → components → winner
         "dedup_corpus": textops.dedup_corpus,  # winners APPLIED via hash join
         "ann_cosine_topk": textops.ann_cosine_topk,
+        "ann_rerank_fixed": textops.ann_rerank_fixed,  # SQL-checked rerank kernel
         # --- temporal / streaming ops over the events table --------------
         "events_windowed": __import__("rayindex.events", fromlist=["windowed_counts"]).windowed_counts,
         "events_retention": __import__(
@@ -1468,6 +1469,15 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": (
             "WITH s AS (SELECT e.vec_id, list_cosine_similarity(e.embedding, "
             "(SELECT embedding FROM embeddings WHERE vec_id = 0)) AS score FROM embeddings e) "
+            "SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS rank, vec_id "
+            "FROM s ORDER BY score DESC, vec_id LIMIT 10"
+        ),
+        "ann_rerank_fixed": (
+            # exact rerank of the fixed vec_id % 7 == 0 probe set — the ANN
+            # rerank kernel under a SQL-reproducible candidate filter
+            "WITH s AS (SELECT e.vec_id, list_cosine_similarity(e.embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)) AS score "
+            "FROM embeddings e WHERE e.vec_id % 7 = 0) "
             "SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS rank, vec_id "
             "FROM s ORDER BY score DESC, vec_id LIMIT 10"
         ),

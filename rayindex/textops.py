@@ -749,6 +749,44 @@ def ann_cosine_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pd.DataF
     return pdf[["rank", "vec_id"]]
 
 
+def ann_rerank_fixed(sf_dir: str, k: int = 10, query_vec_id: int = 0,
+                     mod: int = 7) -> pd.DataFrame:
+    """Exact cosine rerank of a FIXED deterministic probe set
+    (``vec_id % mod == 0``) — the SQL-checkable stand-in for the ANN
+    candidate-rerank kernel.  The LSH/IVF probe sets themselves are
+    signature-derived (not SQL-expressible, so those entries stay
+    rows-only); this pins the rerank math and tie-breaks against DuckDB's
+    ``list_cosine_similarity`` on a probe set SQL can reproduce (r4 verdict
+    "What's wrong" #2).  Same kernel and float op order as
+    :func:`ann_cosine_topk`; the probe filter runs map-side in the scan
+    stage, so the float payload of non-probed vectors never leaves the
+    read."""
+    import pyarrow.dataset as pads
+
+    qtab = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        filter=pc.field("vec_id") == query_vec_id
+    )
+    q = np.array(qtab.column("embedding").to_pylist()[0], dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    scorer = CosineTopK(q, k)
+
+    def probe_then_score(batch: pa.Table) -> pa.Table:
+        keep = (batch.column("vec_id").to_numpy() % mod) == 0
+        batch = batch.filter(pa.array(keep))
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        return scorer(batch)
+
+    pdf = ds.map_batches(
+        probe_then_score, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=4096,
+    ).to_pandas()
+    pdf = pdf.sort_values(["score", "vec_id"], ascending=[False, True]).head(k).reset_index(drop=True)
+    pdf["rank"] = np.arange(1, len(pdf) + 1, dtype=np.int64)
+    return pdf[["rank", "vec_id"]]
+
+
 class CosinePairFinder:
     """Embedding-cosine near-dup pairs, EXACT small-corpus path: each batch's
     vectors are compared against the broadcast full (normalized) matrix —
