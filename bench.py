@@ -612,7 +612,15 @@ def serving_cache() -> None:
                  logging_level="ERROR")
     index_dir = build_bench_index(sf_dir, repeat=20)
     words = sorted({w for q in FLAGSHIP_QUERIES + WAND_QUERIES for w in q.split()})
-    distinct = [f"{a} {b}" for a in words for b in words if a < b][:512]
+    # a query space much larger than the per-replica cache, so FIFO eviction
+    # and the Zipf exponent actually shape the hit rate (a space that fits
+    # entirely in cache measures only the degenerate hit_rate=1.0 point)
+    distinct = ([f"{a} {b}" for a in words for b in words if a < b]
+                + [f"{a} {b} {c}" for a in words for b in words for c in words
+                   if a < b < c])[:2048]
+    # engine warmup WITHOUT seeding the result cache: reversed word order is
+    # a different cache key but decodes the same postings
+    warm_qs = sorted({" ".join(reversed(q.split())) for q in distinct})
     n_log = 4096
     rows = []
     rng = np.random.default_rng(17)
@@ -620,11 +628,11 @@ def serving_cache() -> None:
         p = 1.0 / np.arange(1, len(distinct) + 1, dtype=np.float64) ** s
         p /= p.sum()
         log = list(rng.choice(distinct, size=n_log, p=p))
-        for cap in (0, 1024):
+        for cap in (0, 256):
             svc = SearchService(index_dir, SIMPLE_SPEC, k=10, num_replicas=4,
                                 result_cache_entries=cap)
             try:
-                svc.warmup(distinct)
+                svc.warmup(warm_qs)
                 pre = sum(svc.stats()["result_cache_hits"])
                 t0 = time.monotonic()
                 svc.search_many(log, chunk_size=16)

@@ -182,6 +182,11 @@ def build_prelists(index_root: str, *, df_threshold: int | None = None,
         .map_batches(chunk_top, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("term")
         .map_groups(merge_term, batch_format="pandas")
+        # the groupby's hash shuffle emits schema-less EMPTY partitions
+        # (rayindex.joins docstring); consolidate so the parquet sink never
+        # writes 0-column fragments that would poison read_prelist's
+        # dataset-schema inference
+        .repartition(2)
     )
     lists_dir = os.path.join(out_dir, "lists")
     if os.path.isdir(lists_dir):  # idempotent rebuild: never mix generations
