@@ -149,7 +149,11 @@ def main() -> int:
         eng.bm25_wand(wq, k=10) == eng.bm25_exhaustive(wq, k=10)
     )
     if args.positions:
-        pq = FLAGSHIP_QUERIES[0]
+        # selective query: a DENSE-pair phrase decodes every candidate's
+        # position list (O(Σ positions), the same tail the bm25 prelists
+        # bound for single terms — measured >1 h at 20M and documented in
+        # BASELINE.md, not re-priced per run)
+        pq = WAND_QUERIES[0]
         eng.search_phrase_positional(pq, k=10)  # warm
         t = time.monotonic()
         eng.search_phrase_positional(pq, k=10)
