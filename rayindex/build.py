@@ -1488,14 +1488,19 @@ def build_index(
     return metrics
 
 
-def build_all(pages_path, out_dir, analyzer_spec, num_shards: int = 1, **kwargs) -> dict:
+def build_all(pages_path, out_dir, analyzer_spec, num_shards: int = 1,
+              prelists: bool = False, **kwargs) -> dict:
     """Build every shard (each independently resumable); per-shard lineage.
 
     Multi-shard builds also get the cross-shard ``site_lemmas_global``
     sidecar, so ``QueryEngine.statistics()`` stays O(sites) on sharded
     deployments too.  (Jobs building a shard SUBSET — ``tools/build_cli.py
     --shard-range`` — skip it: only an orchestrator that saw every shard can
-    vouch for the full set; engines over such trees fall back to the scan.)"""
+    vouch for the full set; engines over such trees fall back to the scan.)
+
+    ``prelists=True`` finishes with the head-term impact-ordered prelist
+    artifact (rayindex.prelists) — like the global sidecar, it needs the
+    FULL tree, so only the orchestrator writes it."""
     all_metrics = {"shards": []}
     for s in range(num_shards):
         m = build_index(
@@ -1505,6 +1510,10 @@ def build_all(pages_path, out_dir, analyzer_spec, num_shards: int = 1, **kwargs)
         all_metrics["shards"].append(m)
     if num_shards > 1:
         write_site_lemmas_global(out_dir)
+    if prelists:
+        from .prelists import build_prelists
+
+        all_metrics["prelists"] = build_prelists(out_dir)
     return all_metrics
 
 

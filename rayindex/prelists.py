@@ -77,6 +77,9 @@ def head_terms(index_root: str, df_threshold: int) -> pd.DataFrame:
         .filter(expr=f"df >= {int(df_threshold)}")
         .to_pandas()
     )
+    if "df" not in agg.columns:  # nothing above threshold → schema-less empty
+        return pd.DataFrame({"term": pd.Series(dtype=str),
+                             "df": pd.Series(dtype="int64")})
     return agg.sort_values(["df", "term"], ascending=[False, True]).reset_index(drop=True)
 
 

@@ -112,6 +112,32 @@ def test_param_drift_invalidates(prelisted, fixture_corpus):
     assert got == exact
 
 
+def test_empty_head_set_writes_meta_and_serves(built_index, fixture_corpus,
+                                               tmp_path):
+    """A threshold above every df yields zero prelisted terms: meta is still
+    written, the engine honors the (empty) artifact, and every query routes
+    through the full path."""
+    import os
+    import shutil
+
+    from rayindex.prelists import build_prelists, head_terms, load_meta
+    from rayindex.query import QueryEngine
+
+    root = built_index["out_dir"]
+    tmp = str(tmp_path / "idx_empty_heads")
+    shutil.copytree(root, tmp)
+    shutil.rmtree(os.path.join(tmp, "prelists"), ignore_errors=True)
+    s = build_prelists(tmp, df_threshold=10**9)
+    assert s["n_terms"] == 0
+    assert load_meta(tmp) is not None
+    assert len(head_terms(tmp, 10**9)) == 0
+    eng = QueryEngine(tmp, fixture_corpus.analyzer_spec)
+    assert eng._prelists_valid()
+    assert eng._bm25_prelist_single("anything", 5) is None
+    got = eng.bm25_topk("anything", k=5)
+    assert got == eng.bm25_exhaustive("anything", k=5)
+
+
 def test_multi_term_queries_unaffected(prelisted):
     from rayindex.prelists import head_terms
 

@@ -50,6 +50,10 @@ def main() -> int:
                     help="postings stream codec (delta+varbyte or PForDelta)")
     ap.add_argument("--positions", action="store_true",
                     help="build the positional postings layer (phrase/NEAR)")
+    ap.add_argument("--prelists", action="store_true",
+                    help="after the build, write head-term impact-ordered "
+                         "prelists (full-range jobs only — the artifact "
+                         "needs every shard)")
     ap.add_argument("--url-filter", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="local-mode CPU count (ignored on a real cluster)")
@@ -143,6 +147,16 @@ def main() -> int:
         t_sl = time.monotonic()
         write_site_lemmas_global(args.out)
         done["site_lemmas_global_sec"] = round(time.monotonic() - t_sl, 3)
+    if args.prelists and lo == 0 and hi == args.num_shards:
+        # full-range jobs only: the impact order is global, so a
+        # --shard-range subset cannot vouch for it (same rule as the
+        # cross-shard sidecar above); also written after build_wall_sec so
+        # the scaling protocol's N level stays symmetric with the 4N jobs
+        from rayindex.prelists import build_prelists
+
+        t_pl = time.monotonic()
+        done["prelists"] = build_prelists(args.out)
+        done["prelists_sec"] = round(time.monotonic() - t_pl, 3)
     print(json.dumps(done), flush=True)
     ray.shutdown()
     return 0
