@@ -260,6 +260,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_corpus": textops.dedup_corpus,  # winners APPLIED via hash join
         "ann_cosine_topk": textops.ann_cosine_topk,
         "ann_rerank_fixed": textops.ann_rerank_fixed,  # SQL-checked rerank kernel
+        # head-term prelist artifact content, value-hashed vs DuckDB (r5)
+        "engine_prelist_postings": __import__(
+            "rayindex.pipelines", fromlist=["engine_prelist_postings"]
+        ).engine_prelist_postings,
         # --- temporal / streaming ops over the events table --------------
         "events_windowed": __import__("rayindex.events", fromlist=["windowed_counts"]).windowed_counts,
         "events_retention": __import__(
@@ -712,6 +716,23 @@ def oracle_sql() -> dict[str, str]:
             "co AS (SELECT c.query, c.url, c.score FROM cand c JOIN nk USING (query) WHERE c.c = nk.n_terms) "
             "SELECT query, url, score, "
             "CAST(score AS DOUBLE) / max(score) OVER (PARTITION BY query) AS relevance FROM co"
+        ),
+        "engine_prelist_postings": (
+            # the persisted head-term prelists' full content (untruncated at
+            # this scale): every (term, url, tf, dl) with the term's df above
+            # the same threshold the builder used — integer-exact columns
+            # only (a mirrored float score column hit 1-ULP ln() divergence
+            # on 3/12900 rows; score identity is pinned by pytest instead)
+            f"WITH {_PTOKS}, "
+            "tf AS (SELECT url, term, count(*) AS tf FROM pt GROUP BY url, term), "
+            "dl AS (SELECT url, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY url), "
+            "df AS (SELECT term, count(DISTINCT url) AS df FROM pt GROUP BY term), "
+            "s AS (SELECT CAST((SELECT count(*) FROM pt) AS DOUBLE) / "
+            "(SELECT count(*) FROM documents) AS avgdl, "
+            "(SELECT count(*) FROM documents) AS n), "
+            "heads AS (SELECT term, df.df FROM df, s WHERE df.df >= greatest(8, s.n // 5)) "
+            "SELECT t.term, t.url, CAST(t.tf AS BIGINT) AS tf, d.dl "
+            "FROM tf t JOIN heads h USING (term) JOIN dl d USING (url)"
         ),
         "engine_search_topk": (
             # engine_search_scores + deterministic (score desc, url) top-10;

@@ -827,6 +827,51 @@ def engine_search_not(sf_dir: str, queries: list[tuple[str, str]] | None = None)
     return pd.DataFrame(rows, columns=["query", "url", "score", "relevance"])
 
 
+def engine_prelist_postings(sf_dir: str) -> pd.DataFrame:
+    """Head-term prelist artifact, ORACLE-CHECKABLE: build the impact-ordered
+    prelists with an untruncated prefix (n_top ≥ any df at this scale), read
+    every head term's persisted (doc, tf, dl) rows back, and emit
+    (term, url, tf, dl, score) — order-insensitive, so the doc-hash
+    tie-break SQL can't reproduce never matters.  Proves the distributed
+    decode → impact-sort → merge pipeline's CONTENT against DuckDB
+    (ordering + O(k) serving identity are pinned by tests/test_prelists.py,
+    and re-asserted here per term via bm25_topk ≡ bm25_exhaustive).
+
+    Columns are integer-exact (term, url, tf, dl) — a score column spelled
+    with the engine's exact parenthesization matched DuckDB on 12 897 of
+    12 900 rows and differed by 1 ULP on 3 (DuckDB ``ln`` vs libm ``log``
+    at rare arguments), so the float stays OUT of the hash: score identity
+    is pinned engine-to-engine by the prelist tests instead."""
+    from .prelists import build_prelists, head_terms, read_prelist
+
+    index_dir = build_bench_index(sf_dir, repeat=1)
+    import pyarrow.parquet as pq_
+
+    n_docs = pq_.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    thr = max(8, n_docs // 5)
+    build_prelists(index_dir, df_threshold=thr, n_top=10_000_000)
+    heads = head_terms(index_dir, thr)
+    eng = QueryEngine(index_dir, SIMPLE_SPEC)
+    rows = []
+    for term in heads["term"]:
+        got = read_prelist(index_dir, term)
+        assert got is not None, term
+        docs, tfs, dls, df = got
+        # serving identity re-asserted on the driver-gate path
+        assert eng.bm25_topk(term, k=10) == eng.bm25_exhaustive(term, k=10), term
+        urls = eng._urls_for(docs)
+        rows.append(pd.DataFrame({
+            "term": term, "url": urls,
+            "tf": tfs.astype("int64"), "dl": dls.astype("int64"),
+        }))
+    if not rows:
+        return pd.DataFrame({"term": pd.Series(dtype=str),
+                             "url": pd.Series(dtype=str),
+                             "tf": pd.Series(dtype="int64"),
+                             "dl": pd.Series(dtype="int64")})
+    return pd.concat(rows, ignore_index=True)
+
+
 def engine_export_postings(sf_dir: str):
     """Index→dataset export end-to-end, ORACLE-CHECKABLE: decode every
     compressed segment back to exploded (url, term, tf) rows
