@@ -324,6 +324,51 @@ def _audit_site_lemmas_global(index_root: str) -> list[dict]:
     return bad
 
 
+def _audit_prelists(index_root: str) -> list[dict]:
+    """Root-level head-term prelist check (rayindex.prelists): the artifact's
+    recorded shard stats (n_docs/total_tf — its impact order depends on
+    them via avgdl/idf) must match the CURRENT shard stats.  Absent artifact
+    is healthy (engines use the full path); a stale one is flagged so the
+    operator re-runs build_prelists after a rebuild / delta / purge — the
+    engine itself already refuses a stale artifact at query time, so this
+    is the fsck-side surfacing of the same gate."""
+    import json
+
+    p = os.path.join(index_root, "prelists", "meta.json")
+    if not os.path.exists(p):
+        return []
+    bad: list[dict] = []
+
+    def emit(check: str, detail: str) -> None:
+        bad.append({"term": "prelists", "salt": -1,
+                    "bucket": -1, "check": check, "detail": detail})
+
+    try:
+        with open(p) as f:
+            meta = json.load(f)
+        n_docs = total_tf = 0
+        for d in list_shards(index_root):
+            with open(os.path.join(d, "stats.json")) as f:
+                s = json.load(f)
+            n_docs += int(s["n_docs"])
+            total_tf += int(s["total_tf"])
+        if int(meta.get("n_docs", -1)) != n_docs or \
+                int(meta.get("total_tf", -1)) != total_tf:
+            emit("prelists_stale",
+                 f"artifact stats (n_docs={meta.get('n_docs')}, "
+                 f"total_tf={meta.get('total_tf')}) != current "
+                 f"({n_docs}, {total_tf}) — rerun build_prelists")
+        from .incremental import load_tombstones
+
+        if load_tombstones(index_root)["sites"]:
+            emit("prelists_stale",
+                 "tree has tombstoned sites (avgdl changed) — rerun "
+                 "build_prelists after compaction")
+    except (OSError, ValueError, KeyError) as e:
+        emit("prelists_meta", f"unreadable artifact meta: {e}")
+    return bad
+
+
 def audit_index(index_root: str, *, check_df: bool = True) -> pd.DataFrame:
     """Audit every shard of ``index_root``; returns the violation table
     (empty = healthy).  Streams segment rows through a task pool — driver
@@ -361,6 +406,7 @@ def audit_index(index_root: str, *, check_df: bool = True) -> pd.DataFrame:
         parts = [stream.drop_columns(["seg_cnt"]).to_pandas()]
     loc_rows = [r for s in list_shards(index_root) for r in _audit_locator(s)]
     loc_rows += _audit_site_lemmas_global(index_root)
+    loc_rows += _audit_prelists(index_root)
     if loc_rows:
         parts.append(pd.DataFrame(loc_rows))
     cols = list(VIOLATION_SCHEMA.names)

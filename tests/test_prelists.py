@@ -138,6 +138,30 @@ def test_empty_head_set_writes_meta_and_serves(built_index, fixture_corpus,
     assert got == eng.bm25_exhaustive("anything", k=5)
 
 
+def test_audit_flags_stale_prelists(prelisted, tmp_path):
+    """fsck surfaces the same staleness gate the engine enforces: a healthy
+    prelisted tree audits clean; tampered artifact stats are flagged."""
+    import json
+    import os
+    import shutil
+
+    from rayindex.audit import audit_index
+
+    eng, _ = prelisted
+    vio = audit_index(eng.index_root, check_df=False)
+    assert not (vio["check"].astype(str).str.startswith("prelists")).any()
+
+    tmp = str(tmp_path / "idx_stale_prelists")
+    shutil.copytree(eng.index_root, tmp)
+    mp = os.path.join(tmp, "prelists", "meta.json")
+    meta = json.load(open(mp))
+    meta["n_docs"] += 1
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+    vio = audit_index(tmp, check_df=False)
+    assert (vio["check"] == "prelists_stale").any()
+
+
 def test_multi_term_queries_unaffected(prelisted):
     from rayindex.prelists import head_terms
 
