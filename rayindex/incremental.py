@@ -111,6 +111,22 @@ def incremental_update(
         from .build import write_site_lemmas_global
 
         write_site_lemmas_global(index_dir)
+    if os.path.isfile(os.path.join(index_dir, "prelists", "meta.json")):
+        # the delta changed shard stats, so the head-term prelist artifact's
+        # recorded (n_docs, total_tf) no longer match — the engine would
+        # refuse it (full-path fallback) and fsck would flag it; regenerate
+        # with the artifact's own recorded knobs while we are the
+        # orchestrator (same rule as the cross-shard sidecar above)
+        import json
+
+        from .prelists import build_prelists
+
+        with open(os.path.join(index_dir, "prelists", "meta.json")) as f:
+            pm = json.load(f)
+        out["prelists"] = build_prelists(
+            index_dir, df_threshold=int(pm["df_threshold"]),
+            n_top=int(pm["n_top"]), k1=float(pm["k1"]), b=float(pm["b"]),
+        )
     return out
 
 

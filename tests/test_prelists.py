@@ -162,6 +162,59 @@ def test_audit_flags_stale_prelists(prelisted, tmp_path):
     assert (vio["check"] == "prelists_stale").any()
 
 
+def test_delta_reindex_regenerates_prelists(ray_session, fixture_corpus,
+                                            tmp_path):
+    """incremental_update on a prelisted tree rewrites the artifact with its
+    own recorded knobs, so the engine keeps the O(k) path (valid meta,
+    identical ranks) instead of silently falling back."""
+    import pyarrow as pa
+
+    from rayindex.build import build_all
+    from rayindex.fixtures import write_pages
+    from rayindex.incremental import incremental_update
+    from rayindex.prelists import build_prelists, head_terms, load_meta
+    from rayindex.query import QueryEngine
+
+    pages = fixture_corpus.pages.slice(0, 60)
+    pdir = str(tmp_path / "pages")
+    write_pages(pages, pdir, 4)
+    out = str(tmp_path / "idx")
+    build_all(pdir, out, fixture_corpus.analyzer_spec, num_shards=2, num_buckets=4)
+    build_prelists(out, df_threshold=10, n_top=64)
+    heads_before = head_terms(out, 10)
+    assert len(heads_before)
+
+    # delta: replace one page's content (text change → stats change)
+    row = pages.slice(7, 1).to_pylist()[0]
+    delta = pa.table(
+        {
+            "url": pa.array([row["url"]], pa.string()),
+            "warc_ts": pa.array(
+                [int(row["warc_ts"].timestamp() * 1_000_000) + 10_000_000],
+                pa.timestamp("us"),
+            ),
+            "html": pa.array([b"<html><body>tiny delta body</body></html>"], pa.binary()),
+            "text": pa.array([None], pa.string()),
+            "lang": pa.array(["ru"], pa.string()),
+        }
+    )
+    ddir = str(tmp_path / "delta")
+    write_pages(delta, ddir, 1)
+    res = incremental_update(out, pdir, ddir, fixture_corpus.analyzer_spec,
+                             num_shards=2, num_buckets=4)
+    assert "prelists" in res  # regenerated by the orchestrator
+    assert int(res["prelists"]["df_threshold"]) == 10  # knobs inherited
+
+    eng = QueryEngine(out, fixture_corpus.analyzer_spec)
+    assert eng._prelists_valid()  # meta matches the POST-delta stats
+    meta = load_meta(out)
+    assert meta["n_docs"] == eng.n_docs and meta["total_tf"] == eng.total_tf
+    for term in head_terms(out, 10)["term"].head(3):
+        served = eng._bm25_prelist_single(term, 5)
+        assert served is not None, term
+        assert served == eng.bm25_exhaustive(term, 5), term
+
+
 def test_multi_term_queries_unaffected(prelisted):
     from rayindex.prelists import head_terms
 
